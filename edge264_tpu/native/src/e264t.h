@@ -1,0 +1,392 @@
+// e264t — host-side H.264 syntax front end for the edge264_tpu decoder.
+//
+// This C++ library implements everything *bit-serial* in H.264 decoding:
+// NAL unescaping, Exp-Golomb/CAVLC/CABAC entropy decoding, SPS/PPS/slice
+// headers, POC, DPB bookkeeping, reference list construction, mb-layer
+// syntax and motion-vector prediction.  It emits dense per-frame "syntax
+// planes" (coefficients, modes, motion vectors, flags) that the JAX/Pallas
+// back end consumes as batched tensors.  No pixel math happens here.
+//
+// Capability target mirrors tvlabs/edge264 (see SURVEY.md §2): Progressive
+// High + MVC Stereo High, CAVLC+CABAC, I/P/B, 8x8 transforms, scaling
+// matrices, 4:2:0 8-bit.  Behavioral contracts (errno codes, DPB bumping,
+// clamped reads with deferred error checks) follow the reference, e.g.
+// edge264_headers.c:953-1288 for the slice-header path.
+#pragma once
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <cstdio>
+#include <vector>
+
+namespace e264t {
+
+// ---------------------------------------------------------------------------
+// errno-style results (match reference contract, README.md:188-196)
+enum { OK = 0 };
+#define E264T_ENOTSUP 95
+#define E264T_EBADMSG 74
+#define E264T_ENOBUFS 105
+#define E264T_ENODATA 61
+
+// ---------------------------------------------------------------------------
+// Bit reader over an unescaped RBSP buffer.  MSB-first 64-bit cache.
+// Reads past the end feed zero bits and set `over`; errors are deferred to
+// the rbsp_finished() verdict, mirroring the reference's "deferred error
+// checking" design (edge264_internal.h:1168-1174).
+struct BitReader {
+	const uint8_t *buf = nullptr;
+	size_t size = 0;      // bytes
+	size_t pos = 0;       // next byte to load into cache
+	uint64_t cache = 0;   // top `cnt` bits valid, MSB-aligned
+	int cnt = 0;
+	bool over = false;    // consumed bits beyond the RBSP
+
+	void init(const uint8_t *b, size_t n) {
+		buf = b; size = n; pos = 0; cache = 0; cnt = 0; over = false;
+		refill();
+	}
+	void refill() {
+		while (cnt <= 56) {
+			uint64_t byte = pos < size ? buf[pos] : 0;
+			if (pos >= size && cnt < 0) over = true;
+			pos++;
+			cache |= byte << (56 - cnt);
+			cnt += 8;
+		}
+	}
+	// total bits consumed so far
+	int64_t consumed() const { return (int64_t)pos * 8 - cnt; }
+	uint32_t u(int n) {           // read n bits (0..32)
+		if (n == 0) return 0;
+		uint32_t v = (uint32_t)(cache >> (64 - n));
+		cache <<= n;
+		cnt -= n;
+		if (cnt <= 32) refill();
+		return v;
+	}
+	uint32_t peek(int n) const { return n ? (uint32_t)(cache >> (64 - n)) : 0; }
+	int u1() { return (int)u(1); }
+	int clz_cache() const {       // leading zeros of the cache (capped 32)
+		uint64_t c = cache | 1;   // avoid clz(0)
+		int z = __builtin_clzll(c);
+		return z > 32 ? 32 : z;
+	}
+	// Exp-Golomb, clamped to [0,upper] like the reference's get_ue16/32
+	// (edge264_bitstream.c:127-165): the clamp keeps parser state sane on
+	// corrupt input; the error verdict comes from rbsp_finished().
+	uint32_t ue(uint32_t upper = 0xffffffffu) {
+		int k = clz_cache();
+		uint64_t v;
+		if (k <= 15) {
+			v = (cache >> (63 - 2 * k)) - 1;
+			cache <<= 2 * k + 1;
+			cnt -= 2 * k + 1;
+			if (cnt <= 32) refill();
+		} else {                   // long codes, read in two steps
+			u(k);
+			uint32_t low = u(k + 1 <= 32 ? k + 1 : 32);
+			v = (uint64_t)low - 1;
+		}
+		return v > upper ? upper : (uint32_t)v;
+	}
+	int32_t se(int32_t lower, int32_t upper) {
+		uint32_t c = ue();
+		int32_t v = (c & 1) ? (int32_t)((c + 1) >> 1) : -(int32_t)(c >> 1);
+		return v < lower ? lower : v > upper ? upper : v;
+	}
+	bool byte_aligned() const { return (consumed() & 7) == 0; }
+	// more_rbsp_data(): true if there are RBSP bits beyond the stop bit
+	bool more_rbsp() const {
+		int64_t c = consumed();
+		int64_t total = (int64_t)size * 8;
+		if (c >= total) return false;
+		// locate last set bit of the buffer (the rbsp_stop_one_bit)
+		int64_t last = total - 1;
+		while (last >= 0 && !(buf[last >> 3] >> (7 - (last & 7)) & 1)) last--;
+		return c < last;
+	}
+	// verdict at NAL end: all bits consumed up to the stop bit, no overrun
+	bool rbsp_finished() const {
+		if (over) return false;
+		int64_t c = consumed();
+		int64_t total = (int64_t)size * 8;
+		if (c > total) return false;
+		int64_t last = total - 1;
+		while (last >= 0 && !(buf[last >> 3] >> (7 - (last & 7)) & 1)) last--;
+		return c == last;   // next unread bit is exactly the stop bit
+	}
+};
+
+// ---------------------------------------------------------------------------
+// Parameter sets (fields per ISO/IEC 14496-10 §7.3.2; capability subset as
+// in the reference's Edge264SeqParameterSet, edge264_internal.h:160-215)
+struct SPS {
+	uint8_t valid = 0;
+	uint8_t profile_idc = 0;
+	uint8_t level_idc = 0;
+	uint8_t chroma_format_idc = 1;
+	uint8_t bit_depth_luma = 8, bit_depth_chroma = 8;
+	uint8_t qpprime_y_zero_transform_bypass = 0;
+	int log2_max_frame_num = 4;
+	int pic_order_cnt_type = 0;
+	int log2_max_poc_lsb = 4;            // poc type 0
+	uint8_t delta_pic_order_always_zero = 0; // poc type 1
+	int32_t offset_for_non_ref_pic = 0;
+	int32_t offset_for_top_to_bottom = 0;
+	int num_ref_frames_in_poc_cycle = 0;
+	int32_t poc_cycle_sum = 0;           // sum of offset_for_ref_frame
+	int32_t offset_for_ref_frames[256] = {0};
+	int max_num_ref_frames = 0;
+	uint8_t gaps_allowed = 0;
+	int mb_width = 0, mb_height = 0;     // PicWidthInMbs, FrameHeightInMbs
+	uint8_t frame_mbs_only = 1;
+	uint8_t direct_8x8_inference = 1;
+	int crop_left = 0, crop_right = 0, crop_top = 0, crop_bottom = 0; // samples
+	int max_dec_frame_buffering = 16;
+	int max_num_reorder_frames = 16;
+	uint8_t seq_scaling_matrix_present = 0;
+	uint8_t weightScale4x4[6][16];       // raster order
+	uint8_t weightScale8x8[6][64];
+	uint8_t mvc = 0;                     // is subset-SPS with 2 views
+	int DpbMaxFrames = 16;               // from level MaxDpbMbs
+};
+
+struct PPS {
+	uint8_t valid = 0;
+	int sps_id = 0;
+	uint8_t entropy_coding_mode = 0;
+	uint8_t bottom_field_pic_order_in_frame_present = 0;
+	int num_ref_idx_active[2] = {1, 1};
+	uint8_t weighted_pred_flag = 0;
+	uint8_t weighted_bipred_idc = 0;
+	int pic_init_qp = 26;
+	int chroma_qp_index_offset = 0;
+	int second_chroma_qp_index_offset = 0;
+	uint8_t deblocking_filter_control_present = 0;
+	uint8_t constrained_intra_pred = 0;
+	uint8_t redundant_pic_cnt_present = 0;
+	uint8_t transform_8x8_mode = 0;
+	uint8_t pic_scaling_matrix_present = 0;
+	uint8_t weightScale4x4[6][16];
+	uint8_t weightScale8x8[6][64];
+};
+
+// ---------------------------------------------------------------------------
+// Per-frame syntax planes.  All arrays raster-ordered; block grids:
+// luma 4x4 grid  [mbH*4][mbW*4], chroma 4x4 grid [mbH*2][mbW*2].
+// Coefficients are raw parsed levels, un-zigzagged to raster positions;
+// the device does all scaling/transform math.
+struct Planes {
+	int mb_w = 0, mb_h = 0;
+	std::vector<int32_t> mb_flags;    // [mbH*mbW]        MBF_* bits
+	std::vector<int8_t>  qp;          // [mbH*mbW*4]      qpY,qpCb,qpCr,pad
+	std::vector<uint8_t> i4_modes;    // [mbH*4*mbW*4]    mode|avail<<4; 0xFF none
+	std::vector<uint8_t> i16_modes;   // [mbH*mbW]        mode|avail<<4; 0xFF none
+	std::vector<uint8_t> i8_modes;    // [mbH*2*mbW*2]    8x8 intra; 0xFF none
+	std::vector<uint8_t> ch_modes;    // [mbH*mbW]        mode|avail<<4
+	std::vector<uint8_t> nz_y;        // [mbH*4*mbW*4]    luma total_coeff (or cbf)
+	std::vector<uint8_t> nz_c;        // [mbH*2*mbW*2*2]  cb,cr interleaved last
+	std::vector<int32_t> coef_y;      // [mbH*4*mbW*4*16] 4x4 luma levels (AC for I16)
+	std::vector<int32_t> coef_y8;     // [mbH*2*mbW*2*64] 8x8 luma levels
+	std::vector<int32_t> coef_y_dc;   // [mbH*mbW*16]     I16 luma DC
+	std::vector<int32_t> coef_c_dc;   // [mbH*mbW*8]      chroma DC, cb 4 + cr 4
+	std::vector<int32_t> coef_cb;     // [mbH*2*mbW*2*16]
+	std::vector<int32_t> coef_cr;     // [mbH*2*mbW*2*16]
+	std::vector<int16_t> mvs;         // [mbH*4*mbW*4*2*2] per 4x4, list, x/y
+	std::vector<int8_t>  refslot;     // [mbH*4*mbW*4*2]  DPB slot per list, -1
+	std::vector<uint8_t> pcm_y;       // [mbH*16*mbW*16]
+	std::vector<uint8_t> pcm_c;       // [2*mbH*8*mbW*8]
+	std::vector<uint8_t> deblock;     // [mbH*mbW]        DBF_* bits
+	std::vector<int8_t>  deblock_ab;  // [mbH*mbW*2]      alpha/beta offsets
+	std::vector<int8_t>  wp;          // [mbH*mbW*2*3*4]  per list,comp: w,o,logWD,mode
+	std::vector<int8_t>  refpoc_idx;  // [mbH*4*mbW*4*2]  (reserved: temporal direct)
+	std::vector<uint16_t> slice_id;   // [mbH*mbW]        slice index within frame
+
+	void resize(int w, int h);
+	void clear_mb_range(int mb0, int mb1);
+};
+
+// mb_flags bits
+enum {
+	MBF_INTRA    = 1 << 0,
+	MBF_I16x16   = 1 << 1,
+	MBF_IPCM     = 1 << 2,
+	MBF_T8x8     = 1 << 3,
+	MBF_SKIP     = 1 << 4,
+	MBF_PARSED   = 1 << 5,   // availability marker during parse
+	MBF_INTER    = 1 << 6,
+	MBF_FIELDS   = 0,
+};
+// deblock plane bits
+enum {
+	DBF_LEFT     = 1 << 0,   // filter the left mb edge
+	DBF_TOP      = 1 << 1,   // filter the top mb edge
+	DBF_INNER    = 1 << 2,   // filter internal edges
+};
+
+struct Event {
+	int32_t kind;
+	int32_t slot;
+	int32_t a, b, c, d;
+};
+enum {
+	EV_FORMAT = 1,    // a=mb_w, b=mb_h, c=num_slots, d=chroma_format
+	EV_FRAME_START,   // a=frame_id, b=poc, c=is_idr
+	EV_SLICE_DONE,    // a=first_mb, b=mb_count, c=slice_type, d=err
+	EV_FRAME_DONE,    // frame `slot` fully parsed: device step can run
+	EV_OUTPUT,        // output frame in `slot` (a=frame_id, b=non_base_slot|-1)
+	EV_UNPIN,         // device may free/reuse slot's sample planes
+};
+
+struct SliceHeader {
+	int slice_type = 0;          // 0 P, 1 B, 2 I (mod 5)
+	int first_mb = 0;
+	int pps_id = 0;
+	int frame_num = 0;
+	int idr_pic_id = 0;
+	bool is_idr = false;
+	bool is_ref = false;
+	int qp = 26;
+	int num_ref_idx[2] = {0, 0};
+	int disable_deblocking_filter_idc = 0;
+	int alpha_c0_offset = 0, beta_offset = 0;
+	int cabac_init_idc = 0;
+	bool sp_for_switch = false;
+	bool direct_spatial = false;
+	// derived
+	int poc = 0, poc_bottom = 0;
+	int8_t RefPicList[2][32];    // DPB slot per ref idx
+	int num_refs[2] = {0, 0};
+	// weighted prediction (§8.4.2.3): resolved weighted_bipred_idc and
+	// explicit weights/offsets per list x refIdx x {Y,Cb,Cr}
+	int weighted_bipred_idc = 0;
+	int luma_log2_weight_denom = 0, chroma_log2_weight_denom = 0;
+	int16_t weights[2][32][3] = {{{0}}};
+	int16_t offsets[2][32][3] = {{{0}}};
+};
+
+struct Decoder;
+
+// CABAC engine state (ISO 9.3; layout of our own design)
+struct Cabac {
+	uint32_t codIRange = 0, codIOffset = 0;
+	BitReader *gb = nullptr;
+	uint8_t state[1024];  // pStateIdx<<1 | valMPS
+	void init_contexts(int idc, int qp);
+	int start(BitReader *r);     // align + read 9 bits
+	int decode(int ctxIdx);
+	int bypass();
+	uint32_t bypass_n(int n);
+	int terminate();
+};
+
+// ---------------------------------------------------------------------------
+// Decoder: whole-stream state machine.
+struct Decoder {
+	SPS sps;                 // active sequence parameter set
+	SPS ssps;                // MVC subset SPS
+	PPS pps[4];              // reference keeps 4 slots (edge264_headers.c:1421)
+	std::vector<uint8_t> rbsp;   // unescape scratch
+	BitReader gb;
+	Cabac cab;
+
+	// DPB bookkeeping: bitmask-per-state SoA with the same state machine as
+	// the reference (design comment edge264_internal.h:355-386): committed_*
+	// hold the reference state before the current frame; curr_* the state
+	// that commits when the current frame completes (mmco staging).
+	static const int MAX_SLOTS = 32;
+	Planes planes[MAX_SLOTS];
+	uint32_t committed_st = 0, committed_lt = 0;  // (1,1) = non-existing
+	uint32_t curr_st = 0, curr_lt = 0;
+	uint32_t to_get = 0;         // owned for output (not yet returned)
+	uint32_t outputq = 0;        // bumped into the output FIFO
+	uint32_t non_base = 0;       // MVC non-base-view frames
+	int32_t FrameNums[MAX_SLOTS] = {0};
+	int32_t FrameIds[MAX_SLOTS] = {0};
+	int32_t Poc[2][MAX_SLOTS] = {{0}};   // top/bottom field order counts
+	int8_t committed_lti[MAX_SLOTS];     // LongTermFrameIdx
+	int8_t curr_lti[MAX_SLOTS];
+	int8_t output_fifo[2][MAX_SLOTS + 1]; // -1-terminated, oldest last
+	int32_t remaining_mbs[MAX_SLOTS] = {0};
+	uint8_t complete[MAX_SLOTS] = {0};   // fully parsed (device step issued)
+	uint16_t slice_count[MAX_SLOTS] = {0};
+
+	int curr = -1;               // slot being decoded, -1 none
+	int base_slot = -1;          // MVC: base-view frame of current AU
+	int IdrPicFlag = 0;
+	int32_t prev_frame_id = 0;
+	int32_t FrameNum = 0;        // unwrapped, current frame
+	int32_t PrevRefFrameNum[2] = {-1, -1};
+	int32_t prevPicOrderCnt[2] = {0, 0};
+	int32_t TopFOC = 0, BottomFOC = 0;
+	int32_t last_idr_pic_id = -1;
+	int32_t last_delta_poc0 = 0;
+	int max_output_latency = 16; // reference default (edge264.c:151)
+
+	// current slice context
+	SliceHeader sh;
+	const PPS *cpps = nullptr;
+	int nal_ref_idc = 0, nal_unit_type = 0;
+
+	std::vector<Event> events;
+	// log callback (YAML trace, reference-compatible field names)
+	void (*log_cb)(const char *, void *) = nullptr;
+	void *log_arg = nullptr;
+	bool log_mbs = false;
+	std::vector<char> logbuf;
+
+	// ---- entry points ----
+	int decode_nal(const uint8_t *buf, size_t len);
+	void flush();
+	void end_of_stream();        // drain: bump all frames
+
+	// ---- frame-set helpers (mirror edge264_internal.h:1228-1239) ----
+	uint32_t dpb_frames() const {
+		return committed_st | committed_lt | (to_get & ~outputq);
+	}
+	uint32_t unavail_frames() const {
+		return committed_st | committed_lt | to_get | outputq;
+	}
+	uint32_t same_views(int non_base_view) const {
+		return non_base_view ? non_base : ~non_base;
+	}
+
+	int get_frame(int *slot, int *slot_mvc);  // 0/ENOMSG/EAGAIN semantics
+	void return_frame(int slot);
+
+	// ---- internals ----
+	int parse_sps(bool subset);
+	int parse_pps();
+	int parse_slice();
+	void parse_scaling_lists(uint8_t ws4[6][16], uint8_t ws8[6][64],
+	                         bool transform8x8, const uint8_t fb4[6][16],
+	                         const uint8_t fb8[6][64]);
+	int parse_slice_data_cavlc();
+	int parse_slice_data_cabac();
+	void compute_poc();
+	void init_ref_lists();
+	void parse_ref_pic_list_modification();
+	void parse_pred_weight_table();
+	void parse_dec_ref_pic_marking();
+	void sliding_window_marking();
+	void handle_frame_gaps(int frame_num);
+	int  find_free_slot();
+	void finish_frame();         // currPic complete: emit events, marking
+	void bump_frames(bool all);  // C.4.5 output bumping
+	void logf(const char *fmt, ...);
+
+	// per-slice mb-loop state
+	struct MbCtx;
+	int parse_I_mb(MbCtx &m, int mb_type);
+	int parse_P_mb(MbCtx &m);
+	int parse_B_mb(MbCtx &m);
+};
+
+// scan tables (ISO §8.5.6): zigzag for 4x4 and 8x8, raster destinations
+extern const uint8_t zigzag4x4[16];
+extern const uint8_t zigzag8x8[64];
+extern const int8_t chroma_qp_table[52 + 36];  // QPc from clipped QPy+offset
+
+} // namespace e264t

@@ -1,0 +1,536 @@
+#!/usr/bin/env python3
+"""avcgen — minimal H.264 Annex-B test-stream generator (an encoder for
+decoder testing, written from the ISO/IEC 14496-10 syntax).
+
+Produces Baseline/Main-subset streams the reference decoder accepts:
+SPS/PPS, IDR/I slices with CAVLC entropy coding, I_PCM / I_4x4 / I_16x16
+macroblocks with arbitrary (generator-chosen) coefficient levels, per-mb QP
+deltas.  Grows alongside the decoder: P/B slices, CABAC, High profile get
+added with those milestones.
+
+The point is not visual quality: coefficient levels are drawn directly (no
+forward DCT), which exercises the entropy layer and pixel kernels far more
+uniformly than any natural video would.
+"""
+
+from __future__ import annotations
+
+import random
+
+from tools.cavlc_tables import COEFF_TOKEN, TOTAL_ZEROS, RUN_BEFORE
+
+ZIGZAG4 = [0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15]
+BLK4_X = [0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3]
+BLK4_Y = [0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3]
+BLK_ORD = [[0, 1, 4, 5], [2, 3, 6, 7], [8, 9, 12, 13], [10, 11, 14, 15]]
+# coded_block_pattern -> codeNum (inverse of Table 9-4), intra
+ME_CBP_INTRA = [47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+                16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+                8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41]
+INV_ME_CBP_INTRA = {cbp: i for i, cbp in enumerate(ME_CBP_INTRA)}
+
+
+class BitWriter:
+    def __init__(self):
+        self.bits = []
+
+    def u(self, val, n):
+        assert 0 <= val < (1 << n), (val, n)
+        for i in range(n - 1, -1, -1):
+            self.bits.append(val >> i & 1)
+
+    def u1(self, val):
+        self.bits.append(val & 1)
+
+    def ue(self, val):
+        val += 1
+        n = val.bit_length()
+        self.u(0, n - 1)
+        self.u(val, n)
+
+    def se(self, val):
+        self.ue(2 * val - 1 if val > 0 else -2 * val)
+
+    def code(self, lenval):   # (len, value) pair from the canonical tables
+        ln, v = lenval
+        self.u(v, ln)
+
+    def align_zero(self):
+        while len(self.bits) % 8:
+            self.bits.append(0)
+
+    def rbsp_trailing(self):
+        self.bits.append(1)
+        self.align_zero()
+
+    def bytes_unescaped(self) -> bytes:
+        assert len(self.bits) % 8 == 0
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for j in range(8):
+                b = b << 1 | self.bits[i + j]
+            out.append(b)
+        return bytes(out)
+
+
+def escape(rbsp: bytes) -> bytes:
+    """Insert emulation-prevention 03 bytes (§7.4.1.1)."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def nal(nal_ref_idc: int, nal_type: int, rbsp: bytes) -> bytes:
+    return b"\x00\x00\x01" + bytes([nal_ref_idc << 5 | nal_type]) + escape(rbsp)
+
+
+# ---------------------------------------------------------------------------
+def make_sps(mb_w, mb_h, *, profile=66, level=40, log2_max_frame_num=4,
+             poc_type=0, log2_max_poc_lsb=4, max_ref_frames=2, gaps=0,
+             crop=(0, 0, 0, 0)) -> bytes:
+    w = BitWriter()
+    w.u(profile, 8)
+    w.u(0, 8)               # constraint flags
+    w.u(level, 8)
+    w.ue(0)                 # sps id
+    w.ue(log2_max_frame_num - 4)
+    w.ue(poc_type)
+    if poc_type == 0:
+        w.ue(log2_max_poc_lsb - 4)
+    elif poc_type == 1:
+        w.u1(0)             # delta_pic_order_always_zero
+        w.se(0)             # offset_for_non_ref_pic
+        w.se(0)             # offset_for_top_to_bottom
+        w.ue(0)             # num_ref_frames_in_pic_order_cnt_cycle
+    w.ue(max_ref_frames)
+    w.u1(gaps)
+    w.ue(mb_w - 1)
+    w.ue(mb_h - 1)
+    w.u1(1)                 # frame_mbs_only
+    w.u1(1)                 # direct_8x8_inference
+    l, r, t, b = crop
+    if any(crop):
+        w.u1(1)
+        w.ue(l); w.ue(r); w.ue(t); w.ue(b)
+    else:
+        w.u1(0)
+    w.u1(0)                 # vui absent
+    w.rbsp_trailing()
+    return nal(3, 7, w.bytes_unescaped())
+
+
+def make_pps(*, pps_id=0, cabac=False, init_qp=26, chroma_qp_off=0,
+             deblock_control=False, second_chroma_qp_off=None) -> bytes:
+    w = BitWriter()
+    w.ue(pps_id)
+    w.ue(0)                 # sps id
+    w.u1(1 if cabac else 0)
+    w.u1(0)                 # bottom_field_pic_order_in_frame_present
+    w.ue(0)                 # num_slice_groups-1
+    w.ue(0); w.ue(0)        # num_ref_idx_default_active
+    w.u1(0)                 # weighted_pred
+    w.u(0, 2)               # weighted_bipred_idc
+    w.se(init_qp - 26)
+    w.se(0)                 # pic_init_qs
+    w.se(chroma_qp_off)
+    w.u1(1 if deblock_control else 0)
+    w.u1(0)                 # constrained_intra_pred
+    w.u1(0)                 # redundant_pic_cnt_present
+    if second_chroma_qp_off is not None:
+        w.u1(0)             # transform_8x8_mode
+        w.u1(0)             # pic_scaling_matrix_present
+        w.se(second_chroma_qp_off)
+    w.rbsp_trailing()
+    return nal(3, 8, w.bytes_unescaped())
+
+
+# ---------------------------------------------------------------------------
+def encode_residual_cavlc(w: BitWriter, coeffs, nC, max_coeff):
+    """Encode one residual block (§9.2).  `coeffs` are the levels in scan
+    order (length max_coeff)."""
+    nz = [(i, c) for i, c in enumerate(coeffs) if c != 0]
+    total_coeff = len(nz)
+    # trailing ones: run of |1| levels at the high-frequency end, max 3
+    t1 = 0
+    for i in range(total_coeff - 1, -1, -1):
+        if abs(nz[i][1]) == 1 and t1 < 3:
+            t1 += 1
+        else:
+            break
+    cls = 3 if nC < 0 else 0 if nC < 2 else 1 if nC < 4 else 2
+    if nC >= 8:
+        if total_coeff == 0:
+            w.u(3, 6)
+        else:
+            w.u(total_coeff * 4 + t1 - 4, 6)
+    else:
+        w.code(COEFF_TOKEN[cls][(total_coeff, t1)])
+    if total_coeff == 0:
+        return 0
+    # trailing one signs (high frequency first)
+    for i in range(total_coeff - 1, total_coeff - 1 - t1, -1):
+        w.u1(1 if nz[i][1] < 0 else 0)
+    # remaining levels, high frequency first
+    suffix_length = 1 if total_coeff > 10 and t1 < 3 else 0
+    first_nont1 = True
+    for i in range(total_coeff - 1 - t1, -1, -1):
+        level = nz[i][1]
+        code = 2 * level - 2 if level > 0 else -2 * level - 1
+        if first_nont1 and t1 < 3:
+            code -= 2
+        first_nont1 = False
+        if suffix_length == 0:
+            if code < 14:
+                w.u(1, code + 1)                    # prefix zeros + 1
+            elif code < 30:
+                w.u(0, 14); w.u1(1); w.u(code - 14, 4)
+            else:
+                assert code < 30 + 4096
+                w.u(0, 15); w.u1(1); w.u(code - 30, 12)
+        else:
+            if (code >> suffix_length) < 15:
+                w.u(0, code >> suffix_length); w.u1(1)
+                w.u(code & ((1 << suffix_length) - 1), suffix_length)
+            else:
+                esc = code - (15 << suffix_length)
+                assert esc < 4096, "level too large for simple escape"
+                w.u(0, 15); w.u1(1); w.u(esc, 12)
+        if suffix_length == 0:
+            suffix_length = 1
+        if abs(level) > (3 << (suffix_length - 1)) and suffix_length < 6:
+            suffix_length += 1
+    # total_zeros
+    highest = nz[-1][0]
+    total_zeros = highest + 1 - total_coeff
+    if total_coeff < max_coeff:
+        if max_coeff == 4:
+            tz_idx = total_coeff - 1
+        elif max_coeff == 8:
+            tz_idx = total_coeff + 3
+        else:
+            tz_idx = total_coeff + 11
+        w.code(TOTAL_ZEROS[tz_idx][total_zeros])
+    # run_before, high frequency first
+    zeros_left = total_zeros
+    for i in range(total_coeff - 1, 0, -1):
+        if zeros_left == 0:
+            break
+        run = nz[i][0] - nz[i - 1][0] - 1
+        zl = min(zeros_left, 7)
+        if zl < 7:
+            w.code(RUN_BEFORE[zl][run])
+        else:
+            if run < 7:
+                w.code(RUN_BEFORE[7][run])
+            else:
+                w.u(0, run - 4)     # 000...  (run-4 zeros)
+                w.u1(1)
+        zeros_left -= run
+    return total_coeff
+
+
+# ---------------------------------------------------------------------------
+class MbSpec:
+    """One macroblock to encode: kind in {'pcm','i4','i16'}."""
+
+    def __init__(self, kind, **kw):
+        self.kind = kind
+        self.__dict__.update(kw)
+
+
+class IntraEncoder:
+    """Encodes one I slice worth of MbSpecs, tracking neighbour state
+    (modes, total_coeffs) exactly as a decoder would."""
+
+    def __init__(self, mb_w, mb_h, slice_qp):
+        self.mb_w, self.mb_h = mb_w, mb_h
+        self.qp = slice_qp
+        self.modes = {}       # (gby, gbx) -> intra4x4 mode
+        self.nz_y = {}        # (gby, gbx) -> total_coeff
+        self.nz_c = {}        # (comp, gy, gx) -> total_coeff
+        self.mb_kind = {}     # (my, mx) -> kind
+        self.parsed = set()
+
+    # --- availability (same-slice assumed: whole frame is one slice) -----
+    def mb_avail(self, mx, my):
+        return 0 <= mx < self.mb_w and 0 <= my < self.mb_h and \
+            (mx, my) in self.parsed
+
+    def blkA_avail(self, mx, my, i):
+        return True if BLK4_X[i] > 0 else self.mb_avail(mx - 1, my)
+
+    def blkB_avail(self, mx, my, i):
+        return True if BLK4_Y[i] > 0 else self.mb_avail(mx, my - 1)
+
+    def blkC_avail(self, mx, my, i):
+        bx, by = BLK4_X[i], BLK4_Y[i]
+        if by == 0:
+            return self.mb_avail(mx, my - 1) if bx < 3 else \
+                self.mb_avail(mx + 1, my - 1)
+        if bx == 3:
+            return False
+        return BLK_ORD[by - 1][bx + 1] < i
+
+    def blkD_avail(self, mx, my, i):
+        bx, by = BLK4_X[i], BLK4_Y[i]
+        if bx == 0 and by == 0:
+            return self.mb_avail(mx - 1, my - 1)
+        if by == 0:
+            return self.mb_avail(mx, my - 1)
+        if bx == 0:
+            return self.mb_avail(mx - 1, my)
+        return True
+
+    def neighbor_mode(self, gby, gbx, mb_known_nxn):
+        """Intra4x4PredMode of a block, DC(2) if not intra-NxN."""
+        m = self.modes.get((gby, gbx))
+        return m if m is not None else 2
+
+    def nC_luma(self, mx, my, i):
+        gbx, gby = mx * 4 + BLK4_X[i], my * 4 + BLK4_Y[i]
+        sum_, have = 0, 0
+        if self.blkA_avail(mx, my, i):
+            sum_ += self.nz_y.get((gby, gbx - 1), 0); have |= 1
+        if self.blkB_avail(mx, my, i):
+            sum_ += self.nz_y.get((gby - 1, gbx), 0); have |= 2
+        return (sum_ + 1) >> 1 if have == 3 else sum_
+
+    def nC_chroma(self, comp, mx, my, cx, cy):
+        gx, gy = mx * 2 + cx, my * 2 + cy
+        sum_, have = 0, 0
+        aA = True if cx > 0 else self.mb_avail(mx - 1, my)
+        aB = True if cy > 0 else self.mb_avail(mx, my - 1)
+        if aA:
+            sum_ += self.nz_c.get((comp, gy, gx - 1), 0); have |= 1
+        if aB:
+            sum_ += self.nz_c.get((comp, gy - 1, gx), 0); have |= 2
+        return (sum_ + 1) >> 1 if have == 3 else sum_
+
+    # --- encode one mb ---------------------------------------------------
+    def encode_mb(self, w: BitWriter, mx, my, spec: MbSpec):
+        if spec.kind == 'pcm':
+            w.ue(25)
+            w.align_zero()
+            for v in spec.samples_y:       # 256 bytes
+                w.u(v, 8)
+            for v in spec.samples_cb:      # 64
+                w.u(v, 8)
+            for v in spec.samples_cr:      # 64
+                w.u(v, 8)
+            for i in range(16):
+                self.nz_y[(my * 4 + BLK4_Y[i], mx * 4 + BLK4_X[i])] = 16
+            for c in range(2):
+                for cy in range(2):
+                    for cx in range(2):
+                        self.nz_c[(c, my * 2 + cy, mx * 2 + cx)] = 16
+            self.mb_kind[(mx, my)] = 'pcm'
+            self.parsed.add((mx, my))
+            return
+
+        if spec.kind == 'i4':
+            w.ue(0)
+            # modes: spec.modes[i] may be None = "use predicted"
+            for i in range(16):
+                gbx, gby = mx * 4 + BLK4_X[i], my * 4 + BLK4_Y[i]
+                aA = self.blkA_avail(mx, my, i)
+                aB = self.blkB_avail(mx, my, i)
+                mA = self.neighbor_mode(gby, gbx - 1, None) if aA else -1
+                mB = self.neighbor_mode(gby - 1, gbx, None) if aB else -1
+                pred = 2 if (mA < 0 or mB < 0) else min(mA, mB)
+                mode = spec.modes[i]
+                if mode is None:
+                    mode = pred
+                if mode == pred:
+                    w.u1(1)
+                else:
+                    w.u1(0)
+                    w.u(mode - (1 if mode > pred else 0), 3)
+                self.modes[(gby, gbx)] = mode
+            w.ue(spec.chroma_mode)
+            cbp = spec.cbp
+            w.ue(INV_ME_CBP_INTRA[cbp])
+            is16 = False
+        else:   # i16
+            pm = spec.pred_mode
+            cbp_chroma = spec.cbp >> 4
+            cbp_luma15 = 1 if (spec.cbp & 15) else 0
+            w.ue(1 + pm + cbp_chroma * 4 + cbp_luma15 * 12)
+            w.ue(spec.chroma_mode)
+            cbp = spec.cbp
+            is16 = True
+            for i in range(16):
+                self.modes.pop((my * 4 + BLK4_Y[i], mx * 4 + BLK4_X[i]), None)
+        self.mb_kind[(mx, my)] = spec.kind
+        self.parsed.add((mx, my))
+
+        # qp delta + residuals
+        if cbp or is16:
+            w.se(spec.qp_delta)
+            self.qp = (self.qp + spec.qp_delta + 52) % 52
+        if is16:
+            nC = self.nC_luma(mx, my, 0)
+            encode_residual_cavlc(w, spec.dc_coeffs, nC, 16)
+        for i8 in range(4):
+            if not (cbp >> i8 & 1):
+                continue
+            for k in range(4):
+                i = i8 * 4 + k
+                nC = self.nC_luma(mx, my, i)
+                coeffs = spec.luma_coeffs[i]
+                n = encode_residual_cavlc(
+                    w, coeffs[1:] if is16 else coeffs, nC, 15 if is16 else 16)
+                self.nz_y[(my * 4 + BLK4_Y[i], mx * 4 + BLK4_X[i])] = n
+        if cbp >> 4:
+            for c in range(2):
+                encode_residual_cavlc(w, spec.chroma_dc[c], -1, 4)
+        if cbp >> 4 == 2:
+            for c in range(2):
+                for cy in range(2):
+                    for cx in range(2):
+                        nC = self.nC_chroma(c, mx, my, cx, cy)
+                        n = encode_residual_cavlc(
+                            w, spec.chroma_ac[c][cy * 2 + cx][1:], nC, 15)
+                        self.nz_c[(c, my * 2 + cy, mx * 2 + cx)] = n
+
+
+def make_idr_slice(mb_w, mb_h, specs, *, slice_qp=26, init_qp=26,
+                   frame_num=0, idr_pic_id=0, poc_lsb=0, idr=True,
+                   nal_ref_idc=3, first_mb=0, pps_id=0,
+                   log2_max_frame_num=4, log2_max_poc_lsb=4) -> bytes:
+    """specs: list of MbSpec in raster order starting at first_mb."""
+    w = BitWriter()
+    w.ue(first_mb)
+    w.ue(7 if idr else 2)      # slice_type I (7 = "all slices are I")
+    w.ue(pps_id)
+    w.u(frame_num, log2_max_frame_num)
+    if idr:
+        w.ue(idr_pic_id)
+    w.u(poc_lsb, log2_max_poc_lsb)      # poc type 0
+    if nal_ref_idc:
+        if idr:
+            w.u1(0)            # no_output_of_prior_pics
+            w.u1(0)            # long_term_reference_flag
+        else:
+            w.u1(0)            # adaptive_ref_pic_marking_mode_flag
+    w.se(slice_qp - init_qp)
+    enc = IntraEncoder(mb_w, mb_h, slice_qp)
+    for n, spec in enumerate(specs):
+        addr = first_mb + n
+        enc.encode_mb(w, addr % mb_w, addr // mb_w, spec)
+    w.rbsp_trailing()
+    return nal(nal_ref_idc, 5 if idr else 1, w.bytes_unescaped())
+
+
+# ---------------------------------------------------------------------------
+def random_intra_mb(rng: random.Random, kinds=('i4', 'i16', 'pcm'),
+                    max_level=8, density=0.3) -> MbSpec:
+    kind = rng.choice(kinds)
+    if kind == 'pcm':
+        return MbSpec('pcm',
+                      samples_y=[rng.randrange(256) for _ in range(256)],
+                      samples_cb=[rng.randrange(256) for _ in range(64)],
+                      samples_cr=[rng.randrange(256) for _ in range(64)])
+
+    def rand_coeffs(n, start=0):
+        c = [0] * n
+        for i in range(start, n):
+            if rng.random() < density:
+                v = rng.randrange(1, max_level + 1)
+                c[i] = v if rng.random() < 0.5 else -v
+        return c
+
+    chroma_mode = 0   # refined by caller when availability is known
+    qp_delta = rng.randrange(-3, 4)
+    if kind == 'i16':
+        cbp_luma = 15 if rng.random() < 0.7 else 0
+        cbp_chroma = rng.choice([0, 1, 2])
+        return MbSpec('i16', pred_mode=None, cbp=cbp_luma | cbp_chroma << 4,
+                      chroma_mode=chroma_mode, qp_delta=qp_delta,
+                      dc_coeffs=rand_coeffs(16),
+                      luma_coeffs=[rand_coeffs(16, 1) for _ in range(16)],
+                      chroma_dc=[rand_coeffs(4) for _ in range(2)],
+                      chroma_ac=[[rand_coeffs(16, 1) for _ in range(4)]
+                                 for _ in range(2)])
+    cbp_luma = rng.randrange(16)
+    cbp_chroma = rng.choice([0, 1, 2])
+    return MbSpec('i4', modes=[None] * 16, cbp=cbp_luma | cbp_chroma << 4,
+                  chroma_mode=chroma_mode, qp_delta=qp_delta,
+                  luma_coeffs=[rand_coeffs(16) for _ in range(16)],
+                  chroma_dc=[rand_coeffs(4) for _ in range(2)],
+                  chroma_ac=[[rand_coeffs(16, 1) for _ in range(4)]
+                             for _ in range(2)])
+
+
+def resolve_random_modes(rng, enc: IntraEncoder, mx, my, spec: MbSpec):
+    """Pick valid intra modes given availability (must be called in encode
+    order, just before encode_mb)."""
+    aA, aB = enc.mb_avail(mx - 1, my), enc.mb_avail(mx, my - 1)
+    aD = enc.mb_avail(mx - 1, my - 1)
+    if spec.kind == 'i16':
+        allowed = [2]
+        if aB: allowed.append(0)
+        if aA: allowed.append(1)
+        if aA and aB and aD: allowed.append(3)
+        spec.pred_mode = rng.choice(allowed)
+    elif spec.kind == 'i4':
+        for i in range(16):
+            bA = enc.blkA_avail(mx, my, i)
+            bB = enc.blkB_avail(mx, my, i)
+            bD = enc.blkD_avail(mx, my, i)
+            allowed = [2]
+            if bB: allowed += [0, 3, 7]       # V, DDL, VL (C handled by pad)
+            if bA: allowed += [1, 8]          # H, HU
+            if bA and bB and bD: allowed += [4, 5, 6]   # DDR, VR, HD
+            spec.modes[i] = rng.choice(allowed)
+    if spec.kind in ('i4', 'i16'):
+        allowed = [0]
+        if aA: allowed.append(1)
+        if aB: allowed.append(2)
+        if aA and aB and aD: allowed.append(3)
+        spec.chroma_mode = rng.choice(allowed)
+
+
+def gen_random_intra_stream(mb_w, mb_h, n_frames=1, seed=0, *, qp=26,
+                            kinds=('i4', 'i16', 'pcm'), max_level=8,
+                            density=0.3, slices_per_frame=1) -> bytes:
+    rng = random.Random(seed)
+    out = make_sps(mb_w, mb_h) + make_pps()
+    for f in range(n_frames):
+        n_mbs = mb_w * mb_h
+        # slice bounds first: mode availability is per-slice
+        bounds = [0]
+        for s in range(1, slices_per_frame):
+            bounds.append(rng.randrange(
+                bounds[-1] + 1, n_mbs - (slices_per_frame - s) + 1))
+        bounds.append(n_mbs)
+        for s in range(slices_per_frame):
+            specs = []
+            probe = IntraEncoder(mb_w, mb_h, qp)   # availability mirror
+            for addr in range(bounds[s], bounds[s + 1]):
+                spec = random_intra_mb(rng, kinds, max_level, density)
+                resolve_random_modes(rng, probe, addr % mb_w, addr // mb_w,
+                                     spec)
+                probe.parsed.add((addr % mb_w, addr // mb_w))
+                specs.append(spec)
+            out += make_idr_slice(
+                mb_w, mb_h, specs,
+                slice_qp=qp, frame_num=0 if f == 0 else f % 16,
+                idr_pic_id=f, poc_lsb=(2 * f) % 16, idr=(f == 0),
+                first_mb=bounds[s])
+    return out
+
+
+if __name__ == "__main__":
+    import sys
+    data = gen_random_intra_stream(4, 4, n_frames=2, seed=1)
+    path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/test_intra.264"
+    with open(path, "wb") as f:
+        f.write(data)
+    print(f"wrote {path} ({len(data)} bytes)")
