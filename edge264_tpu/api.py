@@ -57,9 +57,10 @@ class Decoder:
     back end.  See ARCHITECTURE.md."""
 
     def __init__(self, n_tasks: int = 0, log_cb=None, log_mbs: bool = False,
-                 device=None):
+                 device=None, backend: str = "numpy"):
         from .core import DecoderCore
-        self._core = DecoderCore(log_cb=log_cb, log_mbs=log_mbs, device=device)
+        self._core = DecoderCore(log_cb=log_cb, log_mbs=log_mbs, device=device,
+                                 backend=backend)
 
     # -- streaming ---------------------------------------------------------
     def decode_nal(self, buf: bytes | memoryview | None) -> int:

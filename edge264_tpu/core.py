@@ -1,0 +1,147 @@
+"""DecoderCore: wires the native syntax front end to a pixel back end.
+
+The front end (edge264_tpu/native) parses NALs into per-slot syntax planes
+and emits events; this core reacts to them:
+
+  EV_FORMAT      (re)size the frame store
+  EV_FRAME_DONE  run the pixel back end on the slot's planes -> YUV
+  EV_OUTPUT      queue the decoded frame (paired with MVC slot if any)
+
+Backends share one interface: `reconstruct(planes, slot, store) -> (y,cb,cr)`
+where `store` gives access to previously decoded reference frames (for MC).
+Available backends:
+  "numpy"  exact scalar oracle (edge264_tpu/ops/oracle.py) — golden model
+  "jax"    batched XLA/Pallas device path (edge264_tpu/ops/jaxdec.py)
+
+This mirrors the decoupling the reference achieves with task snapshots
+(edge264_internal.h:219-261): entropy state never outlives the slice, pixel
+work sees only dense planes.
+"""
+
+from __future__ import annotations
+
+import errno
+
+import numpy as np
+
+from .api import Frame
+from .native import (NativeDecoder, EV_FORMAT, EV_FRAME_START, EV_SLICE_DONE,
+                     EV_FRAME_DONE, EV_OUTPUT, EV_UNPIN)
+
+
+class FrameStore:
+    """Holds decoded YUV planes per DPB slot (the host mirror of the
+    HBM-resident DPB; the jax backend keeps device arrays here)."""
+
+    def __init__(self):
+        self.frames = {}          # slot -> (y, cb, cr) uint8 numpy
+
+    def put(self, slot, y, cb, cr):
+        self.frames[slot] = (y, cb, cr)
+
+    def get(self, slot):
+        return self.frames.get(slot)
+
+    def drop(self, slot):
+        self.frames.pop(slot, None)
+
+    def clear(self):
+        self.frames.clear()
+
+
+class NumpyBackend:
+    """Bit-exact scalar model; the correctness oracle."""
+
+    def __init__(self):
+        from .ops import oracle
+        self.oracle = oracle
+        self.sm = oracle.ScalingMatrices()
+
+    def reconstruct(self, planes, slot, store: FrameStore):
+        return self.oracle.reconstruct_frame(planes, self.sm, store.frames)
+
+
+class DecoderCore:
+    def __init__(self, log_cb=None, log_mbs=False, device=None,
+                 backend: str = "numpy"):
+        self._nd = NativeDecoder(log=log_cb is not None, log_mbs=log_mbs)
+        self._log_cb = log_cb
+        self._store = FrameStore()
+        self._outq = []           # decoded Frames in output order
+        self._fmt = None
+        if backend == "numpy":
+            self._backend = NumpyBackend()
+        elif backend == "jax":
+            from .ops.jaxdec import JaxBackend
+            self._backend = JaxBackend(device=device)
+        else:
+            raise ValueError(f"unknown backend {backend!r}")
+
+    # -- event pump --------------------------------------------------------
+    def _handle(self, events):
+        for kind, slot, a, b, c, d in events:
+            if kind == EV_FORMAT:
+                self._fmt = self._nd.format()
+                self._store.clear()
+            elif kind == EV_FRAME_DONE:
+                planes = self._nd.planes(slot)
+                y, cb, cr = self._backend.reconstruct(planes, slot,
+                                                      self._store)
+                self._store.put(slot, y, cb, cr)
+            elif kind == EV_UNPIN:
+                self._store.drop(slot)
+        if self._log_cb is not None:
+            log = self._nd.get_log()
+            if log:
+                self._log_cb(log)
+
+    def decode_nal(self, buf) -> int:
+        data = bytes(buf) if buf else b""
+        ret, events = self._nd.decode_nal(data)
+        self._handle(events)
+        return ret
+
+    def get_frame(self, borrow: bool = False) -> Frame | None:
+        info = self._nd.get_frame(borrow=False)
+        if info is None:
+            return None
+        fmt = self._fmt or self._nd.format()
+        slot = info["slot"]
+        planes = self._store.get(slot)
+        if planes is None:            # frame had no parsed mbs (shouldn't)
+            return None
+        y, cb, cr = (np.asarray(p) for p in planes)
+        ct, cr_, cb_, cl = (fmt["crop_top"], fmt["crop_right"],
+                            fmt["crop_bottom"], fmt["crop_left"])
+        wY, hY = fmt["mb_w"] * 16, fmt["mb_h"] * 16
+        f = Frame(
+            y=y[ct:hY - cb_, cl:wY - cr_],
+            cb=cb[ct // 2:(hY - cb_) // 2, cl // 2:(wY - cr_) // 2],
+            cr=cr[ct // 2:(hY - cb_) // 2, cl // 2:(wY - cr_) // 2],
+            frame_id=info["frame_id"],
+            crop_offsets=(ct, cr_, cb_, cl),
+            return_arg=slot,
+        )
+        mslot = info["slot_mvc"]
+        if mslot >= 0:
+            mp = self._store.get(mslot)
+            if mp is not None:
+                my, mcb, mcr = (np.asarray(p) for p in mp)
+                f.y_mvc = my[ct:hY - cb_, cl:wY - cr_]
+                f.cb_mvc = mcb[ct // 2:(hY - cb_) // 2,
+                               cl // 2:(wY - cr_) // 2]
+                f.cr_mvc = mcr[ct // 2:(hY - cb_) // 2,
+                               cl // 2:(wY - cr_) // 2]
+                f.frame_id_mvc = info["frame_id_mvc"]
+        return f
+
+    def return_frame(self, frame: Frame) -> None:
+        pass   # native get_frame already returned the borrow
+
+    def flush(self) -> None:
+        self._nd.flush()
+        self._store.clear()
+        self._outq.clear()
+
+    def close(self) -> None:
+        self._nd.close()

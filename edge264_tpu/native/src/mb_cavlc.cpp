@@ -212,7 +212,7 @@ int Decoder::parse_I_mb(MbCtx &m, int mb_type) {
 		}
 		int chroma_mode = gb.ue(3);
 		logf("    intra_chroma_pred_mode: %u\n", chroma_mode);
-		pl.ch_modes[m.mbi] = (uint8_t)(chroma_mode | (avail_bits & 0x30));
+		pl.ch_modes[m.mbi] = (uint8_t)(chroma_mode | (avail_bits & 0x70));
 		cbp = me_cbp_intra[gb.ue(47)];
 		logf("    coded_block_pattern: %u\n", cbp);
 		pl.mb_flags[m.mbi] = MBF_INTRA | MBF_PARSED;
@@ -225,7 +225,7 @@ int Decoder::parse_I_mb(MbCtx &m, int mb_type) {
 		pl.i16_modes[m.mbi] = (uint8_t)(pred_mode | avail_bits);
 		int chroma_mode = gb.ue(3);
 		logf("    intra_chroma_pred_mode: %u\n", chroma_mode);
-		pl.ch_modes[m.mbi] = (uint8_t)(chroma_mode | (avail_bits & 0x30));
+		pl.ch_modes[m.mbi] = (uint8_t)(chroma_mode | (avail_bits & 0x70));
 		pl.mb_flags[m.mbi] = MBF_INTRA | MBF_I16x16 | MBF_PARSED;
 	}
 

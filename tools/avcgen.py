@@ -403,8 +403,10 @@ class IntraEncoder:
 def make_idr_slice(mb_w, mb_h, specs, *, slice_qp=26, init_qp=26,
                    frame_num=0, idr_pic_id=0, poc_lsb=0, idr=True,
                    nal_ref_idc=3, first_mb=0, pps_id=0,
-                   log2_max_frame_num=4, log2_max_poc_lsb=4) -> bytes:
-    """specs: list of MbSpec in raster order starting at first_mb."""
+                   log2_max_frame_num=4, log2_max_poc_lsb=4,
+                   deblock_idc=None, deblock_ab=(0, 0)) -> bytes:
+    """specs: list of MbSpec in raster order starting at first_mb.
+    deblock_idc (0/1/2) requires a PPS with deblock_control=True."""
     w = BitWriter()
     w.ue(first_mb)
     w.ue(7 if idr else 2)      # slice_type I (7 = "all slices are I")
@@ -420,6 +422,11 @@ def make_idr_slice(mb_w, mb_h, specs, *, slice_qp=26, init_qp=26,
         else:
             w.u1(0)            # adaptive_ref_pic_marking_mode_flag
     w.se(slice_qp - init_qp)
+    if deblock_idc is not None:
+        w.ue(deblock_idc)
+        if deblock_idc != 1:
+            w.se(deblock_ab[0])
+            w.se(deblock_ab[1])
     enc = IntraEncoder(mb_w, mb_h, slice_qp)
     for n, spec in enumerate(specs):
         addr = first_mb + n
@@ -499,9 +506,11 @@ def resolve_random_modes(rng, enc: IntraEncoder, mx, my, spec: MbSpec):
 
 def gen_random_intra_stream(mb_w, mb_h, n_frames=1, seed=0, *, qp=26,
                             kinds=('i4', 'i16', 'pcm'), max_level=8,
-                            density=0.3, slices_per_frame=1) -> bytes:
+                            density=0.3, slices_per_frame=1,
+                            deblock=True) -> bytes:
     rng = random.Random(seed)
-    out = make_sps(mb_w, mb_h) + make_pps()
+    out = make_sps(mb_w, mb_h) + make_pps(deblock_control=not deblock)
+    deblock_idc = None if deblock else 1
     for f in range(n_frames):
         n_mbs = mb_w * mb_h
         # slice bounds first: mode availability is per-slice
@@ -523,7 +532,7 @@ def gen_random_intra_stream(mb_w, mb_h, n_frames=1, seed=0, *, qp=26,
                 mb_w, mb_h, specs,
                 slice_qp=qp, frame_num=0 if f == 0 else f % 16,
                 idr_pic_id=f, poc_lsb=(2 * f) % 16, idr=(f == 0),
-                first_mb=bounds[s])
+                first_mb=bounds[s], deblock_idc=deblock_idc)
     return out
 
 
