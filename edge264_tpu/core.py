@@ -53,12 +53,16 @@ class NumpyBackend:
     """Bit-exact scalar model; the correctness oracle."""
 
     def __init__(self):
-        from .ops import oracle
+        from .ops import oracle, deblock_oracle
         self.oracle = oracle
+        self.deblock = deblock_oracle
         self.sm = oracle.ScalingMatrices()
 
     def reconstruct(self, planes, slot, store: FrameStore):
-        return self.oracle.reconstruct_frame(planes, self.sm, store.frames)
+        y, cb, cr = self.oracle.reconstruct_frame(planes, self.sm,
+                                                  store.frames)
+        self.deblock.deblock_frame(planes, y, cb, cr)
+        return y, cb, cr
 
 
 class DecoderCore:
