@@ -1,0 +1,691 @@
+"""JAX/XLA device pixel path: batched residual decode + wavefront intra
+reconstruction + wavefront deblocking.
+
+Design (see ARCHITECTURE.md):
+  * Residual (IQ + IDCT + DC hadamards) is a pure batched tensor op over
+    the whole frame's coefficient planes — no intra-frame dependencies.
+  * Intra prediction/reconstruction runs as a `lax.scan` over macroblock
+    anti-diagonal waves (w = 2*mb_y + mb_x).  Within a wave, macroblocks
+    are provably independent; the 16 I4x4 sub-blocks step in quad order.
+    Directional prediction is pure gathers through the probe-verified
+    index tables of ops/intra_tables.py.
+  * Deblocking: boundary strengths are derived fully batched from the
+    syntax planes (vector rules mirroring §8.7.2.1; reference description
+    edge264_deblock.c:899-926), then a second wave scan applies the
+    filters in spec order (V edges then H edges per mb; same-wave mbs are
+    write-disjoint).
+
+Everything is exact int32 integer math and bit-exact against
+ops/oracle.py + ops/deblock_oracle.py (asserted by tests/test_jaxdec.py).
+The Pallas single-kernel fusion of the two scans is the planned follow-up
+for TPU speed-of-light; this module is the XLA-native reference path and
+the one used for multi-chip sharding.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import oracle as _o
+from .intra_tables import I4_IDX, I16_DIR_IDX, CH_DIR_IDX
+from .deblock_oracle import ALPHA as _ALPHA, BETA as _BETA, TC0 as _TC0
+
+MBF_INTRA, MBF_I16x16, MBF_IPCM, MBF_T8x8 = 1, 2, 4, 8
+MBF_SKIP, MBF_PARSED, MBF_INTER = 16, 32, 64
+DBF_LEFT, DBF_TOP, DBF_INNER = 1, 2, 4
+
+I32 = jnp.int32
+
+# quad scan order of 4x4 blocks within a macroblock (§6.4.3)
+BLK4_X = np.array([0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3])
+BLK4_Y = np.array([0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3])
+
+_H4 = np.array([[1, 1, 1, 1], [1, 1, -1, -1],
+                [1, -1, -1, 1], [1, -1, 1, -1]], np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Residual: batched IQ + IDCT
+
+def _dequant4(c, qp, ls):
+    """§8.5.12.1 over [..., 16] blocks with per-block qp [..., 1]."""
+    s = qp // 6
+    t = c * ls
+    hi = t << jnp.maximum(s - 4, 0)
+    lo = (t + (1 << jnp.maximum(3 - s, 0))) >> jnp.maximum(4 - s, 0)
+    return jnp.where(s >= 4, hi, lo)
+
+
+def _idct4(d):
+    """§8.5.12.2 over [..., 4, 4]."""
+    d0, d1, d2, d3 = d[..., 0], d[..., 1], d[..., 2], d[..., 3]
+    e0, e1 = d0 + d2, d0 - d2
+    e2, e3 = (d1 >> 1) - d3, d1 + (d3 >> 1)
+    f = jnp.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3], axis=-1)
+    f0, f1 = f[..., 0, :], f[..., 1, :]
+    f2, f3 = f[..., 2, :], f[..., 3, :]
+    g0, g1 = f0 + f2, f0 - f2
+    g2, g3 = (f1 >> 1) - f3, f1 + (f3 >> 1)
+    h = jnp.stack([g0 + g3, g1 + g2, g1 - g2, g0 - g3], axis=-2)
+    return (h + 32) >> 6
+
+
+def _idct8(d):
+    """§8.5.13.2 over [..., 8, 8]."""
+    def pass1(a):
+        x = [a[..., i] for i in range(8)]
+        e = [x[0] + x[4],
+             -x[3] + x[5] - x[7] - (x[7] >> 1),
+             x[0] - x[4],
+             x[1] + x[7] - x[3] - (x[3] >> 1),
+             (x[2] >> 1) - x[6],
+             -x[1] + x[7] + x[5] + (x[5] >> 1),
+             x[2] + (x[6] >> 1),
+             x[3] + x[5] + x[1] + (x[1] >> 1)]
+        f = [e[0] + e[6], e[1] + (e[7] >> 2), e[2] + e[4], e[3] + (e[5] >> 2),
+             e[2] - e[4], (e[3] >> 2) - e[5], e[0] - e[6], e[7] - (e[1] >> 2)]
+        g = [f[0] + f[7], f[2] + f[5], f[4] + f[3], f[6] + f[1],
+             f[6] - f[1], f[4] - f[3], f[2] - f[5], f[0] - f[7]]
+        return jnp.stack(g, axis=-1)
+
+    h = pass1(d)
+    k = jnp.swapaxes(pass1(jnp.swapaxes(h, -1, -2)), -1, -2)
+    return (k + 32) >> 6
+
+
+def _mb_to_blk4(a):
+    """[H, W] per-mb -> [4H, 4W] per-4x4-block."""
+    return jnp.repeat(jnp.repeat(a, 4, axis=0), 4, axis=1)
+
+
+def _blocks_to_pixels(b, n):
+    """[BH, BW, n, n] -> [BH*n, BW*n]."""
+    BH, BW = b.shape[0], b.shape[1]
+    return b.transpose(0, 2, 1, 3).reshape(BH * n, BW * n)
+
+
+def residual_frame(p, sm4, sm8, norm4, norm8):
+    """All luma+chroma residuals for one frame.
+
+    p: dict of syntax planes (int32 jnp arrays).  sm4 [6,16] / sm8 [6,64]
+    weight-scale matrices, norm4 [6,16] / norm8 [6,64] normAdjust.
+    Returns res_y [16H,16W], res_cb, res_cr [8H,8W] int32."""
+    flags = p["mb_flags"]
+    H, W = flags.shape
+    intra = (flags & MBF_INTRA) > 0
+    i16 = (flags & MBF_I16x16) > 0
+    t8 = (flags & MBF_T8x8) > 0
+
+    qpy = p["qp"][..., 0]
+    qpy4 = _mb_to_blk4(qpy)[..., None]                    # [4H,4W,1]
+    widx = jnp.where(intra, 0, 3)
+    ls4 = sm4[_mb_to_blk4(widx)] * norm4[_mb_to_blk4(qpy % 6)]
+    d4 = _dequant4(p["coef_y"], qpy4, ls4)                # [4H,4W,16]
+
+    # Intra16x16 DC hadamard (§8.5.10)
+    c = p["coef_y_dc"].reshape(H, W, 4, 4)
+    f = jnp.einsum("ik,hwkl,lj->hwij", _H4, c, _H4)
+    ls00 = sm4[0, 0] * norm4[qpy % 6, 0]
+    s = qpy // 6
+    tdc = f * ls00[..., None, None]
+    dchi = tdc << jnp.maximum(s - 6, 0)[..., None, None]
+    dclo = (tdc + (1 << jnp.maximum(5 - s, 0))[..., None, None]) \
+        >> jnp.maximum(6 - s, 0)[..., None, None]
+    dcy = jnp.where((s >= 6)[..., None, None], dchi, dclo)  # [H,W,4,4]
+    dcy_blk = dcy.transpose(0, 2, 1, 3).reshape(4 * H, 4 * W)
+    i16blk = _mb_to_blk4(i16)
+    d4 = d4.at[..., 0].set(jnp.where(i16blk, dcy_blk, d4[..., 0]))
+    res4 = _blocks_to_pixels(_idct4(d4.reshape(4 * H, 4 * W, 4, 4)), 4)
+
+    # 8x8 transform path
+    qpy8 = jnp.repeat(jnp.repeat(qpy, 2, 0), 2, 1)[..., None]
+    widx8 = jnp.where(intra, 0, 1)
+    ls8 = sm8[jnp.repeat(jnp.repeat(widx8, 2, 0), 2, 1)] \
+        * norm8[jnp.repeat(jnp.repeat(qpy % 6, 2, 0), 2, 1)]
+    s8 = qpy8 // 6
+    t = p["coef_y8"] * ls8
+    hi = t << jnp.maximum(s8 - 6, 0)
+    lo = (t + (1 << jnp.maximum(5 - s8, 0))) >> jnp.maximum(6 - s8, 0)
+    d8 = jnp.where(s8 >= 6, hi, lo)
+    res8 = _blocks_to_pixels(_idct8(d8.reshape(2 * H, 2 * W, 8, 8)), 8)
+    t8pix = jnp.repeat(jnp.repeat(t8, 16, 0), 16, 1)
+    res_y = jnp.where(t8pix, res8, res4)
+
+    # chroma (4:2:0): 2x2 DC hadamard (§8.5.11) + AC
+    res_c = []
+    for comp, coef in ((1, p["coef_cb"]), (2, p["coef_cr"])):
+        qpc = p["qp"][..., comp]
+        widc = jnp.where(intra, comp, comp + 3)
+        qpc2 = jnp.repeat(jnp.repeat(qpc, 2, 0), 2, 1)[..., None]
+        lsc = sm4[jnp.repeat(jnp.repeat(widc, 2, 0), 2, 1)] \
+            * norm4[jnp.repeat(jnp.repeat(qpc % 6, 2, 0), 2, 1)]
+        dc4 = _dequant4(coef, qpc2, lsc)
+        cdc = p["coef_c_dc"][:, :, comp - 1].reshape(H, W, 2, 2)
+        c00, c01 = cdc[..., 0, 0], cdc[..., 0, 1]
+        c10, c11 = cdc[..., 1, 0], cdc[..., 1, 1]
+        f00 = c00 + c01 + c10 + c11
+        f01 = c00 - c01 + c10 - c11
+        f10 = c00 + c01 - c10 - c11
+        f11 = c00 - c01 - c10 + c11
+        fdc = jnp.stack([jnp.stack([f00, f01], -1),
+                         jnp.stack([f10, f11], -1)], -2)   # [H,W,2,2]
+        ls00c = sm4[comp, 0] * norm4[qpc % 6, 0]
+        dcc = ((fdc * ls00c[..., None, None])
+               << (qpc // 6)[..., None, None]) >> 5
+        dcc_blk = dcc.transpose(0, 2, 1, 3).reshape(2 * H, 2 * W)
+        dc4 = dc4.at[..., 0].set(dcc_blk)
+        res_c.append(_blocks_to_pixels(_idct4(dc4.reshape(2 * H, 2 * W, 4, 4)),
+                                       4))
+    return res_y, res_c[0], res_c[1]
+
+
+# ---------------------------------------------------------------------------
+# Wavefront tables (static per frame geometry)
+
+def wave_tables(mbW, mbH):
+    n_waves = mbW + 2 * mbH - 2
+    maxd = min(mbH, (mbW + 1) // 2)
+    mxs = np.zeros((n_waves, maxd), np.int32)
+    mys = np.zeros((n_waves, maxd), np.int32)
+    valid = np.zeros((n_waves, maxd), bool)
+    for w in range(n_waves):
+        lane = 0
+        for my in range(mbH):
+            mx = w - 2 * my
+            if 0 <= mx < mbW:
+                mxs[w, lane], mys[w, lane], valid[w, lane] = mx, my, True
+                lane += 1
+    return mxs, mys, valid
+
+
+def _gather2(img, rows, cols):
+    """img[rows, cols] with index clipping (values masked by callers)."""
+    H, W = img.shape
+    return img[jnp.clip(rows, 0, H - 1), jnp.clip(cols, 0, W - 1)]
+
+
+def _scatter2(img, rows, cols, vals, active):
+    """Masked scatter: lanes with active=False are dropped (sent OOB)."""
+    big = jnp.asarray(1 << 28, I32)
+    shape = [1] * rows.ndim
+    shape[0] = -1
+    act = active.reshape(shape)
+    r = jnp.where(act, rows, big)
+    return img.at[r, cols].set(vals, mode="drop")
+
+
+def _tap3(nb, idx):
+    """(a + 2b + c + 2) >> 2 through per-lane index triples.
+    nb [L, N], idx [L, P, 3] -> [L, P]."""
+    a = jnp.take_along_axis(nb, idx[..., 0], axis=1)
+    b = jnp.take_along_axis(nb, idx[..., 1], axis=1)
+    c = jnp.take_along_axis(nb, idx[..., 2], axis=1)
+    return (a + 2 * b + c + 2) >> 2
+
+
+# ---------------------------------------------------------------------------
+# Intra reconstruction wave scan
+
+# I16 plane-mode index vectors into nb33 (l[i]=15-i, tl=16, t[j]=17+j);
+# the t[-1]/l[-1] -> tl substitutions fall out of the arithmetic.
+_I16_HP = np.arange(25, 33)          # t[8+x]
+_I16_HM = 23 - np.arange(8)          # t[6-x] (x=7 -> tl)
+_I16_VP = 7 - np.arange(8)           # l[8+y]
+_I16_VM = 9 + np.arange(8)           # l[6-y] (y=7 -> tl)
+_CH_HP = 13 + np.arange(4)           # t[4+x]
+_CH_HM = 11 - np.arange(4)           # t[2-x] (x=3 -> tl)
+_CH_VP = 3 - np.arange(4)            # l[4+y]
+_CH_VM = 5 + np.arange(4)            # l[2-y] (y=3 -> tl)
+
+
+def _plane_sums(nb, idx_p, idx_m, n):
+    w = jnp.arange(1, n + 1, dtype=I32)
+    return ((nb[:, idx_p] - nb[:, idx_m]) * w).sum(1)
+
+
+def intra_scan(y, cb, cr, res_y, res_cb, res_cr, p, tables):
+    """Reconstruct all intra macroblocks in wavefront order.  y/cb/cr are
+    the working images (int32) holding inter/initial content."""
+    mxs_t, mys_t, valid_t = tables
+    i4idx = jnp.asarray(I4_IDX)
+    i16idx = jnp.asarray(I16_DIR_IDX)
+    chidx = jnp.asarray(CH_DIR_IDX)
+    blk4x = jnp.asarray(BLK4_X)
+    blk4y = jnp.asarray(BLK4_Y)
+    flags_pl = p["mb_flags"]
+    i4m_pl = p["i4_modes"]
+    i16m_pl = p["i16_modes"]
+    chm_pl = p["ch_modes"]
+    xx16 = jnp.tile(jnp.arange(16, dtype=I32), (16,)).reshape(16, 16)
+    yy16 = xx16.T
+    xx8 = jnp.tile(jnp.arange(8, dtype=I32), (8,)).reshape(8, 8)
+    yy8 = xx8.T
+    r4 = jnp.arange(4, dtype=I32)
+    r8 = jnp.arange(8, dtype=I32)
+    r16 = jnp.arange(16, dtype=I32)
+
+    def step(carry, xs):
+        y, cb, cr = carry
+        mxs, mys, val = xs
+        flags = flags_pl[mys, mxs]
+        is_pcm = (flags & MBF_IPCM) > 0
+        is_i16 = (flags & MBF_I16x16) > 0
+        is_t8 = (flags & MBF_T8x8) > 0
+        is_intra = (flags & MBF_INTRA) > 0
+        is_i4 = is_intra & ~is_i16 & ~is_pcm & ~is_t8
+
+        # ---- I4x4 luma: 16 quad-order substeps --------------------------
+        def sub(k, y):
+            bx, by = blk4x[k], blk4y[k]
+            px0 = mxs * 16 + bx * 4
+            py0 = mys * 16 + by * 4
+            m = i4m_pl[mys * 4 + by, mxs * 4 + bx]
+            mode = m & 15
+            aA, aB = (m >> 4) & 1, (m >> 5) & 1
+            aC = (m >> 6) & 1
+            t = _gather2(y, (py0 - 1)[:, None], px0[:, None] + r8[None, :])
+            t = jnp.concatenate(
+                [t[:, :4],
+                 jnp.where((aC > 0)[:, None], t[:, 4:], t[:, 3:4])], axis=1)
+            l = _gather2(y, py0[:, None] + r4[None, :], (px0 - 1)[:, None])
+            tl = _gather2(y, py0 - 1, px0 - 1)
+            nb = jnp.concatenate([l[:, ::-1], tl[:, None], t], axis=1)
+            dirp = _tap3(nb, i4idx[mode])
+            sA, sB = l.sum(1), t[:, :4].sum(1)
+            dc = jnp.where((aA & aB) > 0, (sA + sB + 4) >> 3,
+                           jnp.where(aA > 0, (sA + 2) >> 2,
+                                     jnp.where(aB > 0, (sB + 2) >> 2, 128)))
+            pred = jnp.where((mode == 2)[:, None], dc[:, None], dirp)
+            rows = py0[:, None] + (jnp.arange(16, dtype=I32) // 4)[None, :]
+            cols = px0[:, None] + (jnp.arange(16, dtype=I32) % 4)[None, :]
+            res = _gather2(res_y, rows, cols)
+            recon = jnp.clip(pred + res, 0, 255)
+            return _scatter2(y, rows, cols, recon, val & is_i4)
+
+        y = lax.fori_loop(0, 16, sub, y)
+
+        # ---- I16x16 luma ------------------------------------------------
+        px0, py0 = mxs * 16, mys * 16
+        m = i16m_pl[mys, mxs]
+        mode = m & 3
+        aA, aB = (m >> 4) & 1, (m >> 5) & 1
+        t = _gather2(y, (py0 - 1)[:, None], px0[:, None] + r16[None, :])
+        l = _gather2(y, py0[:, None] + r16[None, :], (px0 - 1)[:, None])
+        tl = _gather2(y, py0 - 1, px0 - 1)
+        t = jnp.where((aB > 0)[:, None], t, 0)
+        l = jnp.where((aA > 0)[:, None], l, 0)
+        nb = jnp.concatenate([l[:, ::-1], tl[:, None], t], axis=1)
+        dirp = _tap3(nb, i16idx[jnp.clip(mode, 0, 1)])
+        st, sl = t.sum(1), l.sum(1)
+        dc = jnp.where((aA & aB) > 0, (st + sl + 16) >> 5,
+                       jnp.where(aA > 0, (sl + 8) >> 4,
+                                 jnp.where(aB > 0, (st + 8) >> 4, 128)))
+        hs = _plane_sums(nb, _I16_HP, _I16_HM, 8)
+        vs = _plane_sums(nb, _I16_VP, _I16_VM, 8)
+        a = 16 * (nb[:, 0] + nb[:, 32])
+        b = (5 * hs + 32) >> 6
+        c = (5 * vs + 32) >> 6
+        plane = jnp.clip(
+            (a[:, None] + b[:, None] * (xx16.reshape(-1) - 7)[None, :]
+             + c[:, None] * (yy16.reshape(-1) - 7)[None, :] + 16) >> 5, 0, 255)
+        pred = jnp.where((mode == 2)[:, None], dc[:, None],
+                         jnp.where((mode == 3)[:, None], plane, dirp))
+        rows = py0[:, None] + yy16.reshape(-1)[None, :]
+        cols = px0[:, None] + xx16.reshape(-1)[None, :]
+        res = _gather2(res_y, rows, cols)
+        recon = jnp.clip(pred + res, 0, 255)
+        y = _scatter2(y, rows, cols, recon, val & is_i16)
+
+        # ---- I_PCM ------------------------------------------------------
+        pcm = _gather2(p["pcm_y"], rows, cols)
+        y = _scatter2(y, rows, cols, pcm, val & is_pcm)
+
+        # ---- chroma (all intra mbs; PCM overwrites) ---------------------
+        cx0, cy0 = mxs * 8, mys * 8
+        crows = cy0[:, None] + yy8.reshape(-1)[None, :]
+        ccols = cx0[:, None] + xx8.reshape(-1)[None, :]
+        m = chm_pl[mys, mxs]
+        mode = m & 3
+        aA, aB = (m >> 4) & 1, (m >> 5) & 1
+        out_c = []
+        for img, res_c, pcm_c in ((cb, res_cb, p["pcm_c"][0]),
+                                  (cr, res_cr, p["pcm_c"][1])):
+            t = _gather2(img, (cy0 - 1)[:, None], cx0[:, None] + r8[None, :])
+            l = _gather2(img, cy0[:, None] + r8[None, :], (cx0 - 1)[:, None])
+            tl = _gather2(img, cy0 - 1, cx0 - 1)
+            t = jnp.where((aB > 0)[:, None], t, 0)
+            l = jnp.where((aA > 0)[:, None], l, 0)
+            nb = jnp.concatenate([l[:, ::-1], tl[:, None], t], axis=1)
+            dirp = _tap3(nb, chidx[jnp.clip(mode - 1, 0, 1)])
+            ts0, ts1 = t[:, :4].sum(1), t[:, 4:].sum(1)
+            ls0, ls1 = l[:, :4].sum(1), l[:, 4:].sum(1)
+            both, onlyA, onlyB = (aA & aB) > 0, aA > 0, aB > 0
+            q00 = jnp.where(both, (ts0 + ls0 + 4) >> 3,
+                            jnp.where(onlyA, (ls0 + 2) >> 2,
+                                      jnp.where(onlyB, (ts0 + 2) >> 2, 128)))
+            q01 = jnp.where(onlyB, (ts1 + 2) >> 2,
+                            jnp.where(onlyA, (ls0 + 2) >> 2, 128))
+            q10 = jnp.where(onlyA, (ls1 + 2) >> 2,
+                            jnp.where(onlyB, (ts0 + 2) >> 2, 128))
+            q11 = jnp.where(both, (ts1 + ls1 + 4) >> 3,
+                            jnp.where(onlyA, (ls1 + 2) >> 2,
+                                      jnp.where(onlyB, (ts1 + 2) >> 2, 128)))
+            right = (xx8.reshape(-1) >= 4)[None, :]
+            bottom = (yy8.reshape(-1) >= 4)[None, :]
+            dcmap = jnp.where(
+                bottom, jnp.where(right, q11[:, None], q10[:, None]),
+                jnp.where(right, q01[:, None], q00[:, None]))
+            hs = _plane_sums(nb, _CH_HP, _CH_HM, 4)
+            vs = _plane_sums(nb, _CH_VP, _CH_VM, 4)
+            a = 16 * (nb[:, 0] + nb[:, 16])
+            b = (34 * hs + 32) >> 6
+            c = (34 * vs + 32) >> 6
+            plane = jnp.clip(
+                (a[:, None] + b[:, None] * (xx8.reshape(-1) - 3)[None, :]
+                 + c[:, None] * (yy8.reshape(-1) - 3)[None, :] + 16) >> 5,
+                0, 255)
+            pred = jnp.where((mode == 0)[:, None], dcmap,
+                             jnp.where((mode == 3)[:, None], plane, dirp))
+            res = _gather2(res_c, crows, ccols)
+            recon = jnp.clip(pred + res, 0, 255)
+            img = _scatter2(img, crows, ccols, recon,
+                            val & is_intra & ~is_pcm)
+            pcmv = _gather2(pcm_c, crows, ccols)
+            img = _scatter2(img, crows, ccols, pcmv, val & is_pcm)
+            out_c.append(img)
+        return (y, out_c[0], out_c[1]), None
+
+    (y, cb, cr), _ = lax.scan(step, (y, cb, cr), (mxs_t, mys_t, valid_t))
+    return y, cb, cr
+
+
+# ---------------------------------------------------------------------------
+# Deblocking: batched bS + wave scan filtering
+
+def _far(a, b):
+    return (jnp.abs(a[..., 0] - b[..., 0]) >= 4) | \
+           (jnp.abs(a[..., 1] - b[..., 1]) >= 4)
+
+
+def deblock_bs(p):
+    """Boundary strengths for every 4x4 block's left edge (bs_v) and top
+    edge (bs_h), fully batched (§8.7.2.1)."""
+    flags = p["mb_flags"]
+    intra_blk = _mb_to_blk4((flags & MBF_INTRA) > 0)
+    nz = p["nz_y"] > 0
+    refslot = p["refslot"]
+    mvs = p["mvs"]
+    used = refslot >= 0
+    cnt = used.sum(-1)
+    r = jnp.where(used, refslot, 99)
+    lo = jnp.minimum(r[..., 0], r[..., 1])
+    hi = jnp.maximum(r[..., 0], r[..., 1])
+    mv0, mv1 = mvs[..., 0, :], mvs[..., 1, :]
+    single = jnp.where(used[..., 0:1], mv0, mv1)
+
+    BH, BW = nz.shape
+    gbx = jax.lax.broadcasted_iota(I32, (BH, BW), 1)
+    gby = jax.lax.broadcasted_iota(I32, (BH, BW), 0)
+
+    def one_dir(axis):
+        sh = functools.partial(jnp.roll, shift=1, axis=axis)
+        mb_edge = (gbx % 4 == 0) if axis == 1 else (gby % 4 == 0)
+        intra_e = intra_blk | sh(intra_blk)
+        nz_e = nz | sh(nz)
+        cnt_p, lo_p, hi_p = sh(cnt), sh(lo), sh(hi)
+        r0p = sh(refslot[..., 0])
+        pm0 = jnp.stack([sh(mv0[..., 0]), sh(mv0[..., 1])], -1)
+        pm1 = jnp.stack([sh(mv1[..., 0]), sh(mv1[..., 1])], -1)
+        psingle = jnp.stack([sh(single[..., 0]), sh(single[..., 1])], -1)
+        refs_diff = (cnt_p != cnt) | (lo_p != lo) | (hi_p != hi)
+        f_single = _far(psingle, single)
+        c0 = (refslot[..., 0] == r0p)[..., None]
+        qm_for_p0 = jnp.where(c0, mv0, mv1)
+        qm_for_p1 = jnp.where(c0, mv1, mv0)
+        f_bi_distinct = _far(pm0, qm_for_p0) | _far(pm1, qm_for_p1)
+        pair_a = ~_far(pm0, mv0) & ~_far(pm1, mv1)
+        pair_b = ~_far(pm0, mv1) & ~_far(pm1, mv0)
+        f_bi = jnp.where(sh(refslot[..., 0]) != sh(refslot[..., 1]),
+                         f_bi_distinct, ~(pair_a | pair_b))
+        f_mv = jnp.where(cnt_p == 1, f_single, f_bi)
+        bs_mv = jnp.where(refs_diff | f_mv, 1, 0)
+        return jnp.where(intra_e, jnp.where(mb_edge, 4, 3),
+                         jnp.where(nz_e, 2, bs_mv)).astype(I32)
+
+    return one_dir(1), one_dir(0)
+
+
+def _filter_luma_lines(S, alpha, beta, bs, tc0, active):
+    """§8.7.2.3/.4 on S [L, n, 8] = [p3..p0, q0..q3] per line.
+    alpha/beta [L], bs/tc0 [L, n], active [L, n].  Returns the 6 middle
+    samples' new values [L, n, 6] (p2 p1 p0 q0 q1 q2)."""
+    p3, p2, p1, p0 = S[..., 0], S[..., 1], S[..., 2], S[..., 3]
+    q0, q1, q2, q3 = S[..., 4], S[..., 5], S[..., 6], S[..., 7]
+    al, be = alpha[:, None], beta[:, None]
+    filt = active & (bs > 0) & (jnp.abs(p0 - q0) < al) & \
+        (jnp.abs(p1 - p0) < be) & (jnp.abs(q1 - q0) < be)
+    ap = jnp.abs(p2 - p0) < be
+    aq = jnp.abs(q2 - q0) < be
+    # strong (bS=4)
+    lim = (al >> 2) + 2
+    sp = ap & (jnp.abs(p0 - q0) < lim)
+    sq = aq & (jnp.abs(p0 - q0) < lim)
+    sp0 = jnp.where(sp, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
+                    (2 * p1 + p0 + q1 + 2) >> 2)
+    sp1 = jnp.where(sp, (p2 + p1 + p0 + q0 + 2) >> 2, p1)
+    sp2 = jnp.where(sp, (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2)
+    sq0 = jnp.where(sq, (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
+                    (2 * q1 + q0 + p1 + 2) >> 2)
+    sq1 = jnp.where(sq, (q2 + q1 + q0 + p0 + 2) >> 2, q1)
+    sq2 = jnp.where(sq, (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3, q2)
+    # soft (bS<4)
+    tc = tc0 + ap + aq
+    delta = jnp.clip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
+    wp0 = jnp.clip(p0 + delta, 0, 255)
+    wq0 = jnp.clip(q0 - delta, 0, 255)
+    avg = (p0 + q0 + 1) >> 1
+    wp1 = jnp.where(ap, p1 + jnp.clip((p2 + avg - 2 * p1) >> 1, -tc0, tc0), p1)
+    wq1 = jnp.where(aq, q1 + jnp.clip((q2 + avg - 2 * q1) >> 1, -tc0, tc0), q1)
+    s4 = bs == 4
+    np0 = jnp.where(s4, sp0, wp0)
+    np1 = jnp.where(s4, sp1, wp1)
+    np2 = jnp.where(s4, sp2, p2)
+    nq0 = jnp.where(s4, sq0, wq0)
+    nq1 = jnp.where(s4, sq1, wq1)
+    nq2 = jnp.where(s4, sq2, q2)
+    out = jnp.stack([np2, np1, np0, nq0, nq1, nq2], axis=-1)
+    return jnp.where(filt[..., None], out, S[..., 1:7])
+
+
+def _filter_chroma_lines(S, alpha, beta, bs, tc0, active):
+    """Chroma: S [L, n, 4] = [p1 p0 q0 q1]; returns new [L, n, 2]."""
+    p1, p0, q0, q1 = S[..., 0], S[..., 1], S[..., 2], S[..., 3]
+    al, be = alpha[:, None], beta[:, None]
+    filt = active & (bs > 0) & (jnp.abs(p0 - q0) < al) & \
+        (jnp.abs(p1 - p0) < be) & (jnp.abs(q1 - q0) < be)
+    sp0 = (2 * p1 + p0 + q1 + 2) >> 2
+    sq0 = (2 * q1 + q0 + p1 + 2) >> 2
+    tc = tc0 + 1
+    delta = jnp.clip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
+    wp0 = jnp.clip(p0 + delta, 0, 255)
+    wq0 = jnp.clip(q0 - delta, 0, 255)
+    s4 = bs == 4
+    out = jnp.stack([jnp.where(s4, sp0, wp0), jnp.where(s4, sq0, wq0)], -1)
+    return jnp.where(filt[..., None], out, S[..., 1:3])
+
+
+def deblock_scan(y, cb, cr, p, bs_v, bs_h, tables):
+    """Apply the deblocking filter in wavefront order (per-mb V edges then
+    H edges; same-wave mbs are write-disjoint)."""
+    mxs_t, mys_t, valid_t = tables
+    alpha_t = jnp.asarray(_ALPHA)
+    beta_t = jnp.asarray(_BETA)
+    tc0_t = jnp.asarray(_TC0)
+    qp_pl = p["qp"]
+    db_pl = p["deblock"]
+    ab_pl = p["deblock_ab"]
+    flags_pl = p["mb_flags"]
+    r8 = jnp.arange(8, dtype=I32)
+    r16 = jnp.arange(16, dtype=I32)
+    seg16 = jnp.arange(16, dtype=I32) // 4
+    seg8 = jnp.arange(8, dtype=I32) >> 1
+
+    def step(carry, xs):
+        y, cb, cr = carry
+        mxs, mys, val = xs
+        db = db_pl[mys, mxs]
+        offA = ab_pl[mys, mxs, 0]
+        offB = ab_pl[mys, mxs, 1]
+        t8 = (flags_pl[mys, mxs] & MBF_T8x8) > 0
+
+        def luma_edge(y, e, vertical):
+            if e == 0:
+                act = val & ((db & (DBF_LEFT if vertical else DBF_TOP)) > 0)
+                pmx = mxs - (1 if vertical else 0)
+                pmy = mys - (0 if vertical else 1)
+            else:
+                act = val & ((db & DBF_INNER) > 0)
+                if e % 2:
+                    act = act & ~t8
+                pmx, pmy = mxs, mys
+            qpp = qp_pl[pmy, pmx, 0]
+            qpq = qp_pl[mys, mxs, 0]
+            ia = jnp.clip(((qpp + qpq + 1) >> 1) + offA, 0, 51)
+            ib = jnp.clip(((qpp + qpq + 1) >> 1) + offB, 0, 51)
+            alpha, beta = alpha_t[ia], beta_t[ib]
+            if vertical:
+                bs = bs_v[mys[:, None] * 4 + seg16[None, :],
+                          (mxs * 4 + e)[:, None]]
+            else:
+                bs = bs_h[(mys * 4 + e)[:, None],
+                          mxs[:, None] * 4 + seg16[None, :]]
+            tc0 = jnp.where(bs > 0,
+                            tc0_t[jnp.clip(bs - 1, 0, 2), ia[:, None]], 0)
+            if vertical:
+                rows = (mys * 16)[:, None, None] + r16[None, :, None]
+                cols = (mxs * 16 + e * 4)[:, None, None] \
+                    + (jnp.arange(8, dtype=I32) - 4)[None, None, :]
+            else:
+                rows = (mys * 16 + e * 4)[:, None, None] \
+                    + (jnp.arange(8, dtype=I32) - 4)[None, None, :]
+                cols = (mxs * 16)[:, None, None] + r16[None, :, None]
+            S = _gather2(y, *jnp.broadcast_arrays(rows, cols))
+            new = _filter_luma_lines(S, alpha, beta, bs, tc0,
+                                     act[:, None] & jnp.ones_like(bs, bool))
+            wrb, wcb = jnp.broadcast_arrays(
+                rows[..., 1:7] if not vertical else rows,
+                cols[..., 1:7] if vertical else cols)
+            return _scatter2(y, wrb, wcb, new, act)
+
+        def chroma_edge(img, comp, e, vertical):
+            if e == 0:
+                act = val & ((db & (DBF_LEFT if vertical else DBF_TOP)) > 0)
+                pmx = mxs - (1 if vertical else 0)
+                pmy = mys - (0 if vertical else 1)
+            else:
+                act = val & ((db & DBF_INNER) > 0)
+                pmx, pmy = mxs, mys
+            qpp = qp_pl[pmy, pmx, comp]
+            qpq = qp_pl[mys, mxs, comp]
+            ia = jnp.clip(((qpp + qpq + 1) >> 1) + offA, 0, 51)
+            ib = jnp.clip(((qpp + qpq + 1) >> 1) + offB, 0, 51)
+            alpha, beta = alpha_t[ia], beta_t[ib]
+            if vertical:
+                bs = bs_v[mys[:, None] * 4 + seg8[None, :],
+                          (mxs * 4 + e)[:, None]]
+            else:
+                bs = bs_h[(mys * 4 + e)[:, None],
+                          mxs[:, None] * 4 + seg8[None, :]]
+            tc0 = jnp.where(bs > 0,
+                            tc0_t[jnp.clip(bs - 1, 0, 2), ia[:, None]], 0)
+            if vertical:
+                rows = (mys * 8)[:, None, None] + r8[None, :, None]
+                cols = (mxs * 8 + e * 2)[:, None, None] \
+                    + (jnp.arange(4, dtype=I32) - 2)[None, None, :]
+            else:
+                rows = (mys * 8 + e * 2)[:, None, None] \
+                    + (jnp.arange(4, dtype=I32) - 2)[None, None, :]
+                cols = (mxs * 8)[:, None, None] + r8[None, :, None]
+            S = _gather2(img, *jnp.broadcast_arrays(rows, cols))
+            new = _filter_chroma_lines(S, alpha, beta, bs, tc0,
+                                       act[:, None] & jnp.ones_like(bs, bool))
+            wrb, wcb = jnp.broadcast_arrays(
+                rows[..., 1:3] if not vertical else rows,
+                cols[..., 1:3] if vertical else cols)
+            return _scatter2(img, wrb, wcb, new, act)
+
+        for e in range(4):
+            y = luma_edge(y, e, True)
+        for e in (0, 2):
+            cb = chroma_edge(cb, 1, e, True)
+            cr = chroma_edge(cr, 2, e, True)
+        for e in range(4):
+            y = luma_edge(y, e, False)
+        for e in (0, 2):
+            cb = chroma_edge(cb, 1, e, False)
+            cr = chroma_edge(cr, 2, e, False)
+        return (y, cb, cr), None
+
+    (y, cb, cr), _ = lax.scan(step, (y, cb, cr), (mxs_t, mys_t, valid_t))
+    return y, cb, cr
+
+
+# ---------------------------------------------------------------------------
+# Whole-frame decode + backend
+
+PLANE_KEYS = ["mb_flags", "qp", "i4_modes", "i16_modes", "ch_modes",
+              "coef_y", "coef_y8", "coef_y_dc", "coef_c_dc", "coef_cb",
+              "coef_cr", "pcm_y", "pcm_c", "nz_y", "refslot", "mvs",
+              "deblock", "deblock_ab"]
+
+
+@functools.partial(jax.jit, static_argnames=("mbW", "mbH"))
+def decode_frame_jit(p, sm4, sm8, mbW, mbH):
+    """Full device pixel path for one frame: residuals -> intra wavefront
+    -> deblock wavefront.  Returns (y, cb, cr) uint8 (mb-aligned)."""
+    norm4 = jnp.asarray(_o.NORM_ADJUST_4x4.reshape(6, 16))
+    norm8 = jnp.asarray(_o.NORM_ADJUST_8x8.reshape(6, 64))
+    tables = tuple(jnp.asarray(t) for t in wave_tables(mbW, mbH))
+    res_y, res_cb, res_cr = residual_frame(p, sm4, sm8, norm4, norm8)
+    y = jnp.zeros((16 * mbH, 16 * mbW), I32)
+    cb = jnp.zeros((8 * mbH, 8 * mbW), I32)
+    cr = jnp.zeros((8 * mbH, 8 * mbW), I32)
+    y, cb, cr = intra_scan(y, cb, cr, res_y, res_cb, res_cr, p, tables)
+    bs_v, bs_h = deblock_bs(p)
+    y, cb, cr = deblock_scan(y, cb, cr, p, bs_v, bs_h, tables)
+    return y.astype(jnp.uint8), cb.astype(jnp.uint8), cr.astype(jnp.uint8)
+
+
+def planes_to_jax(planes):
+    """numpy syntax-plane views -> int32 jnp dict (uint8 kept for pcm)."""
+    p = {}
+    for k in PLANE_KEYS:
+        a = np.asarray(getattr(planes, k))
+        if k in ("pcm_y", "pcm_c"):
+            p[k] = jnp.asarray(a.astype(np.int32))
+        elif k == "coef_c_dc":
+            p[k] = jnp.asarray(a.reshape(a.shape[0], a.shape[1], 2, 4)
+                               .astype(np.int32))
+        else:
+            p[k] = jnp.asarray(a.astype(np.int32))
+    return p
+
+
+class JaxBackend:
+    """Device pixel backend (XLA; CPU or TPU)."""
+
+    def __init__(self, device=None):
+        self.device = device
+        self.sm4 = jnp.asarray(np.full((6, 16), 16, np.int32))
+        self.sm8 = jnp.asarray(np.full((6, 64), 16, np.int32))
+
+    def reconstruct(self, planes, slot, store):
+        p = planes_to_jax(planes)
+        y, cb, cr = decode_frame_jit(p, self.sm4, self.sm8,
+                                     planes.mb_w, planes.mb_h)
+        return (np.asarray(y), np.asarray(cb), np.asarray(cr))
