@@ -19,7 +19,7 @@ struct E264tPlanes {
 	void *nz_y, *nz_c;
 	void *coef_y, *coef_y8, *coef_y_dc, *coef_c_dc, *coef_cb, *coef_cr;
 	void *mvs, *refslot, *pcm_y, *pcm_c, *deblock, *deblock_ab, *wp;
-	void *slice_id;
+	void *slice_id, *wp8;
 };
 
 void *e264t_alloc(void) {
@@ -76,6 +76,7 @@ int e264t_planes(void *h, int slot, E264tPlanes *out) {
 	out->deblock_ab = p.deblock_ab.data();
 	out->wp = p.wp.data();
 	out->slice_id = p.slice_id.data();
+	out->wp8 = p.wp8.data();
 	return 0;
 }
 

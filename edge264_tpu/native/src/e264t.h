@@ -200,7 +200,8 @@ struct Planes {
 	std::vector<uint8_t> pcm_c;       // [2*mbH*8*mbW*8]
 	std::vector<uint8_t> deblock;     // [mbH*mbW]        DBF_* bits
 	std::vector<int8_t>  deblock_ab;  // [mbH*mbW*2]      alpha/beta offsets
-	std::vector<int8_t>  wp;          // [mbH*mbW*2*3*4]  per list,comp: w,o,logWD,mode
+	std::vector<int8_t>  wp;          // [mbH*mbW*24]     [0]=mode,[1]=lumaLogWD,[2]=chromaLogWD
+	std::vector<int8_t>  wp8;         // [mbH*2*mbW*2*2*3*2] per 8x8,list,comp: w,o
 	std::vector<int8_t>  refpoc_idx;  // [mbH*4*mbW*4*2]  (reserved: temporal direct)
 	std::vector<uint16_t> slice_id;   // [mbH*mbW]        slice index within frame
 
@@ -380,8 +381,60 @@ struct Decoder {
 	// per-slice mb-loop state
 	struct MbCtx;
 	int parse_I_mb(MbCtx &m, int mb_type);
-	int parse_P_mb(MbCtx &m);
-	int parse_B_mb(MbCtx &m);
+	int parse_P_mb(MbCtx &m, int &skip_run);
+	int parse_B_mb(MbCtx &m, int &skip_flag);
+	void parse_residuals(MbCtx &m, int cbp, bool is16);
+	void set_mb_qp(MbCtx &m);
+};
+
+// Per-slice macroblock parse context (shared by the CAVLC/CABAC mb layers
+// and the inter parser).
+struct Decoder::MbCtx {
+	Decoder &d;
+	Planes &pl;
+	int mbW, mbH;
+	int mx = 0, my = 0;          // current mb coordinates
+	size_t mbi = 0;              // my*mbW + mx
+	uint16_t slice_id;
+	int qp;                      // running SliceQPY
+	bool availA = false, availB = false, availC = false, availD = false;
+	uint32_t written = 0;        // 4x4 cells of the current mb with final mvs
+
+	MbCtx(Decoder &dec) : d(dec), pl(dec.planes[dec.curr]),
+		mbW(dec.sps.mb_width), mbH(dec.sps.mb_height),
+		slice_id(dec.slice_count[dec.curr]), qp(dec.sh.qp) {}
+
+	void set_addr(int addr) {
+		mx = addr % mbW;
+		my = addr / mbW;
+		mbi = (size_t)my * mbW + mx;
+		written = 0;
+		availA = mx > 0 && pl.slice_id[mbi - 1] == slice_id;
+		availB = my > 0 && pl.slice_id[mbi - mbW] == slice_id;
+		availC = my > 0 && mx + 1 < mbW && pl.slice_id[mbi - mbW + 1] == slice_id;
+		availD = my > 0 && mx > 0 && pl.slice_id[mbi - mbW - 1] == slice_id;
+	}
+
+	// ---- luma 4x4 block helpers (block index 0..15, quad order) --------
+	int gbx(int i) const;
+	int gby(int i) const;
+	size_t gblk(int i) const;
+	bool blkA_avail(int i) const;
+	bool blkB_avail(int i) const;
+	bool blkC_avail(int i) const;
+	bool blkD_avail(int i) const;
+	int nC_luma(int i) const;
+	int nC_chroma(int comp, int cx, int cy) const;
+	int neighbor_mode_A(int i) const;
+	int neighbor_mode_B(int i) const;
+
+	// ---- inter helpers (mb_inter.cpp) ----------------------------------
+	struct NbMv { int avail; int ref; int mvx, mvy; };
+	NbMv fetch_mv(int gx, int gy, int list) const;
+	void mvp_median(int list, int refIdx, int x4, int y4, int w4, int h4,
+	                int shape, int *mvpx, int *mvpy) const;
+	void store_mv(int list, int x4, int y4, int w4, int h4, int refIdx,
+	              int slot, int mvx, int mvy);
 };
 
 // scan tables (ISO §8.5.6): zigzag for 4x4 and 8x8, raster destinations

@@ -13,94 +13,73 @@ int chroma_qp(int qpy, int offset);
 int parse_residual_cavlc(BitReader &gb, int nC, int max_coeff,
                          const uint8_t *scan, int32_t *out);
 
-// Per-slice macroblock parse context.
-struct Decoder::MbCtx {
-	Decoder &d;
-	Planes &pl;
-	int mbW, mbH;
-	int mx = 0, my = 0;          // current mb coordinates
-	size_t mbi = 0;              // my*mbW + mx
-	uint16_t slice_id;
-	int qp;                      // running SliceQPY
-	bool availA = false, availB = false, availC = false, availD = false;
+// Out-of-line MbCtx helpers (declared in e264t.h).
+int Decoder::MbCtx::gbx(int i) const { return mx * 4 + blk4_x[i]; }
+int Decoder::MbCtx::gby(int i) const { return my * 4 + blk4_y[i]; }
+size_t Decoder::MbCtx::gblk(int i) const {
+	return (size_t)gby(i) * (mbW * 4) + gbx(i);
+}
 
-	MbCtx(Decoder &dec) : d(dec), pl(dec.planes[dec.curr]),
-		mbW(dec.sps.mb_width), mbH(dec.sps.mb_height),
-		slice_id(dec.slice_count[dec.curr]), qp(dec.sh.qp) {}
+// availability of neighbour 4x4 blocks for intra prediction / nC
+bool Decoder::MbCtx::blkA_avail(int i) const {
+	return blk4_x[i] > 0 ? true : availA;
+}
+bool Decoder::MbCtx::blkB_avail(int i) const {
+	return blk4_y[i] > 0 ? true : availB;
+}
+bool Decoder::MbCtx::blkC_avail(int i) const {
+	int bx = blk4_x[i], by = blk4_y[i];
+	if (by == 0) return bx < 3 ? availB : availC;
+	if (bx == 3) return false;          // right column: decoded later
+	// internal: available iff decoded earlier in quad order
+	static const int8_t ord[4][4] = {   // [by][bx] -> block index
+		{0, 1, 4, 5}, {2, 3, 6, 7}, {8, 9, 12, 13}, {10, 11, 14, 15}};
+	return ord[by - 1][bx + 1] < i;
+}
+bool Decoder::MbCtx::blkD_avail(int i) const {
+	int bx = blk4_x[i], by = blk4_y[i];
+	if (bx == 0 && by == 0) return availD;
+	if (by == 0) return availB;
+	if (bx == 0) return availA;
+	return true;
+}
 
-	void set_addr(int addr) {
-		mx = addr % mbW;
-		my = addr / mbW;
-		mbi = (size_t)my * mbW + mx;
-		availA = mx > 0 && pl.slice_id[mbi - 1] == slice_id;
-		availB = my > 0 && pl.slice_id[mbi - mbW] == slice_id;
-		availC = my > 0 && mx + 1 < mbW && pl.slice_id[mbi - mbW + 1] == slice_id;
-		availD = my > 0 && mx > 0 && pl.slice_id[mbi - mbW - 1] == slice_id;
+// nC of neighbour luma blocks (total_coeff; PCM mbs carry 16)
+int Decoder::MbCtx::nC_luma(int i) const {
+	int sum = 0, have = 0;
+	if (blkA_avail(i)) {
+		size_t n = (size_t)gby(i) * (mbW * 4) + gbx(i) - 1;
+		sum += pl.nz_y[n]; have |= 1;
 	}
+	if (blkB_avail(i)) {
+		size_t n = (size_t)(gby(i) - 1) * (mbW * 4) + gbx(i);
+		sum += pl.nz_y[n]; have |= 2;
+	}
+	return have == 3 ? (sum + 1) >> 1 : sum;
+}
+// chroma 4x4 block (cx,cy in 0..1 within mb), comp 0=cb 1=cr
+int Decoder::MbCtx::nC_chroma(int comp, int cx, int cy) const {
+	int W2 = mbW * 2;
+	int gx = mx * 2 + cx, gy = my * 2 + cy;
+	int sum = 0, have = 0;
+	bool aA = cx > 0 ? true : availA;
+	bool aB = cy > 0 ? true : availB;
+	if (aA) { sum += pl.nz_c[((size_t)gy * W2 + gx - 1) * 2 + comp]; have |= 1; }
+	if (aB) { sum += pl.nz_c[((size_t)(gy - 1) * W2 + gx) * 2 + comp]; have |= 2; }
+	return have == 3 ? (sum + 1) >> 1 : sum;
+}
 
-	// ---- luma 4x4 block helpers (block index 0..15, quad order) --------
-	// global 4x4-block grid coordinates
-	int gbx(int i) const { return mx * 4 + blk4_x[i]; }
-	int gby(int i) const { return my * 4 + blk4_y[i]; }
-	size_t gblk(int i) const { return (size_t)gby(i) * (mbW * 4) + gbx(i); }
-
-	// availability of neighbour 4x4 blocks for intra prediction / nC
-	bool blkA_avail(int i) const { return blk4_x[i] > 0 ? true : availA; }
-	bool blkB_avail(int i) const { return blk4_y[i] > 0 ? true : availB; }
-	bool blkC_avail(int i) const {
-		int bx = blk4_x[i], by = blk4_y[i];
-		if (by == 0) return bx < 3 ? availB : availC;
-		if (bx == 3) return false;          // right column: decoded later
-		// internal: available iff decoded earlier in quad order
-		static const int8_t ord[4][4] = {   // [by][bx] -> block index
-			{0, 1, 4, 5}, {2, 3, 6, 7}, {8, 9, 12, 13}, {10, 11, 14, 15}};
-		return ord[by - 1][bx + 1] < i;
-	}
-	bool blkD_avail(int i) const {
-		int bx = blk4_x[i], by = blk4_y[i];
-		if (bx == 0 && by == 0) return availD;
-		if (by == 0) return availB;
-		if (bx == 0) return availA;
-		return true;
-	}
-
-	// nC of neighbour luma blocks (total_coeff; PCM mbs carry 16)
-	int nC_luma(int i) const {
-		int sum = 0, have = 0;
-		if (blkA_avail(i)) {
-			size_t n = (size_t)gby(i) * (mbW * 4) + gbx(i) - 1;
-			sum += pl.nz_y[n]; have |= 1;
-		}
-		if (blkB_avail(i)) {
-			size_t n = (size_t)(gby(i) - 1) * (mbW * 4) + gbx(i);
-			sum += pl.nz_y[n]; have |= 2;
-		}
-		return have == 3 ? (sum + 1) >> 1 : sum;
-	}
-	// chroma 4x4 block (cx,cy in 0..1 within mb), comp 0=cb 1=cr
-	int nC_chroma(int comp, int cx, int cy) const {
-		int W2 = mbW * 2;
-		int gx = mx * 2 + cx, gy = my * 2 + cy;
-		int sum = 0, have = 0;
-		bool aA = cx > 0 ? true : availA;
-		bool aB = cy > 0 ? true : availB;
-		if (aA) { sum += pl.nz_c[((size_t)gy * W2 + gx - 1) * 2 + comp]; have |= 1; }
-		if (aB) { sum += pl.nz_c[((size_t)(gy - 1) * W2 + gx) * 2 + comp]; have |= 2; }
-		return have == 3 ? (sum + 1) >> 1 : sum;
-	}
-
-	// parsed intra mode of a neighbour block, or -1 if not intra NxN
-	int neighbor_mode_A(int i) const {
-		if (!blkA_avail(i)) return -1;
-		uint8_t v = pl.i4_modes[(size_t)gby(i) * (mbW * 4) + gbx(i) - 1];
-		return v == 0xFF ? -1 : v & 15;
-	}
-	int neighbor_mode_B(int i) const {
-		if (!blkB_avail(i)) return -1;
-		uint8_t v = pl.i4_modes[(size_t)(gby(i) - 1) * (mbW * 4) + gbx(i)];
-		return v == 0xFF ? -1 : v & 15;
-	}
-};
+// parsed intra mode of a neighbour block, or -1 if not intra NxN
+int Decoder::MbCtx::neighbor_mode_A(int i) const {
+	if (!blkA_avail(i)) return -1;
+	uint8_t v = pl.i4_modes[(size_t)gby(i) * (mbW * 4) + gbx(i) - 1];
+	return v == 0xFF ? -1 : v & 15;
+}
+int Decoder::MbCtx::neighbor_mode_B(int i) const {
+	if (!blkB_avail(i)) return -1;
+	uint8_t v = pl.i4_modes[(size_t)(gby(i) - 1) * (mbW * 4) + gbx(i)];
+	return v == 0xFF ? -1 : v & 15;
+}
 
 // modes that require left / top neighbours (§8.3.1.2): remapped to DC when
 // the needed neighbour is missing (corrupt streams only; the spec forbids
@@ -237,12 +216,23 @@ int Decoder::parse_I_mb(MbCtx &m, int mb_type) {
 		int sum = m.qp + delta;
 		m.qp = sum < 0 ? sum + 52 : sum >= 52 ? sum - 52 : sum;
 	}
+	set_mb_qp(m);
+	parse_residuals(m, cbp, is16);
+	return 0;
+}
+
+void Decoder::set_mb_qp(MbCtx &m) {
+	Planes &pl = m.pl;
 	pl.qp[m.mbi * 4 + 0] = (int8_t)m.qp;
 	pl.qp[m.mbi * 4 + 1] = (int8_t)chroma_qp(m.qp, cpps->chroma_qp_index_offset);
 	pl.qp[m.mbi * 4 + 2] =
 		(int8_t)chroma_qp(m.qp, cpps->second_chroma_qp_index_offset);
+}
 
-	// luma DC for Intra_16x16
+// Shared residual syntax for I and P/B macroblocks (§7.3.5.3, CAVLC):
+// Intra16x16 luma DC, luma 4x4 AC/full blocks per CBP, chroma DC + AC.
+void Decoder::parse_residuals(MbCtx &m, int cbp, bool is16) {
+	Planes &pl = m.pl;
 	if (is16) {
 		int nC = m.nC_luma(0);
 		int32_t *out = &pl.coef_y_dc[m.mbi * 16];
@@ -298,7 +288,6 @@ int Decoder::parse_I_mb(MbCtx &m, int mb_type) {
 			}
 		}
 	}
-	return 0;
 }
 
 // ---------------------------------------------------------------------------
@@ -308,14 +297,21 @@ int Decoder::parse_slice_data_cavlc() {
 	int mb_addr = sh.first_mb;
 	int n_mbs = m.mbW * m.mbH;
 	int err = 0;
+	int skip_run = -1;   // -1 = not in a run; counts down skipped mbs
 
 	while (mb_addr < n_mbs) {
 		m.set_addr(mb_addr);
 		bool first_cover = !(m.pl.mb_flags[m.mbi] & MBF_PARSED);
 		m.pl.slice_id[m.mbi] = m.slice_id;
-		int mb_type = gb.ue(25);
-		logf("  - mbAddr: %d\n    mb_type: %u\n", mb_addr, mb_type);
-		int r = parse_I_mb(m, mb_type);
+		logf("  - mbAddr: %d\n", mb_addr);
+		int r;
+		if (sh.slice_type == 0) {
+			r = parse_P_mb(m, skip_run);
+		} else {
+			int mb_type = gb.ue(25);
+			logf("    mb_type: %u\n", mb_type);
+			r = parse_I_mb(m, mb_type);
+		}
 		if (r) { err = r; break; }
 		if (first_cover)
 			remaining_mbs[curr]--;
@@ -335,7 +331,7 @@ int Decoder::parse_slice_data_cavlc() {
 		m.pl.deblock_ab[m.mbi * 2 + 1] = (int8_t)sh.beta_offset;
 
 		mb_addr++;
-		if (!gb.more_rbsp())
+		if (skip_run <= 0 && !gb.more_rbsp())
 			break;
 	}
 	if (!gb.rbsp_finished() && !err)

@@ -646,5 +646,192 @@ def reconstruct_frame(pl, sm: ScalingMatrices | None = None, dpb=None):
                 continue
             if flags & MBF_INTRA:
                 reconstruct_intra_mb(pl, y, cb, cr, mx, my, sm)
-            # inter: MC milestone
+            elif flags & MBF_INTER:
+                reconstruct_inter_mb(pl, y, cb, cr, mx, my, sm, dpb)
     return y, cb, cr
+
+
+# ---------------------------------------------------------------------------
+# Motion compensation (§8.4.2.2): 6-tap quarter-pel luma, bilinear
+# eighth-pel chroma, with edge replication via clamped indices (the oracle
+# twin of the reference's clamped loads, edge264_inter.c:362-415).
+
+def _six(a, axis):
+    """6-tap (1,-5,20,20,-5,1) along `axis`, valid positions only."""
+    n = a.shape[axis]
+
+    def s(i):
+        idx = [slice(None)] * a.ndim
+        idx[axis] = slice(i, n - 5 + i)
+        return a[tuple(idx)]
+
+    return s(0) - 5 * s(1) + 20 * s(2) + 20 * s(3) - 5 * s(4) + s(5)
+
+
+def mc_luma(ref, px, py, fx, fy, w, h):
+    """Predict a w*h luma block whose top-left full-pel position is
+    (px, py) with fractional offsets (fx, fy) in quarter pels."""
+    H, W = ref.shape
+    ys = np.clip(np.arange(py - 2, py + h + 3), 0, H - 1)
+    xs = np.clip(np.arange(px - 2, px + w + 3), 0, W - 1)
+    win = ref[np.ix_(ys, xs)].astype(np.int32)      # [(h+5), (w+5)]
+    G = win[2:2 + h, 2:2 + w]
+    if fx == 0 and fy == 0:
+        return G
+    Hn = win[2:2 + h, 3:3 + w]
+    M = win[3:3 + h, 2:2 + w]
+    braw = _six(win, 1)                             # [(h+5), w] horizontal
+    b_all = clip1((braw + 16) >> 5)
+    b = b_all[2:2 + h]
+    s = b_all[3:3 + h]
+    hraw = _six(win, 0)                             # [h, (w+5)] vertical
+    h_all = clip1((hraw + 16) >> 5)
+    hh = h_all[:, 2:2 + w]
+    m = h_all[:, 3:3 + w]
+    j = clip1((_six(braw, 0) + 512) >> 10)          # [h, w]
+    table = {
+        (1, 0): (G + b + 1) >> 1,
+        (2, 0): b,
+        (3, 0): (Hn + b + 1) >> 1,
+        (0, 1): (G + hh + 1) >> 1,
+        (1, 1): (b + hh + 1) >> 1,
+        (2, 1): (b + j + 1) >> 1,
+        (3, 1): (b + m + 1) >> 1,
+        (0, 2): hh,
+        (1, 2): (hh + j + 1) >> 1,
+        (2, 2): j,
+        (3, 2): (j + m + 1) >> 1,
+        (0, 3): (M + hh + 1) >> 1,
+        (1, 3): (hh + s + 1) >> 1,
+        (2, 3): (j + s + 1) >> 1,
+        (3, 3): (m + s + 1) >> 1,
+    }
+    return table[(fx, fy)]
+
+
+def mc_chroma(ref, px, py, dx, dy, w, h):
+    """Predict a w*h chroma block at full-pel (px, py) with eighth-pel
+    fractional offsets (dx, dy)."""
+    H, W = ref.shape
+    ys = np.clip(np.arange(py, py + h + 1), 0, H - 1)
+    xs = np.clip(np.arange(px, px + w + 1), 0, W - 1)
+    win = ref[np.ix_(ys, xs)].astype(np.int32)
+    A = win[0:h, 0:w]
+    B = win[0:h, 1:w + 1]
+    C = win[1:h + 1, 0:w]
+    D = win[1:h + 1, 1:w + 1]
+    return ((8 - dx) * (8 - dy) * A + dx * (8 - dy) * B
+            + (8 - dx) * dy * C + dx * dy * D + 32) >> 6
+
+
+def _weight_single(pred, w, o, logwd):
+    """§8.4.2.3.2, single-list explicit weighting."""
+    if logwd >= 1:
+        v = ((pred * w + (1 << (logwd - 1))) >> logwd) + o
+    else:
+        v = pred * w + o
+    return clip1(v)
+
+
+def _weight_bi(p0, p1, w0, w1, o0, o1, logwd):
+    v = ((p0 * w0 + p1 * w1 + (1 << logwd)) >> (logwd + 1)) \
+        + ((o0 + o1 + 1) >> 1)
+    return clip1(v)
+
+
+def inter_pred_mb(pl, mx, my, dpb):
+    """Motion-compensated prediction for one inter mb at uniform 4x4
+    granularity; returns (pred_y [16,16], pred_cb [8,8], pred_cr [8,8])."""
+    py_out = np.zeros((16, 16), np.int32)
+    pc_out = [np.zeros((8, 8), np.int32), np.zeros((8, 8), np.int32)]
+    wp = pl.wp[my, mx]
+    mode, lwd, cwd = int(wp[0]), int(wp[1]), int(wp[2])
+    for cy in range(4):
+        for cx in range(4):
+            gx, gy = mx * 4 + cx, my * 4 + cy
+            preds_y, preds_c = [], []
+            lists = [l for l in range(2) if pl.refslot[gy, gx, l] >= 0]
+            w8 = pl.wp8[my * 2 + (cy >> 1), mx * 2 + (cx >> 1)]
+            for l in lists:
+                slot = int(pl.refslot[gy, gx, l])
+                ry, rcb, rcr = dpb[slot]
+                mvx = int(pl.mvs[gy, gx, l, 0])
+                mvy = int(pl.mvs[gy, gx, l, 1])
+                preds_y.append(mc_luma(ry, gx * 4 + (mvx >> 2),
+                                       gy * 4 + (mvy >> 2),
+                                       mvx & 3, mvy & 3, 4, 4))
+                preds_c.append([
+                    mc_chroma(rc, gx * 2 + (mvx >> 3), gy * 2 + (mvy >> 3),
+                              mvx & 7, mvy & 7, 2, 2)
+                    for rc in (rcb, rcr)])
+            if len(lists) == 1:
+                l = lists[0]
+                if mode == 1:
+                    y4 = _weight_single(preds_y[0], int(w8[l, 0, 0]),
+                                        int(w8[l, 0, 1]), lwd)
+                    c4 = [_weight_single(preds_c[0][c],
+                                         int(w8[l, 1 + c, 0]),
+                                         int(w8[l, 1 + c, 1]), cwd)
+                          for c in range(2)]
+                else:
+                    y4, c4 = preds_y[0], preds_c[0]
+            else:
+                if mode == 0:
+                    y4 = (preds_y[0] + preds_y[1] + 1) >> 1
+                    c4 = [(preds_c[0][c] + preds_c[1][c] + 1) >> 1
+                          for c in range(2)]
+                else:       # explicit / implicit bi
+                    y4 = _weight_bi(preds_y[0], preds_y[1],
+                                    int(w8[0, 0, 0]), int(w8[1, 0, 0]),
+                                    int(w8[0, 0, 1]), int(w8[1, 0, 1]), lwd)
+                    c4 = [_weight_bi(preds_c[0][c], preds_c[1][c],
+                                     int(w8[0, 1 + c, 0]), int(w8[1, 1 + c, 0]),
+                                     int(w8[0, 1 + c, 1]), int(w8[1, 1 + c, 1]),
+                                     cwd)
+                          for c in range(2)]
+            py_out[cy * 4:cy * 4 + 4, cx * 4:cx * 4 + 4] = y4
+            for c in range(2):
+                pc_out[c][cy * 2:cy * 2 + 2, cx * 2:cx * 2 + 2] = c4[c]
+    return py_out, pc_out[0], pc_out[1]
+
+
+def reconstruct_inter_mb(pl, y, cb, cr, mx, my, sm: ScalingMatrices, dpb):
+    """MC + residual for one inter macroblock."""
+    pred_y, pred_cb, pred_cr = inter_pred_mb(pl, mx, my, dpb)
+    qpy = int(pl.qp[my, mx, 0])
+    x0, y0 = mx * 16, my * 16
+    t8 = int(pl.mb_flags[my, mx]) & MBF_T8x8
+    if t8:
+        for by in range(2):
+            for bx in range(2):
+                d = scale_block8(pl.coef_y8[my * 2 + by, mx * 2 + bx]
+                                 .reshape(8, 8), qpy, sm.ws8[1])
+                r = idct8(d)
+                ys, xs = by * 8, bx * 8
+                y[y0 + ys:y0 + ys + 8, x0 + xs:x0 + xs + 8] = clip1(
+                    pred_y[ys:ys + 8, xs:xs + 8] + r)
+    else:
+        for i in range(16):
+            bx, by = int(BLK4_X[i]), int(BLK4_Y[i])
+            d = scale_block4(pl.coef_y[my * 4 + by, mx * 4 + bx].reshape(4, 4),
+                             qpy, sm.ws4[3])
+            r = idct4(d)
+            ys, xs = by * 4, bx * 4
+            y[y0 + ys:y0 + ys + 4, x0 + xs:x0 + xs + 4] = clip1(
+                pred_y[ys:ys + 4, xs:xs + 4] + r)
+    cx0, cy0 = mx * 8, my * 8
+    for comp, img, coefp, pred, qpc in (
+            (0, cb, pl.coef_cb, pred_cb, int(pl.qp[my, mx, 1])),
+            (1, cr, pl.coef_cr, pred_cr, int(pl.qp[my, mx, 2]))):
+        ws = sm.ws4[4 + comp]
+        dc = chroma_dc_dequant(pl.coef_c_dc[my, mx, comp].reshape(2, 2), qpc,
+                               ws[0, 0])
+        for by in range(2):
+            for bx in range(2):
+                d = scale_block4(coefp[my * 2 + by, mx * 2 + bx].reshape(4, 4),
+                                 qpc, ws, skip_dc=True)
+                d[0, 0] = dc[by, bx]
+                r = idct4(d)
+                ys, xs = cy0 + by * 4, cx0 + bx * 4
+                img[ys:ys + 4, xs:xs + 4] = clip1(
+                    pred[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + r)

@@ -50,7 +50,8 @@ TRACE_KEYS = ["mbAddr", "mb_type", "rem_intra4x4_pred_modes",
               "Intra4x4PredModes", "intra_chroma_pred_mode",
               "coded_block_pattern", "mb_qp_delta", "- {nC:",
               "pic_order_cnt:", "frame_num:", "slice_qp_delta",
-              "transform_size_8x8_flag", "ref_idx", "mvd"]
+              "transform_size_8x8_flag", "ref_idx", "mvd",
+              "mb_skip_run", "sub_mb_types", "RefPicLists"]
 
 
 def filter_trace(trace: str):

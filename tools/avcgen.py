@@ -127,14 +127,15 @@ def make_sps(mb_w, mb_h, *, profile=66, level=40, log2_max_frame_num=4,
 
 
 def make_pps(*, pps_id=0, cabac=False, init_qp=26, chroma_qp_off=0,
-             deblock_control=False, second_chroma_qp_off=None) -> bytes:
+             deblock_control=False, second_chroma_qp_off=None,
+             nrefs=1) -> bytes:
     w = BitWriter()
     w.ue(pps_id)
     w.ue(0)                 # sps id
     w.u1(1 if cabac else 0)
     w.u1(0)                 # bottom_field_pic_order_in_frame_present
     w.ue(0)                 # num_slice_groups-1
-    w.ue(0); w.ue(0)        # num_ref_idx_default_active
+    w.ue(max(nrefs, 1) - 1); w.ue(0)   # num_ref_idx_default_active
     w.u1(0)                 # weighted_pred
     w.u(0, 2)               # weighted_bipred_idc
     w.se(init_qp - 26)
@@ -543,3 +544,399 @@ if __name__ == "__main__":
     with open(path, "wb") as f:
         f.write(data)
     print(f"wrote {path} ({len(data)} bytes)")
+
+
+# ---------------------------------------------------------------------------
+# Inter (P) slice generation: mirrors the decoder's MV prediction exactly so
+# arbitrary motion fields can be encoded as mvds.
+
+ME_CBP_INTER = [0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+                14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+                17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41]
+INV_ME_CBP_INTER = {cbp: i for i, cbp in enumerate(ME_CBP_INTER)}
+
+
+class MvState:
+    """Python mirror of the decoder's per-frame mv planes + MVP
+    (native/src/mb_inter.cpp)."""
+
+    def __init__(self, mb_w, mb_h):
+        self.mb_w, self.mb_h = mb_w, mb_h
+        BW, BH = mb_w * 4, mb_h * 4
+        self.ref = [[-1] * BW for _ in range(BH)]     # list 0 refIdx
+        self.mv = [[(0, 0)] * BW for _ in range(BH)]
+        self.intra = set()        # (mx, my) intra mbs
+        self.parsed = set()       # (mx, my) parsed mbs (this slice)
+        self.cur = None           # current mb (mx, my)
+        self.written = 0
+
+    def start_mb(self, mx, my):
+        self.cur = (mx, my)
+        self.written = 0
+
+    def fetch(self, gx, gy):
+        BW = self.mb_w * 4
+        if gx < 0 or gy < 0 or gx >= BW:
+            return None
+        nm = (gx >> 2, gy >> 2)
+        if nm == self.cur:
+            cell = (gy & 3) * 4 + (gx & 3)
+            if not (self.written >> cell & 1):
+                return None
+        else:
+            if nm not in self.parsed:
+                return None
+            if nm in self.intra:
+                return (-1, 0, 0)
+        return (self.ref[gy][gx], *self.mv[gy][gx])
+
+    def mvp(self, refidx, x4, y4, w4, h4, shape):
+        mx, my = self.cur
+        gx, gy = mx * 4 + x4, my * 4 + y4
+        A = self.fetch(gx - 1, gy)
+        B = self.fetch(gx, gy - 1)
+        C = self.fetch(gx + w4, gy - 1)
+        if C is None:
+            C = self.fetch(gx - 1, gy - 1)
+        if B is None and C is None and A is not None:
+            B = C = A
+        if shape == 1 and B and B[0] == refidx:
+            return B[1], B[2]
+        if shape in (2, 3) and A and A[0] == refidx:
+            return A[1], A[2]
+        if shape == 4 and C and C[0] == refidx:
+            return C[1], C[2]
+        ms = [n for n in (A, B, C) if n and n[0] == refidx]
+        if len(ms) == 1:
+            return ms[0][1], ms[0][2]
+        med = lambda a, b, c: sorted([a, b, c])[1]
+        ax, ay = (A[1], A[2]) if A else (0, 0)
+        bx, by = (B[1], B[2]) if B else (0, 0)
+        cx, cy = (C[1], C[2]) if C else (0, 0)
+        return med(ax, bx, cx), med(ay, by, cy)
+
+    def store(self, refidx, x4, y4, w4, h4, mvx, mvy):
+        mx, my = self.cur
+        for dy in range(h4):
+            for dx in range(w4):
+                gx, gy = mx * 4 + x4 + dx, my * 4 + y4 + dy
+                self.ref[gy][gx] = refidx
+                self.mv[gy][gx] = (mvx, mvy)
+                self.written |= 1 << ((y4 + dy) * 4 + x4 + dx)
+
+    def skip_mv(self):
+        """P_Skip inferred mv (§8.4.1.1)."""
+        mx, my = self.cur
+        A = self.fetch(mx * 4 - 1, my * 4)
+        B = self.fetch(mx * 4, my * 4 - 1)
+        if A is None or B is None or A == (0, 0, 0) or B == (0, 0, 0):
+            return 0, 0
+        return self.mvp(0, 0, 0, 4, 4, 0)
+
+    def finish_mb(self, is_intra):
+        self.parsed.add(self.cur)
+        if is_intra:
+            self.intra.add(self.cur)
+            mx, my = self.cur
+            for dy in range(4):
+                for dx in range(4):
+                    self.ref[my * 4 + dy][mx * 4 + dx] = -1
+                    self.mv[my * 4 + dy][mx * 4 + dx] = (0, 0)
+
+
+SUB_WH = {0: (2, 2), 1: (2, 1), 2: (1, 2), 3: (1, 1)}
+
+
+def encode_p_mb(w, enc: IntraEncoder, mvs: MvState, mx, my, spec,
+                nrefs, skip_state):
+    """Encode one P-slice macroblock.  skip_state is a dict holding the
+    pending skip run ('run') and whether it was flushed."""
+    mvs.start_mb(mx, my)
+    if spec.kind == 'skip':
+        mvx, mvy = mvs.skip_mv()
+        mvs.store(0, 0, 0, 4, 4, mvx, mvy)
+        mvs.finish_mb(False)
+        enc.parsed.add((mx, my))
+        skip_state['run'] += 1
+        return
+
+    w.ue(skip_state['run'])
+    skip_state['run'] = 0
+
+    if spec.kind in ('i4', 'i16', 'pcm'):
+        # intra mb in P slice: mb_type offset by 5
+        if spec.kind == 'pcm':
+            w.ue(30)
+            w.align_zero()
+            for v in spec.samples_y:
+                w.u(v, 8)
+            for v in spec.samples_cb:
+                w.u(v, 8)
+            for v in spec.samples_cr:
+                w.u(v, 8)
+            for i in range(16):
+                enc.nz_y[(my * 4 + BLK4_Y[i], mx * 4 + BLK4_X[i])] = 16
+            for c in range(2):
+                for cy in range(2):
+                    for cx in range(2):
+                        enc.nz_c[(c, my * 2 + cy, mx * 2 + cx)] = 16
+            enc.parsed.add((mx, my))
+        else:
+            if spec.kind == 'i4':
+                w.ue(5)
+                enc2_encode_i4_body(w, enc, mx, my, spec)
+            else:
+                pm = spec.pred_mode
+                cbp_chroma = spec.cbp >> 4
+                cbp_luma15 = 1 if (spec.cbp & 15) else 0
+                w.ue(5 + 1 + pm + cbp_chroma * 4 + cbp_luma15 * 12)
+                enc2_encode_i16_body(w, enc, mx, my, spec)
+        mvs.finish_mb(True)
+        return
+
+    # ---- inter types -----------------------------------------------------
+    kind2type = {'p16': 0, 'p16x8': 1, 'p8x16': 2, 'p8': 3}
+    mb_type = kind2type[spec.kind]
+    w.ue(mb_type)
+    parts = {0: [(0, 0, 4, 4, 0)],
+             1: [(0, 0, 4, 2, 1), (0, 2, 4, 2, 2)],
+             2: [(0, 0, 2, 4, 3), (2, 0, 2, 4, 4)]}.get(mb_type)
+    if mb_type <= 2:
+        for r in spec.refidx:
+            if nrefs > 1:
+                if nrefs == 2:
+                    w.u1(r ^ 1)
+                else:
+                    w.ue(r)
+        for (x4, y4, w4, h4, shape), r, (dx, dy) in zip(parts, spec.refidx,
+                                                        spec.mvds):
+            px, py = mvs.mvp(r, x4, y4, w4, h4, shape)
+            w.se(dx)
+            w.se(dy)
+            mvs.store(r, x4, y4, w4, h4, px + dx, py + dy)
+    else:
+        for st in spec.sub_types:
+            w.ue(st)
+        for r in spec.refidx:
+            if nrefs > 1:
+                if nrefs == 2:
+                    w.u1(r ^ 1)
+                else:
+                    w.ue(r)
+        mvd_i = 0
+        for i in range(4):
+            bx, by = (i & 1) * 2, (i >> 1) * 2
+            w4, h4 = SUB_WH[spec.sub_types[i]]
+            for sy in range(0, 2, h4):
+                for sx in range(0, 2, w4):
+                    dx, dy = spec.mvds[mvd_i]
+                    mvd_i += 1
+                    r = spec.refidx[i]
+                    px, py = mvs.mvp(r, bx + sx, by + sy, w4, h4, 0)
+                    w.se(dx)
+                    w.se(dy)
+                    mvs.store(r, bx + sx, by + sy, w4, h4, px + dx, py + dy)
+    mvs.finish_mb(False)
+    enc.parsed.add((mx, my))
+
+    # ---- residuals -------------------------------------------------------
+    cbp = spec.cbp
+    w.ue(INV_ME_CBP_INTER[cbp])
+    if cbp:
+        w.se(spec.qp_delta)
+        enc.qp = (enc.qp + spec.qp_delta + 52) % 52
+    for i8 in range(4):
+        if not (cbp >> i8 & 1):
+            continue
+        for k in range(4):
+            i = i8 * 4 + k
+            nC = enc.nC_luma(mx, my, i)
+            n = encode_residual_cavlc(w, spec.luma_coeffs[i], nC, 16)
+            enc.nz_y[(my * 4 + BLK4_Y[i], mx * 4 + BLK4_X[i])] = n
+    if cbp >> 4:
+        for c in range(2):
+            encode_residual_cavlc(w, spec.chroma_dc[c], -1, 4)
+    if cbp >> 4 == 2:
+        for c in range(2):
+            for cy in range(2):
+                for cx in range(2):
+                    nC = enc.nC_chroma(c, mx, my, cx, cy)
+                    n = encode_residual_cavlc(
+                        w, spec.chroma_ac[c][cy * 2 + cx][1:], nC, 15)
+                    enc.nz_c[(c, my * 2 + cy, mx * 2 + cx)] = n
+
+
+def enc2_encode_i4_body(w, enc, mx, my, spec):
+    """I_4x4 mb body after mb_type (shared with IntraEncoder.encode_mb)."""
+    for i in range(16):
+        gbx, gby = mx * 4 + BLK4_X[i], my * 4 + BLK4_Y[i]
+        aA = enc.blkA_avail(mx, my, i)
+        aB = enc.blkB_avail(mx, my, i)
+        mA = enc.neighbor_mode(gby, gbx - 1, None) if aA else -1
+        mB = enc.neighbor_mode(gby - 1, gbx, None) if aB else -1
+        pred = 2 if (mA < 0 or mB < 0) else min(mA, mB)
+        mode = spec.modes[i]
+        if mode is None:
+            mode = pred
+        if mode == pred:
+            w.u1(1)
+        else:
+            w.u1(0)
+            w.u(mode - (1 if mode > pred else 0), 3)
+        enc.modes[(gby, gbx)] = mode
+    w.ue(spec.chroma_mode)
+    w.ue(INV_ME_CBP_INTRA[spec.cbp])
+    enc.parsed.add((mx, my))
+    _encode_intra_residuals(w, enc, mx, my, spec, False)
+
+
+def enc2_encode_i16_body(w, enc, mx, my, spec):
+    w.ue(spec.chroma_mode)
+    for i in range(16):
+        enc.modes.pop((my * 4 + BLK4_Y[i], mx * 4 + BLK4_X[i]), None)
+    enc.parsed.add((mx, my))
+    _encode_intra_residuals(w, enc, mx, my, spec, True)
+
+
+def _encode_intra_residuals(w, enc, mx, my, spec, is16):
+    cbp = spec.cbp
+    if cbp or is16:
+        w.se(spec.qp_delta)
+        enc.qp = (enc.qp + spec.qp_delta + 52) % 52
+    if is16:
+        nC = enc.nC_luma(mx, my, 0)
+        encode_residual_cavlc(w, spec.dc_coeffs, nC, 16)
+    for i8 in range(4):
+        if not (cbp >> i8 & 1):
+            continue
+        for k in range(4):
+            i = i8 * 4 + k
+            nC = enc.nC_luma(mx, my, i)
+            coeffs = spec.luma_coeffs[i]
+            n = encode_residual_cavlc(
+                w, coeffs[1:] if is16 else coeffs, nC, 15 if is16 else 16)
+            enc.nz_y[(my * 4 + BLK4_Y[i], mx * 4 + BLK4_X[i])] = n
+    if cbp >> 4:
+        for c in range(2):
+            encode_residual_cavlc(w, spec.chroma_dc[c], -1, 4)
+    if cbp >> 4 == 2:
+        for c in range(2):
+            for cy in range(2):
+                for cx in range(2):
+                    nC = enc.nC_chroma(c, mx, my, cx, cy)
+                    n = encode_residual_cavlc(
+                        w, spec.chroma_ac[c][cy * 2 + cx][1:], nC, 15)
+                    enc.nz_c[(c, my * 2 + cy, mx * 2 + cx)] = n
+
+
+def make_p_slice(mb_w, mb_h, specs, *, slice_qp=26, init_qp=26, frame_num=0,
+                 poc_lsb=0, nal_ref_idc=3, first_mb=0, nrefs=1,
+                 pps_nrefs=None, deblock_idc=None, log2_max_frame_num=4,
+                 log2_max_poc_lsb=4) -> bytes:
+    w = BitWriter()
+    w.ue(first_mb)
+    w.ue(5)                    # slice_type P (all slices in pic are P)
+    w.ue(0)                    # pps id
+    w.u(frame_num, log2_max_frame_num)
+    w.u(poc_lsb, log2_max_poc_lsb)
+    if pps_nrefs is not None and nrefs != pps_nrefs:
+        w.u1(1)                # num_ref_idx_active_override
+        w.ue(nrefs - 1)
+    else:
+        w.u1(0)                # num_ref_idx_active_override
+    w.u1(0)                    # ref_pic_list_modification_flag_l0
+    if nal_ref_idc:
+        w.u1(0)                # adaptive_ref_pic_marking_mode_flag
+    w.se(slice_qp - init_qp)
+    if deblock_idc is not None:
+        w.ue(deblock_idc)
+        if deblock_idc != 1:
+            w.se(0)
+            w.se(0)
+    enc = IntraEncoder(mb_w, mb_h, slice_qp)
+    mvs = MvState(mb_w, mb_h)
+    skip_state = {'run': 0}
+    for n, spec in enumerate(specs):
+        addr = first_mb + n
+        encode_p_mb(w, enc, mvs, addr % mb_w, addr // mb_w, spec, nrefs,
+                    skip_state)
+    if skip_state['run']:
+        w.ue(skip_state['run'])
+    w.rbsp_trailing()
+    return nal(nal_ref_idc, 1, w.bytes_unescaped())
+
+
+def random_p_mb(rng, nrefs, max_level=8, density=0.3, mv_range=32,
+                intra_prob=0.15, skip_prob=0.2):
+    u = rng.random()
+    if u < skip_prob:
+        return MbSpec('skip')
+    if u < skip_prob + intra_prob:
+        return random_intra_mb(rng, ('i4', 'i16'), max_level, density)
+
+    def rand_coeffs(n, start=0):
+        c = [0] * n
+        for i in range(start, n):
+            if rng.random() < density:
+                v = rng.randrange(1, max_level + 1)
+                c[i] = v if rng.random() < 0.5 else -v
+        return c
+
+    kind = rng.choice(['p16', 'p16x8', 'p8x16', 'p8'])
+    nparts = 1 if kind == 'p16' else 2 if kind in ('p16x8', 'p8x16') else 4
+    refidx = [rng.randrange(nrefs) for _ in range(nparts)]
+    sub_types = [rng.randrange(4) for _ in range(4)] if kind == 'p8' else None
+    if kind == 'p8':
+        n_mvds = sum(4 // (SUB_WH[s][0] * SUB_WH[s][1]) for s in sub_types)
+    else:
+        n_mvds = nparts
+    mvds = [(rng.randrange(-mv_range, mv_range + 1),
+             rng.randrange(-mv_range, mv_range + 1)) for _ in range(n_mvds)]
+    cbp_luma = rng.randrange(16) if rng.random() < 0.7 else 0
+    cbp_chroma = rng.choice([0, 1, 2])
+    return MbSpec(kind, refidx=refidx, sub_types=sub_types, mvds=mvds,
+                  cbp=cbp_luma | cbp_chroma << 4,
+                  qp_delta=rng.randrange(-3, 4),
+                  luma_coeffs=[rand_coeffs(16) for _ in range(16)],
+                  chroma_dc=[rand_coeffs(4) for _ in range(2)],
+                  chroma_ac=[[rand_coeffs(16, 1) for _ in range(4)]
+                             for _ in range(2)])
+
+
+def gen_random_ipp_stream(mb_w, mb_h, n_frames=3, seed=0, *, qp=26,
+                          nrefs=1, max_level=8, density=0.3, mv_range=32,
+                          intra_prob=0.15, skip_prob=0.2,
+                          deblock=True) -> bytes:
+    """IDR + (n_frames-1) P frames, each referencing up to `nrefs` previous
+    frames."""
+    rng = random.Random(seed)
+    out = make_sps(mb_w, mb_h, max_ref_frames=max(nrefs, 1)) \
+        + make_pps(deblock_control=not deblock, nrefs=nrefs)
+    deblock_idc = None if deblock else 1
+    n_mbs = mb_w * mb_h
+    # IDR intra frame
+    specs = []
+    probe = IntraEncoder(mb_w, mb_h, qp)
+    for addr in range(n_mbs):
+        spec = random_intra_mb(rng, ('i4', 'i16'), max_level, density)
+        resolve_random_modes(rng, probe, addr % mb_w, addr // mb_w, spec)
+        probe.parsed.add((addr % mb_w, addr // mb_w))
+        specs.append(spec)
+    out += make_idr_slice(mb_w, mb_h, specs, slice_qp=qp,
+                          deblock_idc=deblock_idc)
+    for f in range(1, n_frames):
+        nr = min(f, nrefs)
+        specs = []
+        probe = IntraEncoder(mb_w, mb_h, qp)
+        for addr in range(n_mbs):
+            spec = random_p_mb(rng, nr, max_level, density, mv_range,
+                               intra_prob, skip_prob)
+            if spec.kind in ('i4', 'i16'):
+                resolve_random_modes(rng, probe, addr % mb_w, addr // mb_w,
+                                     spec)
+            probe.parsed.add((addr % mb_w, addr // mb_w))
+            specs.append(spec)
+        out += make_p_slice(mb_w, mb_h, specs, slice_qp=qp, frame_num=f % 16,
+                            poc_lsb=(2 * f) % 16, nrefs=nr, pps_nrefs=nrefs,
+                            deblock_idc=deblock_idc)
+    return out
