@@ -641,7 +641,7 @@ def deblock_scan(y, cb, cr, p, bs_v, bs_h, tables):
 PLANE_KEYS = ["mb_flags", "qp", "i4_modes", "i16_modes", "ch_modes",
               "coef_y", "coef_y8", "coef_y_dc", "coef_c_dc", "coef_cb",
               "coef_cr", "pcm_y", "pcm_c", "nz_y", "refslot", "mvs",
-              "deblock", "deblock_ab"]
+              "deblock", "deblock_ab", "wp", "wp8"]
 
 
 @functools.partial(jax.jit, static_argnames=("mbW", "mbH"))
@@ -677,15 +677,248 @@ def planes_to_jax(planes):
 
 
 class JaxBackend:
-    """Device pixel backend (XLA; CPU or TPU)."""
+    """Device pixel backend (XLA; CPU or TPU).  Keeps the DPB's half-pel
+    reference plane sets resident on device (ARCHITECTURE.md)."""
 
     def __init__(self, device=None):
         self.device = device
         self.sm4 = jnp.asarray(np.full((6, 16), 16, np.int32))
         self.sm8 = jnp.asarray(np.full((6, 64), 16, np.int32))
+        self.refplanes = {}       # DPB slot -> (luma4, chroma) device arrays
 
     def reconstruct(self, planes, slot, store):
         p = planes_to_jax(planes)
-        y, cb, cr = decode_frame_jit(p, self.sm4, self.sm8,
-                                     planes.mb_w, planes.mb_h)
+        slots = sorted(self.refplanes.keys())
+        if slots:
+            S = 1
+            while S < len(slots):
+                S *= 2
+            stackL = jnp.stack(
+                [self.refplanes[s][0] for s in slots]
+                + [self.refplanes[slots[0]][0]] * (S - len(slots)))
+            stackC = jnp.stack(
+                [self.refplanes[s][1] for s in slots]
+                + [self.refplanes[slots[0]][1]] * (S - len(slots)))
+            smap = np.zeros(32, np.int32)
+            for i, s in enumerate(slots):
+                smap[s] = i
+            y, cb, cr = decode_frame_inter_jit(
+                p, self.sm4, self.sm8, stackL, stackC, jnp.asarray(smap),
+                planes.mb_w, planes.mb_h)
+        else:
+            y, cb, cr = decode_frame_jit(p, self.sm4, self.sm8,
+                                         planes.mb_w, planes.mb_h)
+        self.refplanes[slot] = make_ref_planes(y, cb, cr)
         return (np.asarray(y), np.asarray(cb), np.asarray(cr))
+
+
+# ---------------------------------------------------------------------------
+# Inter prediction (§8.4.2.2) — TPU formulation:
+#
+# When a frame enters the DPB we precompute its three half-pel planes
+# (B = horizontal, H = vertical, J = center) with separable 6-tap convs on
+# an edge-replicated padded copy.  Every one of the 16 quarter-pel
+# positions is then the rounded average of TWO samples drawn from the 4
+# planes {G,B,H,J} at {0,+1} offsets (Table 8-12 rewritten as a gather
+# table), so per-frame MC is two gathers + one average per pixel — no
+# per-block filtering, no divergent control flow.  Edge clamping of the
+# *base* coordinate inside the padded region reproduces the reference's
+# clamped-load semantics (edge264_inter.c:362-415) exactly.
+
+PADL, PADC = 20, 12     # replicate padding (>= max window + block reach)
+
+# frac (fx,fy) -> (plane1, ox1, oy1, plane2, ox2, oy2); planes 0=G 1=B 2=H 3=J
+_MC_TAB = np.array([
+    # fy=0          fx = 0..3
+    [(0, 0, 0, 0, 0, 0), (0, 0, 0, 1, 0, 0), (1, 0, 0, 1, 0, 0),
+     (0, 1, 0, 1, 0, 0)],
+    # fy=1
+    [(0, 0, 0, 2, 0, 0), (1, 0, 0, 2, 0, 0), (1, 0, 0, 3, 0, 0),
+     (1, 0, 0, 2, 1, 0)],
+    # fy=2
+    [(2, 0, 0, 2, 0, 0), (2, 0, 0, 3, 0, 0), (3, 0, 0, 3, 0, 0),
+     (3, 0, 0, 2, 1, 0)],
+    # fy=3
+    [(0, 0, 1, 2, 0, 0), (2, 0, 0, 1, 0, 1), (3, 0, 0, 1, 0, 1),
+     (2, 1, 0, 1, 0, 1)],
+], np.int32)            # [fy][fx][6]
+
+
+def _six_j(a, axis):
+    """6-tap along axis (valid positions)."""
+    n = a.shape[axis]
+
+    def s(i):
+        idx = [slice(None)] * a.ndim
+        idx[axis] = slice(i, n - 5 + i)
+        return a[tuple(idx)]
+
+    return s(0) - 5 * s(1) + 20 * s(2) + 20 * s(3) - 5 * s(4) + s(5)
+
+
+@jax.jit
+def make_ref_planes(y, cb, cr):
+    """uint8 frame -> (luma4 [4, ph, pw] uint8, chroma [2, phc, pwc] uint8)
+    padded half-pel plane sets."""
+    g = jnp.pad(y.astype(jnp.int32), PADL, mode="edge")
+    gx = jnp.pad(g, ((0, 0), (2, 3)), mode="edge")      # taps for horiz
+    braw = _six_j(gx, 1)                                # [ph, pw]
+    b = jnp.clip((braw + 16) >> 5, 0, 255)
+    gy = jnp.pad(g, ((2, 3), (0, 0)), mode="edge")
+    hraw = _six_j(gy, 0)
+    h = jnp.clip((hraw + 16) >> 5, 0, 255)
+    bx = jnp.pad(braw, ((2, 3), (0, 0)), mode="edge")
+    j = jnp.clip((_six_j(bx, 0) + 512) >> 10, 0, 255)
+    luma4 = jnp.stack([g, b, h, j]).astype(jnp.uint8)
+    cpad = jnp.stack([jnp.pad(cb, PADC, mode="edge"),
+                      jnp.pad(cr, PADC, mode="edge")])
+    return luma4, cpad
+
+
+def _mc_luma_list(stackL, sidx, mvx, mvy, gx4, gy4):
+    """Luma MC for one list over all 4x4 cells.  stackL [S,4,ph,pw] uint8;
+    sidx/mvx/mvy [BH,BW] int32 (stack index, quarter-pel mv);
+    gx4/gy4 [BH,BW] cell top-left full-pel coords.  Returns [16H,16W]."""
+    ph, pw = stackL.shape[2], stackL.shape[3]
+    px = gx4 + (mvx >> 2)
+    py = gy4 + (mvy >> 2)
+    fx = mvx & 3
+    fy = mvy & 3
+    px = jnp.clip(px + PADL, 0, pw - 6)
+    py = jnp.clip(py + PADL, 0, ph - 6)
+    tab = jnp.asarray(_MC_TAB)[fy, fx]                   # [BH,BW,6]
+    off = jnp.arange(4, dtype=I32)
+    preds = []
+    for k in (0, 1):
+        pl_ = tab[..., 3 * k]
+        ox = tab[..., 3 * k + 1]
+        oy = tab[..., 3 * k + 2]
+        rows = (py + oy)[..., None, None] + off[None, None, :, None]
+        cols = (px + ox)[..., None, None] + off[None, None, None, :]
+        s = sidx[..., None, None] * jnp.ones((1, 1, 4, 4), I32)
+        pidx = pl_[..., None, None] * jnp.ones((1, 1, 4, 4), I32)
+        preds.append(stackL[s, pidx, rows, cols].astype(jnp.int32))
+    v = (preds[0] + preds[1] + 1) >> 1                   # [BH,BW,4,4]
+    BH, BW = v.shape[0], v.shape[1]
+    return v.transpose(0, 2, 1, 3).reshape(BH * 4, BW * 4)
+
+
+def _mc_chroma_list(stackC, sidx, mvx, mvy, gx2, gy2):
+    """Chroma MC (bilinear eighth-pel) for one list over all 2x2 chroma
+    cells.  Returns ([8H,8W] cb, [8H,8W] cr)."""
+    phc, pwc = stackC.shape[2], stackC.shape[3]
+    px = gx2 + (mvx >> 3)
+    py = gy2 + (mvy >> 3)
+    dx = (mvx & 7)[..., None, None]
+    dy = (mvy & 7)[..., None, None]
+    px = jnp.clip(px + PADC, 0, pwc - 4)
+    py = jnp.clip(py + PADC, 0, phc - 4)
+    off = jnp.arange(2, dtype=I32)
+    outs = []
+    for comp in (0, 1):
+        rows = py[..., None, None] + off[None, None, :, None]
+        cols = px[..., None, None] + off[None, None, None, :]
+        s = sidx[..., None, None] * jnp.ones((1, 1, 2, 2), I32)
+        c = jnp.full((1, 1, 2, 2), comp, I32) * jnp.ones_like(s)
+        A = stackC[s, c, rows, cols].astype(jnp.int32)
+        B = stackC[s, c, rows, cols + 1].astype(jnp.int32)
+        Cc = stackC[s, c, rows + 1, cols].astype(jnp.int32)
+        D = stackC[s, c, rows + 1, cols + 1].astype(jnp.int32)
+        v = ((8 - dx) * (8 - dy) * A + dx * (8 - dy) * B
+             + (8 - dx) * dy * Cc + dx * dy * D + 32) >> 6
+        BH, BW = v.shape[0], v.shape[1]
+        outs.append(v.transpose(0, 2, 1, 3).reshape(BH * 2, BW * 2))
+    return outs
+
+
+def _expand_cell(a, n):
+    """[BH,BW] per-4x4-cell -> per-pixel [n*BH, n*BW]."""
+    return jnp.repeat(jnp.repeat(a, n, axis=0), n, axis=1)
+
+
+def mc_frame(p, stackL, stackC, slot_map):
+    """Motion-compensated prediction planes for all inter cells of a frame.
+    slot_map [32] int32: DPB slot -> index into the ref stacks.
+    Returns (pred_y, pred_cb, pred_cr, inter_mask_pix)."""
+    refslot = p["refslot"]                    # [BH,BW,2]
+    mvs = p["mvs"]                            # [BH,BW,2,2]
+    BH, BW = refslot.shape[0], refslot.shape[1]
+    gx4 = jax.lax.broadcasted_iota(I32, (BH, BW), 1) * 4
+    gy4 = jax.lax.broadcasted_iota(I32, (BH, BW), 0) * 4
+    gx2 = jax.lax.broadcasted_iota(I32, (BH, BW), 1) * 2
+    gy2 = jax.lax.broadcasted_iota(I32, (BH, BW), 0) * 2
+
+    wp = p["wp"]                              # [H,W,24]
+    mode = _mb_to_blk4(wp[..., 0])
+    lwd = _mb_to_blk4(wp[..., 1])
+    cwd = _mb_to_blk4(wp[..., 2])
+    # per-cell weights from the per-8x8 plane
+    w8 = p["wp8"]                             # [2H,2W,2,3,2]
+    w8c = jnp.repeat(jnp.repeat(w8, 2, 0), 2, 1)   # [BH,BW,2,3,2]
+
+    preds = []
+    for l in (0, 1):
+        used = refslot[..., l] >= 0
+        sidx = slot_map[jnp.clip(refslot[..., l], 0, 31)]
+        mvx, mvy = mvs[..., l, 0], mvs[..., l, 1]
+        py_ = _mc_luma_list(stackL, sidx, mvx, mvy, gx4, gy4)
+        pcb, pcr = _mc_chroma_list(stackC, sidx, mvx, mvy, gx2, gy2)
+        preds.append((used, py_, pcb, pcr))
+
+    u0, y0_, cb0, cr0 = preds[0]
+    u1, y1_, cb1, cr1 = preds[1]
+    u0y, u1y = _expand_cell(u0, 4), _expand_cell(u1, 4)
+    u0c, u1c = _expand_cell(u0, 2), _expand_cell(u1, 2)
+    modey, modec = _expand_cell(mode, 4), _expand_cell(mode, 2)
+    lwdy, cwdc = _expand_cell(lwd, 4), _expand_cell(cwd, 2)
+
+    def weight_single(pred, w, o, logwd):
+        num = pred * w + jnp.where(logwd >= 1, 1 << jnp.maximum(logwd - 1, 0),
+                                   0)
+        v = jnp.where(logwd >= 1, num >> jnp.maximum(logwd, 0), pred * w) + o
+        return jnp.clip(v, 0, 255)
+
+    def weight_bi(p0, p1, w0, w1, o0, o1, logwd):
+        v = ((p0 * w0 + p1 * w1 + (1 << logwd)) >> (logwd + 1)) \
+            + ((o0 + o1 + 1) >> 1)
+        return jnp.clip(v, 0, 255)
+
+    def combine(pix0, pix1, u0x, u1x, modex, wdx, wsel, n):
+        # wsel: comp index 0 (luma) or 1/2 (chroma) into w8c[..., comp, :]
+        w_0 = _expand_cell(w8c[..., 0, wsel, 0], n)
+        o_0 = _expand_cell(w8c[..., 0, wsel, 1], n)
+        w_1 = _expand_cell(w8c[..., 1, wsel, 0], n)
+        o_1 = _expand_cell(w8c[..., 1, wsel, 1], n)
+        bi = u0x & u1x
+        single = u0x ^ u1x
+        ps = jnp.where(u0x, pix0, pix1)
+        ws = jnp.where(u0x, w_0, w_1)
+        os_ = jnp.where(u0x, o_0, o_1)
+        s_w = jnp.where(modex == 1, weight_single(ps, ws, os_, wdx), ps)
+        b_d = (pix0 + pix1 + 1) >> 1
+        b_w = weight_bi(pix0, pix1, w_0, w_1, o_0, o_1, wdx)
+        b = jnp.where(modex == 0, b_d, b_w)
+        return jnp.where(bi, b, jnp.where(single, s_w, 0)), (u0x | u1x)
+
+    pred_y, mask_y = combine(y0_, y1_, u0y, u1y, modey, lwdy, 0, 4)
+    pred_cb, _ = combine(cb0, cb1, u0c, u1c, modec, cwdc, 1, 2)
+    pred_cr, mask_c = combine(cr0, cr1, u0c, u1c, modec, cwdc, 2, 2)
+    return pred_y, pred_cb, pred_cr, mask_y, mask_c
+
+
+@functools.partial(jax.jit, static_argnames=("mbW", "mbH"))
+def decode_frame_inter_jit(p, sm4, sm8, stackL, stackC, slot_map, mbW, mbH):
+    """Full device pixel path for a frame with inter macroblocks."""
+    norm4 = jnp.asarray(_o.NORM_ADJUST_4x4.reshape(6, 16))
+    norm8 = jnp.asarray(_o.NORM_ADJUST_8x8.reshape(6, 64))
+    tables = tuple(jnp.asarray(t) for t in wave_tables(mbW, mbH))
+    res_y, res_cb, res_cr = residual_frame(p, sm4, sm8, norm4, norm8)
+    pred_y, pred_cb, pred_cr, mask_y, mask_c = mc_frame(
+        p, stackL, stackC, slot_map)
+    y = jnp.where(mask_y, jnp.clip(pred_y + res_y, 0, 255), 0)
+    cb = jnp.where(mask_c, jnp.clip(pred_cb + res_cb, 0, 255), 0)
+    cr = jnp.where(mask_c, jnp.clip(pred_cr + res_cr, 0, 255), 0)
+    y, cb, cr = intra_scan(y, cb, cr, res_y, res_cb, res_cr, p, tables)
+    bs_v, bs_h = deblock_bs(p)
+    y, cb, cr = deblock_scan(y, cb, cr, p, bs_v, bs_h, tables)
+    return y.astype(jnp.uint8), cb.astype(jnp.uint8), cr.astype(jnp.uint8)

@@ -43,3 +43,18 @@ def test_jax_multi_slice(ref_oracle):
                                    slices_per_frame=2)
     assert_frames_match(_decode_ours(data, backend="jax"),
                         _ref_frames(ref_oracle, data), ctx="jax-multislice")
+
+
+def test_jax_p_slices(ref_oracle):
+    from tools.avcgen import gen_random_ipp_stream
+    data = gen_random_ipp_stream(4, 3, n_frames=4, seed=7, nrefs=2)
+    assert_frames_match(_decode_ours(data, backend="jax"),
+                        _ref_frames(ref_oracle, data), ctx="jax-p")
+
+
+def test_jax_p_motion_heavy(ref_oracle):
+    from tools.avcgen import gen_random_ipp_stream
+    data = gen_random_ipp_stream(5, 4, n_frames=4, seed=11, mv_range=96,
+                                 skip_prob=0.1, intra_prob=0.1, nrefs=3)
+    assert_frames_match(_decode_ours(data, backend="jax"),
+                        _ref_frames(ref_oracle, data), ctx="jax-p-motion")
