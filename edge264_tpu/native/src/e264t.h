@@ -202,7 +202,7 @@ struct Planes {
 	std::vector<int8_t>  deblock_ab;  // [mbH*mbW*2]      alpha/beta offsets
 	std::vector<int8_t>  wp;          // [mbH*mbW*24]     [0]=mode,[1]=lumaLogWD,[2]=chromaLogWD
 	std::vector<int8_t>  wp8;         // [mbH*2*mbW*2*2*3*2] per 8x8,list,comp: w,o
-	std::vector<int8_t>  refpoc_idx;  // [mbH*4*mbW*4*2]  (reserved: temporal direct)
+	std::vector<int8_t>  refpoc_idx;  // [mbH*4*mbW*4*2]  refIdx per cell (internal)
 	std::vector<uint16_t> slice_id;   // [mbH*mbW]        slice index within frame
 
 	void resize(int w, int h);

@@ -307,6 +307,8 @@ int Decoder::parse_slice_data_cavlc() {
 		int r;
 		if (sh.slice_type == 0) {
 			r = parse_P_mb(m, skip_run);
+		} else if (sh.slice_type == 1) {
+			r = parse_B_mb(m, skip_run);
 		} else {
 			int mb_type = gb.ue(25);
 			logf("    mb_type: %u\n", mb_type);

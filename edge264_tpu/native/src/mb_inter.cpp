@@ -128,22 +128,56 @@ static void fill_wp(Decoder &d, Decoder::MbCtx &m) {
 	wp[0] = (int8_t)d.sh.weighted_bipred_idc;
 	wp[1] = (int8_t)d.sh.luma_log2_weight_denom;
 	wp[2] = (int8_t)d.sh.chroma_log2_weight_denom;
-	if (d.sh.weighted_bipred_idc != 1)
+	int mode = d.sh.weighted_bipred_idc;
+	if (mode != 1 && mode != 2)
 		return;
+	if (mode == 2)
+		wp[1] = wp[2] = 5;      // implicit: logWD = 5, offsets 0 (§8.4.2.3.1)
 	int BW = m.mbW * 4, W2 = m.mbW * 2;
 	for (int q = 0; q < 4; q++) {
 		int cx = m.mx * 2 + (q & 1), cy = m.my * 2 + (q >> 1);
 		size_t cell = (size_t)(m.my * 4 + (q >> 1) * 2) * BW
 			+ m.mx * 4 + (q & 1) * 2;
 		int8_t *w8 = &pl.wp8[((size_t)cy * W2 + cx) * 12];
-		for (int l = 0; l < 2; l++) {
-			int ref = pl.refpoc_idx[cell * 2 + l];
-			if (ref < 0)
-				continue;
-			for (int c = 0; c < 3; c++) {
-				w8[(l * 3 + c) * 2] = (int8_t)d.sh.weights[l][ref][c];
-				w8[(l * 3 + c) * 2 + 1] = (int8_t)d.sh.offsets[l][ref][c];
+		if (mode == 1) {
+			for (int l = 0; l < 2; l++) {
+				int ref = pl.refpoc_idx[cell * 2 + l];
+				if (ref < 0)
+					continue;
+				for (int c = 0; c < 3; c++) {
+					w8[(l * 3 + c) * 2] = (int8_t)d.sh.weights[l][ref][c];
+					w8[(l * 3 + c) * 2 + 1] = (int8_t)d.sh.offsets[l][ref][c];
+				}
 			}
+			continue;
+		}
+		// implicit: weights from POC distances of the two referenced pictures
+		int s0 = pl.refslot[cell * 2], s1 = pl.refslot[cell * 2 + 1];
+		if (s0 < 0 || s1 < 0)
+			continue;
+		int w0 = 32, w1 = 32;
+		uint32_t lt_only = d.curr_lt & ~d.curr_st;
+		int poc0 = d.Poc[0][s0] < d.Poc[1][s0] ? d.Poc[0][s0] : d.Poc[1][s0];
+		int poc1 = d.Poc[0][s1] < d.Poc[1][s1] ? d.Poc[0][s1] : d.Poc[1][s1];
+		int poc_cur = d.Poc[0][d.curr] < d.Poc[1][d.curr]
+			? d.Poc[0][d.curr] : d.Poc[1][d.curr];
+		if (poc1 != poc0 && !(lt_only >> s0 & 1) && !(lt_only >> s1 & 1)) {
+			auto c128 = [](int v) { return v < -128 ? -128 : v > 127 ? 127 : v; };
+			int tb = c128(poc_cur - poc0);
+			int td = c128(poc1 - poc0);
+			int tx = (16384 + (td >= 0 ? td / 2 : -(td / 2))) / td;
+			int dsf = (tb * tx + 32) >> 6;
+			dsf = dsf < -1024 ? -1024 : dsf > 1023 ? 1023 : dsf;
+			if (dsf >> 2 >= -64 && dsf >> 2 <= 128) {
+				w1 = dsf >> 2;
+				w0 = 64 - w1;
+			}
+		}
+		for (int c = 0; c < 3; c++) {
+			w8[(0 * 3 + c) * 2] = (int8_t)w0;
+			w8[(0 * 3 + c) * 2 + 1] = 0;
+			w8[(1 * 3 + c) * 2] = (int8_t)w1;
+			w8[(1 * 3 + c) * 2 + 1] = 0;
 		}
 	}
 }
@@ -296,9 +330,318 @@ int Decoder::parse_P_mb(MbCtx &m, int &skip_run) {
 	return 0;
 }
 
-int Decoder::parse_B_mb(MbCtx &m, int &skip_flag) {
-	(void)m; (void)skip_flag;
-	return E264T_ENOTSUP;   // B slices: next milestone
+// ---------------------------------------------------------------------------
+// B slices (§7.3.5.1/.2, §8.4.1.2): direct modes + per-list partitions.
+
+static int clip3(int lo, int hi, int v) { return v < lo ? lo : v > hi ? hi : v; }
+
+// PicOrderCnt of a frame (progressive: min of the two field counts)
+static int poc_of(const Decoder &d, int slot) {
+	int a = d.Poc[0][slot], b = d.Poc[1][slot];
+	return a < b ? a : b;
+}
+
+// §8.4.1.2.2 spatial + §8.4.1.2.3 temporal direct prediction for the 8x8
+// quadrants in quad_mask of the current mb.
+void Decoder_direct_mv_pred(Decoder &d, Decoder::MbCtx &m, int quad_mask) {
+	int colslot = d.sh.RefPicList[1][0];
+	Planes &cp = d.planes[colslot < 0 ? 0 : colslot];
+	int BW = m.mbW * 4;
+	uint32_t lt_only = d.curr_lt & ~d.curr_st;
+	// with direct_8x8_inference, each quadrant uses its corner 4x4 cell
+	static const int corner_x[4] = {0, 3, 0, 3};
+	static const int corner_y[4] = {0, 0, 3, 3};
+
+	// fetch the co-located cell's refIdx / mv / ref slot
+	auto col_info = [&](int cx, int cy, int &refIdxCol, int &mvx, int &mvy,
+	                    int &colRefSlot) {
+		size_t cell = (size_t)(m.my * 4 + cy) * BW + m.mx * 4 + cx;
+		int r0 = colslot < 0 ? -1 : cp.refpoc_idx[cell * 2];
+		int r1 = colslot < 0 ? -1 : cp.refpoc_idx[cell * 2 + 1];
+		int l = r0 >= 0 ? 0 : 1;
+		if (r0 >= 0 || r1 >= 0) {
+			refIdxCol = l ? r1 : r0;
+			mvx = cp.mvs[(cell * 2 + l) * 2];
+			mvy = cp.mvs[(cell * 2 + l) * 2 + 1];
+			colRefSlot = cp.refslot[cell * 2 + l];
+		} else {              // intra or unparsed co-located block (§8.4.1.2.1):
+			// refIdxCol = -1 keeps colZeroFlag false in spatial direct;
+			// temporal maps refIdxCol < 0 to current refIdxL0 = 0.
+			refIdxCol = -1;
+			mvx = mvy = 0;
+			colRefSlot = d.sh.RefPicList[0][0];
+		}
+	};
+
+	if (d.sh.direct_spatial) {
+		// reference-list-wide refIdx and mvp, computed once per mb
+		int refL[2], mvpx[2] = {0, 0}, mvpy[2] = {0, 0};
+		for (int l = 0; l < 2; l++) {
+			int gx = m.mx * 4, gy = m.my * 4;
+			auto A = m.fetch_mv(gx - 1, gy, l);
+			auto B = m.fetch_mv(gx, gy - 1, l);
+			auto C = m.fetch_mv(gx + 4, gy - 1, l);
+			if (!C.avail)
+				C = m.fetch_mv(gx - 1, gy - 1, l);
+			int r = -1;
+			for (auto &n : {A, B, C})
+				if (n.avail && n.ref >= 0 && (r < 0 || n.ref < r))
+					r = n.ref;
+			refL[l] = r;
+		}
+		int zero_pred = refL[0] < 0 && refL[1] < 0;
+		if (zero_pred)
+			refL[0] = refL[1] = 0;
+		else
+			for (int l = 0; l < 2; l++)
+				if (refL[l] >= 0)
+					m.mvp_median(l, refL[l], 0, 0, 4, 4, 0,
+					             &mvpx[l], &mvpy[l]);
+		bool col_short = colslot >= 0 && !(lt_only >> colslot & 1);
+		for (int q = 0; q < 4; q++) {
+			if (!(quad_mask >> q & 1))
+				continue;
+			int refIdxCol, cmx, cmy, colRefSlot;
+			if (d.sps.direct_8x8_inference)
+				col_info(corner_x[q], corner_y[q], refIdxCol, cmx, cmy,
+				         colRefSlot);
+			for (int sy = 0; sy < 2; sy++) {
+				for (int sx = 0; sx < 2; sx++) {
+					int x4 = (q & 1) * 2 + sx, y4 = (q >> 1) * 2 + sy;
+					if (!d.sps.direct_8x8_inference)
+						col_info(x4, y4, refIdxCol, cmx, cmy, colRefSlot);
+					bool colZero = col_short && refIdxCol == 0 &&
+						cmx >= -1 && cmx <= 1 && cmy >= -1 && cmy <= 1;
+					for (int l = 0; l < 2; l++) {
+						if (refL[l] < 0)
+							continue;
+						int mx_ = mvpx[l], my_ = mvpy[l];
+						if (zero_pred || (refL[l] == 0 && colZero))
+							mx_ = my_ = 0;
+						m.store_mv(l, x4, y4, 1, 1, refL[l],
+						           d.sh.RefPicList[l][refL[l]], mx_, my_);
+					}
+				}
+			}
+		}
+	} else {
+		// temporal direct
+		int poc_cur = poc_of(d, d.curr);
+		int poc_col = colslot < 0 ? 0 : poc_of(d, colslot);
+		for (int q = 0; q < 4; q++) {
+			if (!(quad_mask >> q & 1))
+				continue;
+			int refIdxCol, cmx, cmy, colRefSlot;
+			if (d.sps.direct_8x8_inference)
+				col_info(corner_x[q], corner_y[q], refIdxCol, cmx, cmy,
+				         colRefSlot);
+			for (int sy = 0; sy < 2; sy++) {
+				for (int sx = 0; sx < 2; sx++) {
+					int x4 = (q & 1) * 2 + sx, y4 = (q >> 1) * 2 + sy;
+					if (!d.sps.direct_8x8_inference)
+						col_info(x4, y4, refIdxCol, cmx, cmy, colRefSlot);
+					// map the col reference picture into current list 0
+					int refL0 = 0;
+					for (int i = 0; i < d.sh.num_refs[0]; i++) {
+						if (d.sh.RefPicList[0][i] == colRefSlot) {
+							refL0 = i;
+							break;
+						}
+					}
+					int l0slot = d.sh.RefPicList[0][refL0];
+					int mv0x, mv0y, mv1x, mv1y;
+					int td = clip3(-128, 127,
+					               poc_col - (colRefSlot < 0 ? 0
+					                          : poc_of(d, colRefSlot)));
+					bool lt_ref = colRefSlot >= 0 &&
+						(lt_only >> colRefSlot & 1);
+					if (lt_ref || td == 0) {
+						mv0x = cmx; mv0y = cmy;
+						mv1x = mv1y = 0;
+					} else {
+						int tb = clip3(-128, 127,
+						               poc_cur - (colRefSlot < 0 ? 0
+						                          : poc_of(d, colRefSlot)));
+						int tx = (16384 + (td >= 0 ? td / 2 : -(td / 2))) / td;
+						int dsf = clip3(-1024, 1023, (tb * tx + 32) >> 6);
+						mv0x = (dsf * cmx + 128) >> 8;
+						mv0y = (dsf * cmy + 128) >> 8;
+						mv1x = mv0x - cmx;
+						mv1y = mv0y - cmy;
+					}
+					m.store_mv(0, x4, y4, 1, 1, refL0, l0slot, mv0x, mv0y);
+					m.store_mv(1, x4, y4, 1, 1, 0, d.sh.RefPicList[1][0],
+					           mv1x, mv1y);
+				}
+			}
+		}
+	}
+}
+
+// sub_mb_type -> (list-use bitmask, sub width4, sub height4); 0 = direct
+static const uint8_t b_sub_use[13] = {0, 1, 2, 3, 1, 1, 2, 2, 3, 3, 1, 2, 3};
+static const uint8_t b_sub_w[13] = {2, 2, 2, 2, 2, 1, 2, 1, 2, 1, 1, 1, 1};
+static const uint8_t b_sub_h[13] = {2, 2, 2, 2, 1, 2, 1, 2, 1, 2, 1, 1, 1};
+
+int Decoder::parse_B_mb(MbCtx &m, int &skip_run) {
+	Planes &pl = m.pl;
+
+	if (skip_run < 0) {
+		skip_run = (int)gb.ue(139264);
+		logf("    mb_skip_run: %u\n", skip_run);
+	}
+	if (skip_run-- > 0) {        // B_Skip
+		Decoder_direct_mv_pred(*this, m, 0xF);
+		pl.mb_flags[m.mbi] = MBF_INTER | MBF_SKIP | MBF_PARSED;
+		fill_wp(*this, m);
+		set_mb_qp(m);
+		return 0;
+	}
+	skip_run = -1;
+
+	int mb_type = gb.ue(48);
+	logf("    mb_type: %u\n", mb_type);
+	if (mb_type > 22) {
+		int r = parse_I_mb(m, mb_type - 23);
+		clear_inter_cells(m);
+		return r;
+	}
+
+	int nrefs[2] = {sh.num_refs[0], sh.num_refs[1]};
+	if (mb_type == 0) {          // B_Direct_16x16
+		Decoder_direct_mv_pred(*this, m, 0xF);
+	} else if (mb_type < 22) {
+		// large partitions
+		struct Part { int x4, y4, w4, h4, shape, ri; uint8_t use; };
+		Part parts[2];
+		int n_parts;
+		if (mb_type < 4) {
+			n_parts = 1;
+			parts[0] = {0, 0, 4, 4, 0, 0, (uint8_t)mb_type};
+		} else {
+			n_parts = 2;
+			int k = (mb_type - 4) >> 1;
+			static const uint8_t pair_use[9][2] = {
+				{1, 1}, {2, 2}, {1, 2}, {2, 1}, {1, 3},
+				{2, 3}, {3, 1}, {3, 2}, {3, 3}};
+			if ((mb_type & 1) == 0) {   // 16x8
+				parts[0] = {0, 0, 4, 2, 1, 0, pair_use[k][0]};
+				parts[1] = {0, 2, 4, 2, 2, 2, pair_use[k][1]};
+			} else {                     // 8x16
+				parts[0] = {0, 0, 2, 4, 3, 0, pair_use[k][0]};
+				parts[1] = {2, 0, 2, 4, 4, 1, pair_use[k][1]};
+			}
+		}
+		int refidx[2][2] = {{0, 0}, {0, 0}};
+		int mvd[2][2][2];
+		logf("    ref_idx: {");
+		for (int l = 0; l < 2; l++)
+			for (int i = 0; i < n_parts; i++)
+				if ((parts[i].use >> l & 1) && nrefs[l] > 1) {
+					refidx[l][i] = parse_ref_idx_te(gb, nrefs[l] - 1);
+					logf("\"%u\":%u,", parts[i].ri + l * 4, refidx[l][i]);
+				}
+		logf("}\n    mvds: [");
+		for (int l = 0; l < 2; l++)
+			for (int i = 0; i < n_parts; i++)
+				if (parts[i].use >> l & 1) {
+					mvd[l][i][0] = gb.se(-32768, 32767);
+					mvd[l][i][1] = gb.se(-32768, 32767);
+					logf("[%d,%d],", mvd[l][i][0], mvd[l][i][1]);
+				}
+		logf("]\n");
+		// derive in partition order, both lists per partition
+		for (int i = 0; i < n_parts; i++) {
+			Part &p = parts[i];
+			for (int l = 0; l < 2; l++) {
+				if (!(p.use >> l & 1))
+					continue;
+				int mvpx, mvpy;
+				m.mvp_median(l, refidx[l][i], p.x4, p.y4, p.w4, p.h4,
+				             p.shape, &mvpx, &mvpy);
+				m.store_mv(l, p.x4, p.y4, p.w4, p.h4, refidx[l][i],
+				           sh.RefPicList[l][refidx[l][i]],
+				           mvpx + mvd[l][i][0], mvpy + mvd[l][i][1]);
+			}
+		}
+	} else {                     // B_8x8
+		int sub[4];
+		logf("    sub_mb_types: [");
+		for (int q = 0; q < 4; q++) {
+			sub[q] = gb.ue(12);
+			logf(q < 3 ? "%u," : "%u]\n", sub[q]);
+		}
+		int refidx[2][4] = {{0, 0, 0, 0}, {0, 0, 0, 0}};
+		int mvd[2][4][4][2];     // [list][quad][subpart][xy]
+		logf("    ref_idx: {");
+		for (int l = 0; l < 2; l++)
+			for (int q = 0; q < 4; q++)
+				if (sub[q] != 0 && (b_sub_use[sub[q]] >> l & 1) &&
+				    nrefs[l] > 1) {
+					refidx[l][q] = parse_ref_idx_te(gb, nrefs[l] - 1);
+					logf("\"%u\":%u,", q + l * 4, refidx[l][q]);
+				}
+		logf("}\n    mvds: [");
+		for (int l = 0; l < 2; l++)
+			for (int q = 0; q < 4; q++) {
+				if (sub[q] == 0 || !(b_sub_use[sub[q]] >> l & 1))
+					continue;
+				int w4 = b_sub_w[sub[q]], h4 = b_sub_h[sub[q]];
+				int n = (2 / w4) * (2 / h4), k = 0;
+				(void)n;
+				for (int sy = 0; sy < 2; sy += h4)
+					for (int sx = 0; sx < 2; sx += w4) {
+						mvd[l][q][k][0] = gb.se(-32768, 32767);
+						mvd[l][q][k][1] = gb.se(-32768, 32767);
+						logf("[%d,%d],", mvd[l][q][k][0], mvd[l][q][k][1]);
+						k++;
+					}
+			}
+		logf("]\n");
+		// derive in quadrant order
+		for (int q = 0; q < 4; q++) {
+			if (sub[q] == 0) {
+				Decoder_direct_mv_pred(*this, m, 1 << q);
+				continue;
+			}
+			int bx = (q & 1) * 2, by = (q >> 1) * 2;
+			int w4 = b_sub_w[sub[q]], h4 = b_sub_h[sub[q]];
+			int k = 0;
+			for (int sy = 0; sy < 2; sy += h4)
+				for (int sx = 0; sx < 2; sx += w4) {
+					for (int l = 0; l < 2; l++) {
+						if (!(b_sub_use[sub[q]] >> l & 1))
+							continue;
+						int mvpx, mvpy;
+						m.mvp_median(l, refidx[l][q], bx + sx, by + sy,
+						             w4, h4, 0, &mvpx, &mvpy);
+						m.store_mv(l, bx + sx, by + sy, w4, h4,
+						           refidx[l][q],
+						           sh.RefPicList[l][refidx[l][q]],
+						           mvpx + mvd[l][q][k][0],
+						           mvpy + mvd[l][q][k][1]);
+					}
+					k++;
+				}
+		}
+	}
+
+	pl.mb_flags[m.mbi] = MBF_INTER | MBF_PARSED;
+	fill_wp(*this, m);
+
+	int cbp = me_cbp_inter[gb.ue(47)];
+	logf("    coded_block_pattern: %u\n", cbp);
+	if ((cbp & 15) && cpps->transform_8x8_mode)
+		return E264T_ENOTSUP;   // TEMP: inter 8x8 lands with High profile
+	if (cbp) {
+		int delta = gb.se(-26, 25);
+		logf("    mb_qp_delta: %d\n", delta);
+		int sum = m.qp + delta;
+		m.qp = sum < 0 ? sum + 52 : sum >= 52 ? sum - 52 : sum;
+	}
+	set_mb_qp(m);
+	parse_residuals(m, cbp, false);
+	return 0;
 }
 
 } // namespace e264t

@@ -279,8 +279,6 @@ int Decoder::parse_slice() {
 	     sh.first_mb, slice_type, type_names[sh.slice_type], ppsid);
 	if (sh.slice_type > 2 || ppsid >= 4)
 		return E264T_ENOTSUP;
-	if (sh.slice_type == 1)
-		return E264T_ENOTSUP;   // TEMP: B slices land after the MC milestone
 	if (!sps.valid || !pps[ppsid].valid)
 		return E264T_EBADMSG;
 	cpps = &pps[ppsid];

@@ -129,7 +129,7 @@ void Planes::resize(int w, int h) {
 	deblock_ab.assign(n * 2, 0);
 	wp.assign(n * 24, 0);
 	wp8.assign(n * 4 * 12, 0);
-	refpoc_idx.assign(n * 32, 0);
+	refpoc_idx.assign(n * 32, -1);
 	slice_id.assign(n, 0);
 }
 

@@ -128,16 +128,16 @@ def make_sps(mb_w, mb_h, *, profile=66, level=40, log2_max_frame_num=4,
 
 def make_pps(*, pps_id=0, cabac=False, init_qp=26, chroma_qp_off=0,
              deblock_control=False, second_chroma_qp_off=None,
-             nrefs=1) -> bytes:
+             nrefs=1, nrefs1=1, wbi=0) -> bytes:
     w = BitWriter()
     w.ue(pps_id)
     w.ue(0)                 # sps id
     w.u1(1 if cabac else 0)
     w.u1(0)                 # bottom_field_pic_order_in_frame_present
     w.ue(0)                 # num_slice_groups-1
-    w.ue(max(nrefs, 1) - 1); w.ue(0)   # num_ref_idx_default_active
+    w.ue(max(nrefs, 1) - 1); w.ue(max(nrefs1, 1) - 1)  # num_ref_idx_default_active
     w.u1(0)                 # weighted_pred
-    w.u(0, 2)               # weighted_bipred_idc
+    w.u(wbi, 2)             # weighted_bipred_idc
     w.se(init_qp - 26)
     w.se(0)                 # pic_init_qs
     w.se(chroma_qp_off)
@@ -939,4 +939,251 @@ def gen_random_ipp_stream(mb_w, mb_h, n_frames=3, seed=0, *, qp=26,
         out += make_p_slice(mb_w, mb_h, specs, slice_qp=qp, frame_num=f % 16,
                             poc_lsb=(2 * f) % 16, nrefs=nr, pps_nrefs=nrefs,
                             deblock_idc=deblock_idc)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# B slices
+
+B_PAIR_USE = [(1, 1), (2, 2), (1, 2), (2, 1), (1, 3), (2, 3), (3, 1), (3, 2),
+              (3, 3)]
+B_SUB_USE = [0, 1, 2, 3, 1, 1, 2, 2, 3, 3, 1, 2, 3]
+B_SUB_WH = [(2, 2), (2, 2), (2, 2), (2, 2), (2, 1), (1, 2), (2, 1), (1, 2),
+            (2, 1), (1, 2), (1, 1), (1, 1), (1, 1)]
+
+
+def encode_b_mb(w, enc: IntraEncoder, mx, my, spec, nrefs, skip_state):
+    if spec.kind == 'bskip':
+        enc.parsed.add((mx, my))
+        skip_state['run'] += 1
+        return
+    w.ue(skip_state['run'])
+    skip_state['run'] = 0
+
+    if spec.kind in ('i4', 'i16'):
+        if spec.kind == 'i4':
+            w.ue(23)
+            enc2_encode_i4_body(w, enc, mx, my, spec)
+        else:
+            pm = spec.pred_mode
+            cbp_chroma = spec.cbp >> 4
+            cbp_luma15 = 1 if (spec.cbp & 15) else 0
+            w.ue(23 + 1 + pm + cbp_chroma * 4 + cbp_luma15 * 12)
+            enc2_encode_i16_body(w, enc, mx, my, spec)
+        return
+
+    enc.parsed.add((mx, my))
+    if spec.kind == 'bdirect':
+        w.ue(0)
+    elif spec.kind == 'b16':
+        w.ue(spec.use[0])              # 1 L0, 2 L1, 3 Bi
+    elif spec.kind in ('b16x8', 'b8x16'):
+        k = B_PAIR_USE.index((spec.use[0], spec.use[1]))
+        w.ue(4 + 2 * k + (1 if spec.kind == 'b8x16' else 0))
+    else:                              # b8
+        w.ue(22)
+        for st in spec.sub_types:
+            w.ue(st)
+
+    # ref_idx: list 0 then list 1, partitions/quads in order
+    if spec.kind == 'b8':
+        uses = [B_SUB_USE[st] for st in spec.sub_types]
+    elif spec.kind == 'bdirect':
+        uses = []
+    else:
+        uses = list(spec.use)
+    for l in range(2):
+        for i, u in enumerate(uses):
+            if (u >> l & 1) and nrefs[l] > 1:
+                r = spec.refidx[l][i]
+                if nrefs[l] == 2:
+                    w.u1(r ^ 1)
+                else:
+                    w.ue(r)
+    # mvds: list 0 then list 1
+    mvd_i = 0
+    for l in range(2):
+        for i, u in enumerate(uses):
+            if not (u >> l & 1):
+                continue
+            n = 1
+            if spec.kind == 'b8':
+                w4, h4 = B_SUB_WH[spec.sub_types[i]]
+                n = (2 // w4) * (2 // h4)
+            for _ in range(n):
+                dx, dy = spec.mvds[mvd_i]
+                mvd_i += 1
+                w.se(dx)
+                w.se(dy)
+
+    # residuals
+    cbp = spec.cbp
+    w.ue(INV_ME_CBP_INTER[cbp])
+    if cbp:
+        w.se(spec.qp_delta)
+        enc.qp = (enc.qp + spec.qp_delta + 52) % 52
+    for i8 in range(4):
+        if not (cbp >> i8 & 1):
+            continue
+        for k in range(4):
+            i = i8 * 4 + k
+            nC = enc.nC_luma(mx, my, i)
+            n = encode_residual_cavlc(w, spec.luma_coeffs[i], nC, 16)
+            enc.nz_y[(my * 4 + BLK4_Y[i], mx * 4 + BLK4_X[i])] = n
+    if cbp >> 4:
+        for c in range(2):
+            encode_residual_cavlc(w, spec.chroma_dc[c], -1, 4)
+    if cbp >> 4 == 2:
+        for c in range(2):
+            for cy in range(2):
+                for cx in range(2):
+                    nC = enc.nC_chroma(c, mx, my, cx, cy)
+                    n = encode_residual_cavlc(
+                        w, spec.chroma_ac[c][cy * 2 + cx][1:], nC, 15)
+                    enc.nz_c[(c, my * 2 + cy, mx * 2 + cx)] = n
+
+
+def make_b_slice(mb_w, mb_h, specs, *, slice_qp=26, init_qp=26, frame_num=0,
+                 poc_lsb=0, nal_ref_idc=0, first_mb=0, nrefs=(1, 1),
+                 pps_nrefs=None, direct_spatial=True, deblock_idc=None,
+                 log2_max_frame_num=4, log2_max_poc_lsb=6) -> bytes:
+    w = BitWriter()
+    w.ue(first_mb)
+    w.ue(6)                    # slice_type B (all slices in pic are B)
+    w.ue(0)                    # pps id
+    w.u(frame_num, log2_max_frame_num)
+    w.u(poc_lsb, log2_max_poc_lsb)
+    w.u1(1 if direct_spatial else 0)
+    if pps_nrefs is not None and tuple(nrefs) != tuple(pps_nrefs):
+        w.u1(1)
+        w.ue(nrefs[0] - 1)
+        w.ue(nrefs[1] - 1)
+    else:
+        w.u1(0)
+    w.u1(0)                    # ref_pic_list_modification_flag_l0
+    w.u1(0)                    # ref_pic_list_modification_flag_l1
+    if nal_ref_idc:
+        w.u1(0)                # adaptive_ref_pic_marking_mode_flag
+    w.se(slice_qp - init_qp)
+    if deblock_idc is not None:
+        w.ue(deblock_idc)
+        if deblock_idc != 1:
+            w.se(0)
+            w.se(0)
+    enc = IntraEncoder(mb_w, mb_h, slice_qp)
+    skip_state = {'run': 0}
+    for n, spec in enumerate(specs):
+        addr = first_mb + n
+        mx, my = addr % mb_w, addr // mb_w
+        if spec.kind in ('i4', 'i16'):
+            resolve_random_modes(random.Random(addr), enc, mx, my, spec)
+        encode_b_mb(w, enc, mx, my, spec, nrefs, skip_state)
+    if skip_state['run']:
+        w.ue(skip_state['run'])
+    w.rbsp_trailing()
+    return nal(nal_ref_idc, 1, w.bytes_unescaped())
+
+
+def random_b_mb(rng, nrefs, max_level=8, density=0.3, mv_range=32,
+                intra_prob=0.1, skip_prob=0.15, direct_prob=0.15):
+    u = rng.random()
+    if u < skip_prob:
+        return MbSpec('bskip')
+    if u < skip_prob + intra_prob:
+        return random_intra_mb(rng, ('i4', 'i16'), max_level, density)
+
+    def rand_coeffs(n, start=0):
+        c = [0] * n
+        for i in range(start, n):
+            if rng.random() < density:
+                v = rng.randrange(1, max_level + 1)
+                c[i] = v if rng.random() < 0.5 else -v
+        return c
+
+    common = dict(
+        cbp=(rng.randrange(16) if rng.random() < 0.7 else 0)
+        | rng.choice([0, 1, 2]) << 4,
+        qp_delta=rng.randrange(-3, 4),
+        luma_coeffs=[rand_coeffs(16) for _ in range(16)],
+        chroma_dc=[rand_coeffs(4) for _ in range(2)],
+        chroma_ac=[[rand_coeffs(16, 1) for _ in range(4)] for _ in range(2)])
+
+    if u < skip_prob + intra_prob + direct_prob:
+        return MbSpec('bdirect', **common)
+    kind = rng.choice(['b16', 'b16x8', 'b8x16', 'b8'])
+    nparts = 1 if kind == 'b16' else 2 if kind in ('b16x8', 'b8x16') else 4
+    sub_types = [rng.randrange(13) for _ in range(4)] if kind == 'b8' else None
+    if kind == 'b8':
+        uses = [B_SUB_USE[st] for st in sub_types]
+    else:
+        uses = [rng.randrange(1, 4) for _ in range(nparts)]
+    refidx = [[rng.randrange(nrefs[l]) for _ in range(nparts)]
+              for l in range(2)]
+    n_mvds = 0
+    for i, use in enumerate(uses):
+        nsub = 1
+        if kind == 'b8':
+            w4, h4 = B_SUB_WH[sub_types[i]]
+            nsub = (2 // w4) * (2 // h4)
+        n_mvds += bin(use).count('1') * nsub
+    mvds = [(rng.randrange(-mv_range, mv_range + 1),
+             rng.randrange(-mv_range, mv_range + 1)) for _ in range(n_mvds)]
+    return MbSpec(kind, use=uses, sub_types=sub_types, refidx=refidx,
+                  mvds=mvds, **common)
+
+
+def gen_random_ipb_stream(mb_w, mb_h, n_gops=2, seed=0, *, qp=26,
+                          max_level=8, density=0.3, mv_range=32,
+                          direct_spatial=True, wbi=0, b_nrefs=(2, 1),
+                          deblock=True) -> bytes:
+    """IDR, then per GOP: P (ref), B (non-ref, POC between).  Decode order
+    I P1 B1 P2 B2...; display order I B1 P1 B2 P2..."""
+    rng = random.Random(seed)
+    out = make_sps(mb_w, mb_h, max_ref_frames=3, log2_max_poc_lsb=6) \
+        + make_pps(deblock_control=not deblock, nrefs=2, nrefs1=1, wbi=wbi)
+    deblock_idc = None if deblock else 1
+    n_mbs = mb_w * mb_h
+    specs = []
+    probe = IntraEncoder(mb_w, mb_h, qp)
+    for addr in range(n_mbs):
+        spec = random_intra_mb(rng, ('i4', 'i16'), max_level, density)
+        resolve_random_modes(rng, probe, addr % mb_w, addr // mb_w, spec)
+        probe.parsed.add((addr % mb_w, addr // mb_w))
+        specs.append(spec)
+    out += make_idr_slice(mb_w, mb_h, specs, slice_qp=qp,
+                          deblock_idc=deblock_idc, log2_max_poc_lsb=6)
+    for g in range(1, n_gops + 1):
+        # P reference frame at poc 8g, frame_num g
+        nr = min(g, 2)
+        mvsP = MvState(mb_w, mb_h)
+        encP = IntraEncoder(mb_w, mb_h, qp)
+        specs = []
+        probe = IntraEncoder(mb_w, mb_h, qp)
+        for addr in range(n_mbs):
+            spec = random_p_mb(rng, nr, max_level, density, mv_range)
+            if spec.kind in ('i4', 'i16'):
+                resolve_random_modes(rng, probe, addr % mb_w, addr // mb_w,
+                                     spec)
+            probe.parsed.add((addr % mb_w, addr // mb_w))
+            specs.append(spec)
+        out += make_p_slice(mb_w, mb_h, specs, slice_qp=qp,
+                            frame_num=g % 16, poc_lsb=(8 * g) % 64, nrefs=nr,
+                            pps_nrefs=2, deblock_idc=deblock_idc,
+                            log2_max_poc_lsb=6)
+        # non-ref B frame at poc 8g-4, frame_num g+1 (prev ref + 1)
+        nrefs_b = (min(g + 1, b_nrefs[0]), 1)
+        specs = []
+        probe = IntraEncoder(mb_w, mb_h, qp)
+        for addr in range(n_mbs):
+            spec = random_b_mb(rng, nrefs_b, max_level, density, mv_range)
+            if spec.kind in ('i4', 'i16'):
+                resolve_random_modes(rng, probe, addr % mb_w, addr // mb_w,
+                                     spec)
+            probe.parsed.add((addr % mb_w, addr // mb_w))
+            specs.append(spec)
+        out += make_b_slice(mb_w, mb_h, specs, slice_qp=qp,
+                            frame_num=(g + 1) % 16,
+                            poc_lsb=(8 * g - 4) % 64, nrefs=nrefs_b,
+                            pps_nrefs=(2, 1), direct_spatial=direct_spatial,
+                            deblock_idc=deblock_idc, log2_max_poc_lsb=6)
     return out
