@@ -94,10 +94,15 @@ def decode_annexb(stream: bytes, **kw):
         pos = find_start_code(stream, 0)
         pos += 3
         res = 0
+        stall = 0
         while res in (0, errno.ENOBUFS, errno.ENOTSUP, errno.EBADMSG):
             end = find_start_code(stream, pos)
             res = dec.decode_nal(stream[pos:end] if pos < len(stream) else None)
+            stall += 1
             while (frm := dec.get_frame()) is not None:
                 yield frm
+                stall = 0
             if res != errno.ENOBUFS:
                 pos = end + 3
+            elif stall > 64:      # incomplete frames can never complete
+                break

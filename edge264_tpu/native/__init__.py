@@ -17,7 +17,7 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "src")
 _LIB = os.path.join(_DIR, "libe264t.so")
 
-SOURCES = ["tables.cpp", "cavlc.cpp", "cabac.cpp", "headers.cpp", "slice.cpp",
+SOURCES = ["tables.cpp", "cabac_tables.cpp", "cavlc.cpp", "cabac.cpp", "headers.cpp", "slice.cpp",
            "mb_cavlc.cpp", "mb_inter.cpp", "mb_cabac.cpp", "api.cpp"]
 CXXFLAGS = ["-std=c++17", "-O2", "-fPIC", "-shared", "-Wall",
             "-Wno-unused-function"]
@@ -62,7 +62,7 @@ EV_UNPIN = 6
 _PLANE_PTRS = ["mb_flags", "qp", "i4_modes", "i16_modes", "i8_modes",
                "ch_modes", "nz_y", "nz_c", "coef_y", "coef_y8", "coef_y_dc",
                "coef_c_dc", "coef_cb", "coef_cr", "mvs", "refslot", "pcm_y",
-               "pcm_c", "deblock", "deblock_ab", "wp", "slice_id", "wp8"]
+               "pcm_c", "deblock", "deblock_ab", "wp", "slice_id", "wp8", "sm4", "sm8"]
 
 
 class PlanesStruct(C.Structure):
@@ -155,6 +155,8 @@ class SyntaxPlanes:
         self.deblock_ab = arr(s.deblock_ab, (H, W, 2), np.int8)
         self.wp = arr(s.wp, (H, W, 24), np.int8)
         self.wp8 = arr(s.wp8, (2 * H, 2 * W, 2, 3, 2), np.int8)
+        self.sm4 = arr(s.sm4, (6, 16), np.uint8)
+        self.sm8 = arr(s.sm8, (2, 64), np.uint8)
         self.slice_id = arr(s.slice_id, (H, W), np.uint16)
 
 

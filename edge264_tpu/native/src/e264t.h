@@ -203,7 +203,14 @@ struct Planes {
 	std::vector<int8_t>  wp;          // [mbH*mbW*24]     [0]=mode,[1]=lumaLogWD,[2]=chromaLogWD
 	std::vector<int8_t>  wp8;         // [mbH*2*mbW*2*2*3*2] per 8x8,list,comp: w,o
 	std::vector<int8_t>  refpoc_idx;  // [mbH*4*mbW*4*2]  refIdx per cell (internal)
+	std::vector<uint8_t> absmvd;      // [mbH*4*mbW*4*2*2] |mvd| per cell,list,comp
+	                                  // clamped to 127 (CABAC mvd contexts)
+	std::vector<uint8_t> cbp;         // [mbH*mbW] luma bits 0-3 | chroma<<4 (0/1/2)
+	std::vector<uint8_t> refnz;       // [mbH*2*mbW*2] per-8x8: bit l set if that
+	                                  // list's refIdx was parsed nonzero (CABAC ref ctx)
 	std::vector<uint16_t> slice_id;   // [mbH*mbW]        slice index within frame
+	uint8_t sm4[6][16];               // resolved weightScale4x4 (last slice)
+	uint8_t sm8[2][64];               // resolved 8x8 intra/inter lists
 
 	void resize(int w, int h);
 	void clear_mb_range(int mb0, int mb1);
@@ -218,7 +225,7 @@ enum {
 	MBF_SKIP     = 1 << 4,
 	MBF_PARSED   = 1 << 5,   // availability marker during parse
 	MBF_INTER    = 1 << 6,
-	MBF_FIELDS   = 0,
+	MBF_DIRECT   = 1 << 7,   // B_Skip / B_Direct_16x16 (CABAC mb_type ctx)
 };
 // deblock plane bits
 enum {
@@ -270,6 +277,8 @@ struct SliceHeader {
 
 struct Decoder;
 
+// shared inter helpers (mb_inter.cpp), used by both entropy layers
+
 // CABAC engine state (ISO 9.3; layout of our own design)
 struct Cabac {
 	uint32_t codIRange = 0, codIOffset = 0;
@@ -281,6 +290,7 @@ struct Cabac {
 	int bypass();
 	uint32_t bypass_n(int n);
 	int terminate();
+	void flush();                // §9.3.3.2.5 DecodeFlush (7 bits)
 };
 
 // ---------------------------------------------------------------------------
@@ -377,6 +387,7 @@ struct Decoder {
 	void finish_frame();         // currPic complete: emit events, marking
 	void bump_frames(bool all);  // C.4.5 output bumping
 	void logf(const char *fmt, ...);
+	int mb_qp_delta_nz = 0;      // CABAC ctx: previous mb had mb_qp_delta != 0
 
 	// per-slice mb-loop state
 	struct MbCtx;
@@ -385,6 +396,11 @@ struct Decoder {
 	int parse_B_mb(MbCtx &m, int &skip_flag);
 	void parse_residuals(MbCtx &m, int cbp, bool is16);
 	void set_mb_qp(MbCtx &m);
+	int parse_I_mb_cabac(MbCtx &m, int ctx_base);
+	int parse_P_mb_cabac(MbCtx &m);
+	int parse_B_mb_cabac(MbCtx &m);
+	void parse_residuals_cabac(MbCtx &m, int cbp, bool is16);
+	int parse_chroma_mode_cabac(MbCtx &m);
 };
 
 // Per-slice macroblock parse context (shared by the CAVLC/CABAC mb layers

@@ -309,6 +309,8 @@ int Decoder::parse_sps(bool subset) {
 		     "  qpprime_y_zero_transform_bypass_flag: %u\n",
 		     s.bit_depth_luma, s.bit_depth_chroma,
 		     s.qpprime_y_zero_transform_bypass);
+		memset(s.weightScale4x4, 16, sizeof(s.weightScale4x4));
+		memset(s.weightScale8x8, 16, sizeof(s.weightScale8x8));
 		if (gb.u1()) {               // seq_scaling_matrix_present_flag
 			s.seq_scaling_matrix_present = 1;
 			// fall-back rule A: lists 0/3 default to the default matrices

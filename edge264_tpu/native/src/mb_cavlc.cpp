@@ -124,6 +124,7 @@ int Decoder::parse_I_mb(MbCtx &m, int mb_type) {
 					pc[(size_t)y * (m.mbW * 8) + x] = (uint8_t)gb.u(8);
 		}
 		pl.mb_flags[m.mbi] = MBF_INTRA | MBF_IPCM | MBF_PARSED;
+		pl.cbp[m.mbi] = 15 | 2 << 4;
 		pl.qp[m.mbi * 4 + 0] = 0;   // QPY of I_PCM is 0 (§8.7)
 		pl.qp[m.mbi * 4 + 1] = chroma_qp(0, cpps->chroma_qp_index_offset);
 		pl.qp[m.mbi * 4 + 2] = chroma_qp(0, cpps->second_chroma_qp_index_offset);
@@ -207,6 +208,8 @@ int Decoder::parse_I_mb(MbCtx &m, int mb_type) {
 		pl.ch_modes[m.mbi] = (uint8_t)(chroma_mode | (avail_bits & 0x70));
 		pl.mb_flags[m.mbi] = MBF_INTRA | MBF_I16x16 | MBF_PARSED;
 	}
+
+	pl.cbp[m.mbi] = (uint8_t)((cbp & 15) | (cbp >> 4) << 4);
 
 	// ---- mb_qp_delta + residuals -----------------------------------------
 	bool is16 = mb_type > 0;
@@ -339,10 +342,6 @@ int Decoder::parse_slice_data_cavlc() {
 	if (!gb.rbsp_finished() && !err)
 		err = E264T_EBADMSG;
 	return err;
-}
-
-int Decoder::parse_slice_data_cabac() {
-	return E264T_ENOTSUP;   // CABAC milestone comes after the CAVLC slice
 }
 
 } // namespace e264t

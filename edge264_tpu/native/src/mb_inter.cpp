@@ -103,7 +103,7 @@ void Decoder::MbCtx::store_mv(int list, int x4, int y4, int w4, int h4,
 }
 
 // mark an intra (or missing) mb's cells in the mv planes
-static void clear_inter_cells(Decoder::MbCtx &m) {
+void Decoder_clear_inter_cells(Decoder::MbCtx &m) {
 	int BW = m.mbW * 4;
 	for (int dy = 0; dy < 4; dy++) {
 		for (int dx = 0; dx < 4; dx++) {
@@ -122,7 +122,7 @@ static void clear_inter_cells(Decoder::MbCtx &m) {
 // Resolve explicit prediction weights per 8x8 quadrant into the wp planes
 // (§8.4.2.3.2 resolved at parse time so the device kernel needs no
 // per-refIdx lookups).
-static void fill_wp(Decoder &d, Decoder::MbCtx &m) {
+void Decoder_fill_wp(Decoder &d, Decoder::MbCtx &m) {
 	Planes &pl = m.pl;
 	int8_t *wp = &pl.wp[m.mbi * 24];
 	wp[0] = (int8_t)d.sh.weighted_bipred_idc;
@@ -184,7 +184,7 @@ static void fill_wp(Decoder &d, Decoder::MbCtx &m) {
 
 // ---------------------------------------------------------------------------
 // ref_idx: truncated Exp-Golomb (te, §9.1.1)
-static int parse_ref_idx_te(BitReader &gb, int max) {
+int parse_ref_idx_te(BitReader &gb, int max) {
 	if (max == 0)
 		return 0;
 	if (max == 1)
@@ -193,7 +193,7 @@ static int parse_ref_idx_te(BitReader &gb, int max) {
 }
 
 // P_Skip motion inference (§8.4.1.1)
-static void decode_P_skip(Decoder &d, Decoder::MbCtx &m) {
+void Decoder_P_skip(Decoder &d, Decoder::MbCtx &m) {
 	int gx = m.mx * 4, gy = m.my * 4;
 	auto A = m.fetch_mv(gx - 1, gy, 0);
 	auto B = m.fetch_mv(gx, gy - 1, 0);
@@ -205,7 +205,7 @@ static void decode_P_skip(Decoder &d, Decoder::MbCtx &m) {
 	}
 	m.store_mv(0, 0, 0, 4, 4, 0, d.sh.RefPicList[0][0], mvx, mvy);
 	m.pl.mb_flags[m.mbi] = MBF_INTER | MBF_SKIP | MBF_PARSED;
-	fill_wp(d, m);
+	Decoder_fill_wp(d, m);
 	d.set_mb_qp(m);
 }
 
@@ -218,7 +218,7 @@ int Decoder::parse_P_mb(MbCtx &m, int &skip_run) {
 		logf("    mb_skip_run: %u\n", skip_run);
 	}
 	if (skip_run-- > 0) {
-		decode_P_skip(*this, m);
+		Decoder_P_skip(*this, m);
 		return 0;
 	}
 	skip_run = -1;
@@ -227,7 +227,7 @@ int Decoder::parse_P_mb(MbCtx &m, int &skip_run) {
 	logf("    mb_type: %u\n", mb_type);
 	if (mb_type > 4) {
 		int r = parse_I_mb(m, mb_type - 5);
-		clear_inter_cells(m);
+		Decoder_clear_inter_cells(m);
 		return r;
 	}
 
@@ -310,10 +310,11 @@ int Decoder::parse_P_mb(MbCtx &m, int &skip_run) {
 	}
 	(void)slot0;
 	pl.mb_flags[m.mbi] = MBF_INTER | MBF_PARSED;
-	fill_wp(*this, m);
+	Decoder_fill_wp(*this, m);
 
 	// ---- coded_block_pattern + residuals ---------------------------------
 	int cbp = me_cbp_inter[gb.ue(47)];
+	pl.cbp[m.mbi] = (uint8_t)cbp;
 	logf("    coded_block_pattern: %u\n", cbp);
 	if (cbp & 15) {
 		if (cpps->transform_8x8_mode)
@@ -492,8 +493,8 @@ int Decoder::parse_B_mb(MbCtx &m, int &skip_run) {
 	}
 	if (skip_run-- > 0) {        // B_Skip
 		Decoder_direct_mv_pred(*this, m, 0xF);
-		pl.mb_flags[m.mbi] = MBF_INTER | MBF_SKIP | MBF_PARSED;
-		fill_wp(*this, m);
+		pl.mb_flags[m.mbi] = MBF_INTER | MBF_SKIP | MBF_DIRECT | MBF_PARSED;
+		Decoder_fill_wp(*this, m);
 		set_mb_qp(m);
 		return 0;
 	}
@@ -503,13 +504,14 @@ int Decoder::parse_B_mb(MbCtx &m, int &skip_run) {
 	logf("    mb_type: %u\n", mb_type);
 	if (mb_type > 22) {
 		int r = parse_I_mb(m, mb_type - 23);
-		clear_inter_cells(m);
+		Decoder_clear_inter_cells(m);
 		return r;
 	}
 
 	int nrefs[2] = {sh.num_refs[0], sh.num_refs[1]};
 	if (mb_type == 0) {          // B_Direct_16x16
 		Decoder_direct_mv_pred(*this, m, 0xF);
+		pl.mb_flags[m.mbi] |= MBF_DIRECT;
 	} else if (mb_type < 22) {
 		// large partitions
 		struct Part { int x4, y4, w4, h4, shape, ri; uint8_t use; };
@@ -627,9 +629,10 @@ int Decoder::parse_B_mb(MbCtx &m, int &skip_run) {
 	}
 
 	pl.mb_flags[m.mbi] = MBF_INTER | MBF_PARSED;
-	fill_wp(*this, m);
+	Decoder_fill_wp(*this, m);
 
 	int cbp = me_cbp_inter[gb.ue(47)];
+	pl.cbp[m.mbi] = (uint8_t)cbp;
 	logf("    coded_block_pattern: %u\n", cbp);
 	if ((cbp & 15) && cpps->transform_8x8_mode)
 		return E264T_ENOTSUP;   // TEMP: inter 8x8 lands with High profile

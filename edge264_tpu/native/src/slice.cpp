@@ -481,6 +481,42 @@ int Decoder::parse_slice() {
 		}
 	}
 
+	// resolve the effective scaling matrices for this slice (§7.4.2.1.1.1
+	// fall-back rule B: absent PPS lists chain to the previous list, with
+	// lists 0/3 inheriting the active SPS lists)
+	{
+		Planes &pl = planes[curr];
+		if (!cpps->pic_scaling_matrix_present) {
+			// no PPS matrices: the SPS lists apply as-is
+			memcpy(pl.sm4, sps.weightScale4x4, sizeof(pl.sm4));
+			memcpy(pl.sm8[0], sps.weightScale8x8[0], 64);
+			memcpy(pl.sm8[1], sps.weightScale8x8[1], 64);
+		} else
+		for (int i = 0; i < 6; i++) {
+			const uint8_t *src = cpps->weightScale4x4[i];
+			bool absent = true;
+			for (int j = 0; j < 16 && absent; j++)
+				absent = src[j] == 0;
+			if (!absent)
+				memcpy(pl.sm4[i], src, 16);
+			else if (i == 0 || i == 3)
+				memcpy(pl.sm4[i], sps.weightScale4x4[i], 16);
+			else
+				memcpy(pl.sm4[i], pl.sm4[i - 1], 16);
+		}
+		if (cpps->pic_scaling_matrix_present)
+		for (int i = 0; i < 2; i++) {
+			const uint8_t *src = cpps->weightScale8x8[i];
+			bool absent = true;
+			for (int j = 0; j < 64 && absent; j++)
+				absent = src[j] == 0;
+			if (!absent)
+				memcpy(pl.sm8[i], src, 64);
+			else
+				memcpy(pl.sm8[i], sps.weightScale8x8[i], 64);
+		}
+	}
+
 	// parse the slice data into the syntax planes
 	slice_count[curr]++;
 	int err;

@@ -130,7 +130,12 @@ void Planes::resize(int w, int h) {
 	wp.assign(n * 24, 0);
 	wp8.assign(n * 4 * 12, 0);
 	refpoc_idx.assign(n * 32, -1);
+	absmvd.assign(n * 64, 0);
+	cbp.assign(n, 0);
+	refnz.assign(n * 4, 0);
 	slice_id.assign(n, 0);
+	memset(sm4, 16, sizeof(sm4));
+	memset(sm8, 16, sizeof(sm8));
 }
 
 void Planes::clear_mb_range(int mb0, int mb1) {

@@ -1187,3 +1187,692 @@ def gen_random_ipb_stream(mb_w, mb_h, n_gops=2, seed=0, *, qp=26,
                             pps_nrefs=(2, 1), direct_spatial=direct_spatial,
                             deblock_idc=deblock_idc, log2_max_poc_lsb=6)
     return out
+
+
+# ---------------------------------------------------------------------------
+# CABAC slice encoding: mirrors the decoder's context scheme
+# (native/src/mb_cabac.cpp).  Single slice per frame.
+
+from tools.cabac_enc import CabacWriter
+
+
+class CabacSliceEncoder:
+    """Per-frame CABAC mb-layer encoder with full neighbour-context
+    tracking (nz/cbp/absmvd/refnz/skip/direct/chroma-mode state)."""
+
+    def __init__(self, mb_w, mb_h, qp, init_table, bitwriter):
+        self.mb_w, self.mb_h = mb_w, mb_h
+        self.qp = qp
+        self.c = CabacWriter(bitwriter, qp, init_table)
+        self.w = bitwriter
+        n = mb_w * mb_h
+        self.flags = [0] * n            # 1 intra, 2 i16, 4 pcm, 16 skip,
+                                        # 128 direct (B_Skip/B_Direct_16x16)
+        self.cbp = [0] * n              # luma | chroma<<4
+        self.chmode = [None] * n
+        self.dc_cbf = [[0, 0, 0] for _ in range(n)]   # y, cb, cr
+        self.nz_y = {}                  # (gby,gbx) -> cbf
+        self.nz_c = {}                  # (comp,gy,gx) -> cbf
+        self.modes = {}                 # intra4x4 modes
+        self.refnz = {}                 # (l, qy, qx) -> refIdx>0
+        self.absmvd = {}                # (l, gy, gx) -> (ax, ay)
+        self.qp_delta_nz = 0
+        self.mvs = MvState(mb_w, mb_h)
+
+    # -- context helpers ---------------------------------------------------
+    def _skip_inc(self, mx, my):
+        a = mx > 0 and not (self.flags[my * self.mb_w + mx - 1] & 16)
+        b = my > 0 and not (self.flags[(my - 1) * self.mb_w + mx] & 16)
+        return int(a) + int(b)
+
+    def _cbf_nbr(self, avail, nbr_pcm, cbf, cur_intra):
+        if not avail:
+            return 1 if cur_intra else 0
+        return 1 if nbr_pcm else cbf
+
+    def _cbf_inc_luma4(self, mx, my, i, cur_intra):
+        gbx, gby = mx * 4 + BLK4_X[i], my * 4 + BLK4_Y[i]
+        aA = BLK4_X[i] > 0 or mx > 0
+        aB = BLK4_Y[i] > 0 or my > 0
+        a = self._cbf_nbr(aA, aA and self.flags[(gby // 4) * self.mb_w
+                          + (gbx - 1) // 4] & 4,
+                          self.nz_y.get((gby, gbx - 1), 0), cur_intra) \
+            if aA else self._cbf_nbr(False, False, 0, cur_intra)
+        b = self._cbf_nbr(aB, aB and self.flags[((gby - 1) // 4) * self.mb_w
+                          + gbx // 4] & 4,
+                          self.nz_y.get((gby - 1, gbx), 0), cur_intra) \
+            if aB else self._cbf_nbr(False, False, 0, cur_intra)
+        return a + 2 * b
+
+    def _cbf_inc_chroma(self, mx, my, comp, cx, cy, cur_intra):
+        gx, gy = mx * 2 + cx, my * 2 + cy
+        aA = cx > 0 or mx > 0
+        aB = cy > 0 or my > 0
+        a = self._cbf_nbr(aA, aA and self.flags[(gy // 2) * self.mb_w
+                          + (gx - 1) // 2] & 4,
+                          self.nz_c.get((comp, gy, gx - 1), 0), cur_intra) \
+            if aA else self._cbf_nbr(False, False, 0, cur_intra)
+        b = self._cbf_nbr(aB, aB and self.flags[((gy - 1) // 2) * self.mb_w
+                          + gx // 2] & 4,
+                          self.nz_c.get((comp, gy - 1, gx), 0), cur_intra) \
+            if aB else self._cbf_nbr(False, False, 0, cur_intra)
+        return a + 2 * b
+
+    def _cbf_inc_dc(self, mx, my, comp, cur_intra):
+        def of(nmx, nmy):
+            f = self.flags[nmy * self.mb_w + nmx]
+            if f & 4:
+                return 1
+            if comp == 0 and not (f & 2):
+                return 0
+            return self.dc_cbf[nmy * self.mb_w + nmx][comp]
+        a = of(mx - 1, my) if mx > 0 else self._cbf_nbr(False, False, 0,
+                                                        cur_intra)
+        b = of(mx, my - 1) if my > 0 else self._cbf_nbr(False, False, 0,
+                                                        cur_intra)
+        return a + 2 * b
+
+    def _cbp_encode(self, mx, my, cbp_val):
+        mbi = my * self.mb_w + mx
+        cbp = 0
+        for k in range(4):
+            if k & 1:
+                a = (cbp >> (k - 1) & 1) ^ 1
+            elif mx > 0:
+                a = (self.cbp[mbi - 1] >> (k + 1) & 1) ^ 1
+            else:
+                a = 0
+            if k >= 2:
+                b = (cbp >> (k - 2) & 1) ^ 1
+            elif my > 0:
+                b = (self.cbp[mbi - self.mb_w] >> (k + 2) & 1) ^ 1
+            else:
+                b = 0
+            bit = cbp_val >> k & 1
+            self.c.encode(73 + a + 2 * b, bit)
+            cbp |= bit << k
+        ca = self.cbp[mbi - 1] >> 4 if mx > 0 else 0
+        cb = self.cbp[mbi - self.mb_w] >> 4 if my > 0 else 0
+        cc = cbp_val >> 4
+        self.c.encode(77 + (ca > 0) + 2 * (cb > 0), 1 if cc else 0)
+        if cc:
+            self.c.encode(81 + (ca == 2) + 2 * (cb == 2), cc - 1)
+        self.cbp[mbi] = cbp_val
+
+    def _qp_delta(self, delta):
+        self.c.encode(60 + self.qp_delta_nz, 1 if delta else 0)
+        self.qp_delta_nz = 1 if delta else 0
+        if not delta:
+            return
+        count = 2 * delta - 1 if delta > 0 else -2 * delta
+        for i in range(1, count):
+            self.c.encode(62 if i == 1 else 63, 1)
+        self.c.encode(62 if count == 1 else 63, 0)
+        self.qp = (self.qp + delta + 52) % 52
+
+    def _chroma_mode(self, mx, my, mode):
+        def nzm(nmx, nmy):
+            m_ = self.chmode[nmy * self.mb_w + nmx]
+            return 1 if m_ not in (None, 0) else 0
+        inc = (nzm(mx - 1, my) if mx > 0 else 0) \
+            + (nzm(mx, my - 1) if my > 0 else 0)
+        ctx = 64 + inc
+        for i in range(mode):
+            self.c.encode(ctx, 1)
+            ctx = 67
+        if mode < 3:
+            self.c.encode(ctx, 0)
+        self.chmode[my * self.mb_w + mx] = mode
+
+    def _ref_idx(self, mx, my, l, x4, y4, w4, h4, nrefs, ref):
+        gqx, gqy = mx * 2 + (x4 >> 1), my * 2 + (y4 >> 1)
+        if x4 > 0:
+            a = self.refnz.get((l, gqy, gqx - (0 if x4 & 1 else 1)), 0)
+        elif mx > 0:
+            a = self.refnz.get((l, gqy, gqx - 1), 0)
+        else:
+            a = 0
+        if y4 > 0:
+            b = self.refnz.get((l, gqy - (0 if y4 & 1 else 1), gqx), 0)
+        elif my > 0:
+            b = self.refnz.get((l, gqy - 1, gqx), 0)
+        else:
+            b = 0
+        if nrefs > 1:
+            self.c.ue_tu([54 + a + 2 * b, 58, 59], ref, 32)
+        if ref > 0:
+            for qy in range(y4 >> 1, (y4 + h4 - 1 >> 1) + 1):
+                for qx in range(x4 >> 1, (x4 + w4 - 1 >> 1) + 1):
+                    self.refnz[(l, my * 2 + qy, mx * 2 + qx)] = 1
+
+    def _mvd(self, mx, my, l, x4, y4, w4, h4, mvdx, mvdy):
+        gx, gy = mx * 4 + x4, my * 4 + y4
+        for comp, val in ((0, mvdx), (1, mvdy)):
+            s = 0
+            if gx > 0 and (x4 > 0 or mx > 0):
+                s += self.absmvd.get((l, gy, gx - 1), (0, 0))[comp]
+            if gy > 0 and (y4 > 0 or my > 0):
+                s += self.absmvd.get((l, gy - 1, gx), (0, 0))[comp]
+            inc = (1 if s >= 3 else 0) + (1 if s > 32 else 0)
+            self.c.mvd(40 if comp == 0 else 47, inc, val)
+        ax, ay = min(abs(mvdx), 127), min(abs(mvdy), 127)
+        for dy in range(h4):
+            for dx in range(w4):
+                self.absmvd[(l, gy + dy, gx + dx)] = (ax, ay)
+
+    def _residuals(self, mx, my, spec, cbp, is16, cur_intra):
+        mbi = my * self.mb_w + mx
+        if is16:
+            dc = spec.dc_coeffs
+            cbf = 1 if any(dc) else 0
+            self.c.encode(CAT_CBF[0] + self._cbf_inc_dc(mx, my, 0, cur_intra),
+                          cbf)
+            self.dc_cbf[mbi][0] = cbf
+            if cbf:
+                self.c.residual_block(0, dc, None, 0, 15)
+        for i8 in range(4):
+            if not (cbp >> i8 & 1):
+                continue
+            for k in range(4):
+                i = i8 * 4 + k
+                coeffs = spec.luma_coeffs[i]
+                if is16:
+                    blockc = [0] + coeffs[1:]
+                    cbf = 1 if any(coeffs[1:]) else 0
+                else:
+                    blockc = coeffs
+                    cbf = 1 if any(coeffs) else 0
+                cat = 1 if is16 else 2
+                self.c.encode(CAT_CBF[cat]
+                              + self._cbf_inc_luma4(mx, my, i, cur_intra), cbf)
+                gbx, gby = mx * 4 + BLK4_X[i], my * 4 + BLK4_Y[i]
+                self.nz_y[(gby, gbx)] = cbf
+                if cbf:
+                    if is16:
+                        self.c.residual_block(1, blockc, None, 1, 15)
+                    else:
+                        self.c.residual_block(2, blockc, None, 0, 15)
+        cc = cbp >> 4
+        if cc:
+            for comp in range(2):
+                dc = spec.chroma_dc[comp]
+                cbf = 1 if any(dc) else 0
+                self.c.encode(CAT_CBF[3]
+                              + self._cbf_inc_dc(mx, my, 1 + comp, cur_intra),
+                              cbf)
+                self.dc_cbf[mbi][1 + comp] = cbf
+                if cbf:
+                    self.c.residual_block(3, dc, None, 0, 3)
+        if cc == 2:
+            for comp in range(2):
+                for cy in range(2):
+                    for cx in range(2):
+                        coeffs = spec.chroma_ac[comp][cy * 2 + cx]
+                        blockc = [0] + coeffs[1:]
+                        cbf = 1 if any(coeffs[1:]) else 0
+                        self.c.encode(
+                            CAT_CBF[4] + self._cbf_inc_chroma(
+                                mx, my, comp, cx, cy, cur_intra), cbf)
+                        self.nz_c[(comp, my * 2 + cy, mx * 2 + cx)] = cbf
+                        if cbf:
+                            self.c.residual_block(4, blockc, None, 1, 15)
+
+    # -- macroblocks -------------------------------------------------------
+    def encode_i_mb(self, mx, my, spec, slice_type):
+        mbi = my * self.mb_w + mx
+        c = self.c
+        if slice_type == 2:
+            def nb_inc(nmx, nmy):
+                f = self.flags[nmy * self.mb_w + nmx]
+                return 1 if (f & 1) and (f & (2 | 4)) else 0
+            inc = (nb_inc(mx - 1, my) if mx > 0 else 0) \
+                + (nb_inc(mx, my - 1) if my > 0 else 0)
+            base = 3 + inc
+        elif slice_type == 0:
+            base = 17
+        else:
+            base = 32
+
+        if spec.kind == 'pcm':
+            c.encode(base, 1)
+            c.terminate(1)
+            self.w.align_zero()
+            for v in spec.samples_y:
+                self.w.u(v, 8)
+            for v in spec.samples_cb:
+                self.w.u(v, 8)
+            for v in spec.samples_cr:
+                self.w.u(v, 8)
+            c.restart()
+            self.flags[mbi] = 1 | 4
+            self.cbp[mbi] = 15 | 2 << 4
+            for i in range(16):
+                self.nz_y[(my * 4 + BLK4_Y[i], mx * 4 + BLK4_X[i])] = 1
+            for comp in range(2):
+                for cy in range(2):
+                    for cx in range(2):
+                        self.nz_c[(comp, my * 2 + cy, mx * 2 + cx)] = 1
+            self.qp_delta_nz = 0
+            return
+
+        if spec.kind == 'i4':
+            c.encode(base, 0)
+            for i in range(16):
+                gbx, gby = mx * 4 + BLK4_X[i], my * 4 + BLK4_Y[i]
+                aA = BLK4_X[i] > 0 or mx > 0
+                aB = BLK4_Y[i] > 0 or my > 0
+                mA = self.modes.get((gby, gbx - 1), 2) if aA else -1
+                mB = self.modes.get((gby - 1, gbx), 2) if aB else -1
+                pred = 2 if (mA < 0 or mB < 0) else min(mA, mB)
+                mode = spec.modes[i]
+                if mode is None:
+                    mode = pred
+                if mode == pred:
+                    c.encode(68, 1)
+                else:
+                    rem = mode - (1 if mode > pred else 0)
+                    c.encode(68, 0)
+                    c.encode(69, rem & 1)
+                    c.encode(69, rem >> 1 & 1)
+                    c.encode(69, rem >> 2 & 1)
+                self.modes[(gby, gbx)] = mode
+            self._chroma_mode(mx, my, spec.chroma_mode)
+            self.flags[mbi] = 1
+            self._cbp_encode(mx, my, spec.cbp)
+            if spec.cbp:
+                self._qp_delta(spec.qp_delta)
+            else:
+                self.qp_delta_nz = 0
+            self._residuals(mx, my, spec, spec.cbp, False, True)
+        else:                   # i16
+            c.encode(base, 1)
+            c.terminate(0)
+            ctx = max(base, 5)
+            cbp_luma = 1 if (spec.cbp & 15) else 0
+            c.encode(ctx + 1, cbp_luma)
+            cc = spec.cbp >> 4
+            c.encode(ctx + 2, 1 if cc else 0)
+            c6 = max(ctx, 6)
+            if cc:
+                c.encode(c6 + 2, cc - 1)
+            mode = spec.pred_mode
+            c.encode(c6 + 3, mode >> 1)
+            c.encode(max(c6 + 3, 10), mode & 1)
+            for i in range(16):
+                self.modes.pop((my * 4 + BLK4_Y[i], mx * 4 + BLK4_X[i]), None)
+            self._chroma_mode(mx, my, spec.chroma_mode)
+            self.flags[mbi] = 1 | 2
+            self.cbp[mbi] = (15 if cbp_luma else 0) | cc << 4
+            self._qp_delta(spec.qp_delta)
+            self._residuals(mx, my, spec,
+                            (15 if cbp_luma else 0) | cc << 4, True, True)
+        self.mvs.start_mb(mx, my)
+        self.mvs.finish_mb(True)
+        self.mvs.parsed.add((mx, my))
+
+
+CAT_CBF = {0: 85, 1: 89, 2: 93, 3: 97, 4: 101}
+
+
+def _cabac_p_mb(enc: CabacSliceEncoder, mx, my, spec, nrefs):
+    c = enc.c
+    mbi = my * enc.mb_w + mx
+    if spec.kind == 'skip':
+        c.encode(11 + enc._skip_inc(mx, my), 1)
+        enc.mvs.start_mb(mx, my)
+        mvx, mvy = enc.mvs.skip_mv()
+        enc.mvs.store(0, 0, 0, 4, 4, mvx, mvy)
+        enc.mvs.finish_mb(False)
+        enc.flags[mbi] = 16
+        enc.qp_delta_nz = 0
+        return
+    c.encode(11 + enc._skip_inc(mx, my), 0)
+    if spec.kind in ('i4', 'i16', 'pcm'):
+        c.encode(14, 1)        # mb_type prefix: intra
+        enc.encode_i_mb(mx, my, spec, 0)
+        return
+    c.encode(14, 0)
+    enc.mvs.start_mb(mx, my)
+    kind2t = {'p16': 0, 'p16x8': 3, 'p8x16': 2, 'p8': 1}
+    t = kind2t[spec.kind]
+    c.encode(15, t >> 1)
+    c.encode(16 + (t >> 1), t & 1)
+    parts = {'p16': [(0, 0, 4, 4, 0, 0)],
+             'p16x8': [(0, 0, 4, 2, 1, 0), (0, 2, 4, 2, 2, 2)],
+             'p8x16': [(0, 0, 2, 4, 3, 0), (2, 0, 2, 4, 4, 1)]}.get(spec.kind)
+    if spec.kind != 'p8':
+        for i, (x4, y4, w4, h4, shape, ri) in enumerate(parts):
+            enc._ref_idx(mx, my, 0, x4, y4, w4, h4, nrefs, spec.refidx[i])
+        for i, (x4, y4, w4, h4, shape, ri) in enumerate(parts):
+            dx, dy = spec.mvds[i]
+            enc._mvd(mx, my, 0, x4, y4, w4, h4, dx, dy)
+            px, py = enc.mvs.mvp(spec.refidx[i], x4, y4, w4, h4, shape)
+            enc.mvs.store(spec.refidx[i], x4, y4, w4, h4, px + dx, py + dy)
+    else:
+        for st in spec.sub_types:
+            if st == 0:
+                c.encode(21, 1)
+            elif st == 1:
+                c.encode(21, 0); c.encode(22, 0)
+            elif st == 2:
+                c.encode(21, 0); c.encode(22, 1); c.encode(23, 1)
+            else:
+                c.encode(21, 0); c.encode(22, 1); c.encode(23, 0)
+        for q in range(4):
+            enc._ref_idx(mx, my, 0, (q & 1) * 2, (q >> 1) * 2, 2, 2, nrefs,
+                         spec.refidx[q])
+        mvd_i = 0
+        for q in range(4):
+            bx, by = (q & 1) * 2, (q >> 1) * 2
+            w4, h4 = SUB_WH[spec.sub_types[q]]
+            for sy in range(0, 2, h4):
+                for sx in range(0, 2, w4):
+                    dx, dy = spec.mvds[mvd_i]
+                    mvd_i += 1
+                    enc._mvd(mx, my, 0, bx + sx, by + sy, w4, h4, dx, dy)
+                    px, py = enc.mvs.mvp(spec.refidx[q], bx + sx, by + sy,
+                                         w4, h4, 0)
+                    enc.mvs.store(spec.refidx[q], bx + sx, by + sy, w4, h4,
+                                  px + dx, py + dy)
+    enc.mvs.finish_mb(False)
+    enc.flags[mbi] = 0
+    enc._cbp_encode(mx, my, spec.cbp)
+    if spec.cbp:
+        enc._qp_delta(spec.qp_delta)
+    else:
+        enc.qp_delta_nz = 0
+    enc._residuals(mx, my, spec, spec.cbp, False, False)
+
+
+def _cabac_b_mb(enc: CabacSliceEncoder, mx, my, spec, nrefs):
+    c = enc.c
+    mbi = my * enc.mb_w + mx
+    if spec.kind == 'bskip':
+        c.encode(24 + enc._skip_inc(mx, my), 1)
+        enc.flags[mbi] = 16 | 128
+        enc.qp_delta_nz = 0
+        enc.mvs.parsed.add((mx, my))
+        return
+    c.encode(24 + enc._skip_inc(mx, my), 0)
+    if spec.kind in ('i4', 'i16', 'pcm'):
+        # B mb_type prefix for intra: str == 13
+        da = mx > 0 and enc.flags[mbi - 1] & 128
+        db = my > 0 and enc.flags[(my - 1) * enc.mb_w + mx] & 128
+        inc = (1 if mx > 0 and not da else 0) + (1 if my > 0 and not db else 0)
+        c.encode(27 + inc, 1)
+        c.encode(30, 1)
+        for ctx, b in ((31, 1), (32, 1), (32, 0), (32, 1)):  # str 13 = 1101
+            c.encode(ctx, b)
+        enc.encode_i_mb(mx, my, spec, 1)
+        return
+    da = mx > 0 and enc.flags[mbi - 1] & 128
+    db = my > 0 and enc.flags[(my - 1) * enc.mb_w + mx] & 128
+    inc = (1 if mx > 0 and not da else 0) + (1 if my > 0 and not db else 0)
+    if spec.kind == 'bdirect':
+        c.encode(27 + inc, 0)
+        enc.flags[mbi] = 128
+        enc.mvs.parsed.add((mx, my))
+        enc._cbp_encode(mx, my, spec.cbp)
+        if spec.cbp:
+            enc._qp_delta(spec.qp_delta)
+        else:
+            enc.qp_delta_nz = 0
+        enc._residuals(mx, my, spec, spec.cbp, False, False)
+        return
+    c.encode(27 + inc, 1)
+    # mb_type -> str
+    if spec.kind == 'b16':
+        mb_type = spec.use[0]           # 1,2,3
+    elif spec.kind in ('b16x8', 'b8x16'):
+        k = B_PAIR_USE.index((spec.use[0], spec.use[1]))
+        mb_type = 4 + 2 * k + (1 if spec.kind == 'b8x16' else 0)
+    else:
+        mb_type = 22
+    mb2str = {1: 8, 2: 9, 22: 15}
+    if mb_type in (1, 2):
+        c.encode(30, 0)
+        c.encode(32, mb_type - 1)
+    else:
+        strv = mb2str.get(mb_type)
+        if strv is None:
+            if mb_type <= 10:
+                strv = mb_type - 3      # 3..10 -> 0..7
+            elif mb_type == 11:
+                strv = 14
+            else:
+                strv = mb_type + 4      # 12..21 -> 16..25
+        c.encode(30, 1)
+        if strv < 8:
+            c.encode(31, strv >> 3 & 1)
+            c.encode(32, strv >> 2 & 1)
+            c.encode(32, strv >> 1 & 1)
+            c.encode(32, strv & 1)
+        elif strv in (14, 15):
+            c.encode(31, 1)
+            c.encode(32, 1)
+            c.encode(32, strv >> 1 & 1)
+            c.encode(32, strv & 1)
+        else:                           # 16..25: 5 bins
+            c.encode(31, strv >> 4 & 1)
+            c.encode(32, strv >> 3 & 1)
+            c.encode(32, strv >> 2 & 1)
+            c.encode(32, strv >> 1 & 1)
+            c.encode(32, strv & 1)
+    enc.mvs.parsed.add((mx, my))
+    uses = [B_SUB_USE[st] for st in spec.sub_types] if spec.kind == 'b8' \
+        else list(spec.use)
+    if spec.kind == 'b8':
+        for st in spec.sub_types:
+            if st == 0:
+                c.encode(36, 0)
+                continue
+            c.encode(36, 1)
+            if st in (1, 2):
+                c.encode(37, 0)
+                c.encode(39, st - 1)
+                continue
+            s2 = {3: 0, 4: 1, 5: 2, 6: 3, 11: 6, 12: 7, 7: 8, 8: 9,
+                  9: 10, 10: 11}[st]
+            c.encode(37, 1)
+            if s2 < 8:
+                c.encode(38, s2 >> 2 & 1)
+                c.encode(39, s2 >> 1 & 1)
+                c.encode(39, s2 & 1)
+            else:                       # extended: prefix = s2>>1 (4..5)
+                c.encode(38, s2 >> 3 & 1)
+                c.encode(39, s2 >> 2 & 1)
+                c.encode(39, s2 >> 1 & 1)
+                c.encode(39, s2 & 1)
+    # ref_idx l0 then l1
+    for l in range(2):
+        for i, u in enumerate(uses):
+            if spec.kind == 'b8' and spec.sub_types[i] == 0:
+                continue
+            if u >> l & 1:
+                if spec.kind == 'b8':
+                    x4, y4, w4, h4 = (i & 1) * 2, (i >> 1) * 2, 2, 2
+                elif spec.kind == 'b16':
+                    x4, y4, w4, h4 = 0, 0, 4, 4
+                elif spec.kind == 'b16x8':
+                    x4, y4, w4, h4 = 0, i * 2, 4, 2
+                else:
+                    x4, y4, w4, h4 = i * 2, 0, 2, 4
+                enc._ref_idx(mx, my, l, x4, y4, w4, h4, nrefs[l],
+                             spec.refidx[l][i])
+    # mvds l0 then l1
+    mvd_i = 0
+    for l in range(2):
+        for i, u in enumerate(uses):
+            if spec.kind == 'b8' and spec.sub_types[i] == 0:
+                continue
+            if not (u >> l & 1):
+                continue
+            if spec.kind == 'b8':
+                w4, h4 = B_SUB_WH[spec.sub_types[i]]
+                bx, by = (i & 1) * 2, (i >> 1) * 2
+                for sy in range(0, 2, h4):
+                    for sx in range(0, 2, w4):
+                        dx, dy = spec.mvds[mvd_i]
+                        mvd_i += 1
+                        enc._mvd(mx, my, l, bx + sx, by + sy, w4, h4, dx, dy)
+            else:
+                if spec.kind == 'b16':
+                    x4, y4, w4, h4 = 0, 0, 4, 4
+                elif spec.kind == 'b16x8':
+                    x4, y4, w4, h4 = 0, i * 2, 4, 2
+                else:
+                    x4, y4, w4, h4 = i * 2, 0, 2, 4
+                dx, dy = spec.mvds[mvd_i]
+                mvd_i += 1
+                enc._mvd(mx, my, l, x4, y4, w4, h4, dx, dy)
+    enc.flags[mbi] = 0
+    enc._cbp_encode(mx, my, spec.cbp)
+    if spec.cbp:
+        enc._qp_delta(spec.qp_delta)
+    else:
+        enc.qp_delta_nz = 0
+    enc._residuals(mx, my, spec, spec.cbp, False, False)
+
+
+def make_cabac_slice(mb_w, mb_h, specs, slice_type, *, slice_qp=26,
+                     init_qp=26, frame_num=0, idr_pic_id=0, poc_lsb=0,
+                     idr=False, nal_ref_idc=3, nrefs=(1, 1), pps_nrefs=None,
+                     cabac_init_idc=0, direct_spatial=True, deblock_idc=None,
+                     log2_max_frame_num=4, log2_max_poc_lsb=6) -> bytes:
+    """One whole-frame CABAC slice (I/P/B)."""
+    w = BitWriter()
+    w.ue(0)                    # first_mb
+    w.ue(slice_type + 5)       # "all slices are ..." variants
+    w.ue(0)                    # pps id
+    w.u(frame_num, log2_max_frame_num)
+    if idr:
+        w.ue(idr_pic_id)
+    w.u(poc_lsb, log2_max_poc_lsb)
+    if slice_type == 1:
+        w.u1(1 if direct_spatial else 0)
+    if slice_type != 2:
+        if pps_nrefs is not None and tuple(nrefs) != tuple(pps_nrefs):
+            w.u1(1)
+            w.ue(nrefs[0] - 1)
+            if slice_type == 1:
+                w.ue(nrefs[1] - 1)
+        else:
+            w.u1(0)
+        w.u1(0)                # ref_pic_list_modification_flag_l0
+        if slice_type == 1:
+            w.u1(0)            # ..._l1
+    if nal_ref_idc:
+        if idr:
+            w.u1(0)
+            w.u1(0)
+        else:
+            w.u1(0)            # adaptive_ref_pic_marking_mode_flag
+    if slice_type != 2:
+        w.ue(cabac_init_idc)
+    w.se(slice_qp - init_qp)
+    if deblock_idc is not None:
+        w.ue(deblock_idc)
+        if deblock_idc != 1:
+            w.se(0)
+            w.se(0)
+    while len(w.bits) % 8:
+        w.u1(1)                # cabac_alignment_one_bit
+    init_table = 0 if slice_type == 2 else 1 + cabac_init_idc
+    enc = CabacSliceEncoder(mb_w, mb_h, slice_qp, init_table, w)
+    n = len(specs)
+    for addr, spec in enumerate(specs):
+        mx, my = addr % mb_w, addr // mb_w
+        if slice_type == 2:
+            enc.encode_i_mb(mx, my, spec, 2)
+        elif slice_type == 0:
+            _cabac_p_mb(enc, mx, my, spec, nrefs[0])
+        else:
+            _cabac_b_mb(enc, mx, my, spec, nrefs)
+        enc.c.terminate(0 if addr < n - 1 else 1)
+    w.align_zero()
+    return nal(nal_ref_idc, 5 if idr else 1, w.bytes_unescaped())
+
+
+def gen_random_cabac_stream(mb_w, mb_h, n_frames=1, seed=0, *, qp=26,
+                            kinds=('i4', 'i16', 'pcm'), max_level=8,
+                            density=0.3, deblock=True,
+                            cabac_init_idc=0) -> bytes:
+    """All-intra CABAC stream (IDR + I frames)."""
+    rng = random.Random(seed)
+    out = make_sps(mb_w, mb_h, log2_max_poc_lsb=6) \
+        + make_pps(cabac=True, deblock_control=not deblock)
+    deblock_idc = None if deblock else 1
+    n_mbs = mb_w * mb_h
+    for f in range(n_frames):
+        specs = []
+        probe = IntraEncoder(mb_w, mb_h, qp)
+        for addr in range(n_mbs):
+            spec = random_intra_mb(rng, kinds, max_level, density)
+            resolve_random_modes(rng, probe, addr % mb_w, addr // mb_w, spec)
+            probe.parsed.add((addr % mb_w, addr // mb_w))
+            specs.append(spec)
+        out += make_cabac_slice(mb_w, mb_h, specs, 2, slice_qp=qp,
+                                frame_num=0 if f == 0 else f % 16,
+                                idr_pic_id=f, poc_lsb=(2 * f) % 64,
+                                idr=(f == 0), deblock_idc=deblock_idc)
+    return out
+
+
+def gen_random_cabac_ipb_stream(mb_w, mb_h, n_gops=2, seed=0, *, qp=26,
+                                max_level=8, density=0.3, mv_range=32,
+                                direct_spatial=True, wbi=0, with_b=True,
+                                cabac_init_idc=0, deblock=True) -> bytes:
+    """CABAC IDR + per GOP: P (ref) [+ non-ref B between] — the CABAC twin
+    of gen_random_ipb_stream."""
+    rng = random.Random(seed)
+    out = make_sps(mb_w, mb_h, max_ref_frames=3, log2_max_poc_lsb=6) \
+        + make_pps(cabac=True, deblock_control=not deblock, nrefs=2,
+                   nrefs1=1, wbi=wbi)
+    deblock_idc = None if deblock else 1
+    n_mbs = mb_w * mb_h
+
+    specs = []
+    probe = IntraEncoder(mb_w, mb_h, qp)
+    for addr in range(n_mbs):
+        spec = random_intra_mb(rng, ('i4', 'i16'), max_level, density)
+        resolve_random_modes(rng, probe, addr % mb_w, addr // mb_w, spec)
+        probe.parsed.add((addr % mb_w, addr // mb_w))
+        specs.append(spec)
+    out += make_cabac_slice(mb_w, mb_h, specs, 2, slice_qp=qp, idr=True,
+                            deblock_idc=deblock_idc)
+    for g in range(1, n_gops + 1):
+        nr = min(g, 2)
+        specs = []
+        probe = IntraEncoder(mb_w, mb_h, qp)
+        for addr in range(n_mbs):
+            spec = random_p_mb(rng, nr, max_level, density, mv_range)
+            if spec.kind in ('i4', 'i16'):
+                resolve_random_modes(rng, probe, addr % mb_w, addr // mb_w,
+                                     spec)
+            probe.parsed.add((addr % mb_w, addr // mb_w))
+            specs.append(spec)
+        out += make_cabac_slice(mb_w, mb_h, specs, 0, slice_qp=qp,
+                                frame_num=g % 16, poc_lsb=(8 * g) % 64,
+                                nrefs=(nr, 1), pps_nrefs=(2, 1),
+                                cabac_init_idc=cabac_init_idc,
+                                deblock_idc=deblock_idc)
+        if not with_b:
+            continue
+        nb = (min(g + 1, 2), 1)
+        specs = []
+        probe = IntraEncoder(mb_w, mb_h, qp)
+        for addr in range(n_mbs):
+            spec = random_b_mb(rng, nb, max_level, density, mv_range)
+            if spec.kind in ('i4', 'i16'):
+                resolve_random_modes(rng, probe, addr % mb_w, addr // mb_w,
+                                     spec)
+            probe.parsed.add((addr % mb_w, addr // mb_w))
+            specs.append(spec)
+        out += make_cabac_slice(mb_w, mb_h, specs, 1, slice_qp=qp,
+                                frame_num=(g + 1) % 16, nal_ref_idc=0,
+                                poc_lsb=(8 * g - 4) % 64, nrefs=nb,
+                                pps_nrefs=(2, 1),
+                                cabac_init_idc=cabac_init_idc,
+                                direct_spatial=direct_spatial,
+                                deblock_idc=deblock_idc)
+    return out
