@@ -59,8 +59,12 @@ class NumpyBackend:
         self.sm = oracle.ScalingMatrices()
 
     def reconstruct(self, planes, slot, store: FrameStore):
-        y, cb, cr = self.oracle.reconstruct_frame(planes, self.sm,
-                                                  store.frames)
+        ws8 = np.full((6, 64), 16, np.int32)
+        ws8[0] = planes.sm8[0]
+        ws8[1] = planes.sm8[1]
+        sm = self.oracle.ScalingMatrices(ws4=np.asarray(planes.sm4),
+                                         ws8=ws8)
+        y, cb, cr = self.oracle.reconstruct_frame(planes, sm, store.frames)
         self.deblock.deblock_frame(planes, y, cb, cr)
         return y, cb, cr
 

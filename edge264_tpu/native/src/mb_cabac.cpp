@@ -29,6 +29,21 @@ static const CatOff CAT[6] = {
 	{1012, 402, 417, 426, 9},   // 5: luma 8x8
 };
 
+
+// significant/last ctxIdxInc maps for 8x8 blocks (Table 9-43, frame)
+static const uint8_t SIG_INC_8x8[64] = {
+	0, 1, 2, 3, 4, 5, 5, 4, 4, 3, 3, 4, 4, 4, 5, 5,
+	4, 4, 4, 4, 3, 3, 6, 7, 7, 7, 8, 9, 10, 9, 8, 7,
+	7, 6, 11, 12, 13, 11, 6, 7, 8, 9, 14, 10, 9, 8, 6, 11,
+	12, 13, 11, 6, 9, 14, 10, 9, 11, 12, 13, 11, 14, 10, 12, 0,
+};
+static const uint8_t LAST_INC_8x8[64] = {
+	0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+	2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2,
+	3, 3, 3, 3, 3, 3, 3, 3, 4, 4, 4, 4, 4, 4, 4, 4,
+	5, 5, 5, 5, 6, 6, 6, 6, 7, 7, 7, 7, 8, 8, 8, 8,
+};
+
 // ---------------------------------------------------------------------------
 // Neighbour helpers for context increments
 
@@ -186,9 +201,21 @@ void Decoder::parse_residuals_cabac(MbCtx &m, int cbp, bool is16) {
 			                  &pl.coef_y_dc[m.mbi * 16], nullptr, nullptr);
 		}
 	}
+	bool t8 = (pl.mb_flags[m.mbi] & MBF_T8x8) != 0;
 	for (int i8 = 0; i8 < 4; i8++) {
 		if (!(cbp >> i8 & 1))
 			continue;
+		if (t8) {
+			// cat5: no coded_block_flag for 4:2:0 (§7.3.5.3.3)
+			size_t b8 = (size_t)(m.my * 2 + (i8 >> 1)) * (m.mbW * 2)
+				+ m.mx * 2 + (i8 & 1);
+			parse_block_cabac(*this, 5, 0, 63, zigzag8x8,
+			                  &pl.coef_y8[b8 * 64], SIG_INC_8x8,
+			                  LAST_INC_8x8);
+			for (int k = 0; k < 4; k++)
+				pl.nz_y[m.gblk(i8 * 4 + k)] = 1;
+			continue;
+		}
 		for (int k = 0; k < 4; k++) {
 			int i = i8 * 4 + k;
 			int cat = is16 ? 1 : 2;
@@ -282,8 +309,72 @@ int Decoder::parse_I_mb_cabac(MbCtx &m, int ctx_base) {
 			t8x8 = cab.decode(399 + inc);
 			logf("    transform_size_8x8_flag: %u\n", (int)t8x8);
 		}
-		if (t8x8)
-			return E264T_ENOTSUP;   // TEMP: 8x8 intra lands with High profile
+		if (t8x8) {
+			static const uint16_t needs_A8 =
+				1 << 1 | 1 << 4 | 1 << 5 | 1 << 6 | 1 << 8;
+			static const uint16_t needs_B8 =
+				1 << 0 | 1 << 3 | 1 << 4 | 1 << 5 | 1 << 6 | 1 << 7;
+			int rems8[4], modes8[4];
+			bool aC8[4] = {m.availB, m.availC, true, false};
+			bool aD8[4] = {m.availD, m.availB, m.availA, true};
+			for (int b = 0; b < 4; b++) {
+				int i = b * 4;
+				int mA = m.neighbor_mode_A(i);
+				int mB = m.neighbor_mode_B(i);
+				if (mA < 0 && m.blkA_avail(i)) mA = 2;
+				if (mB < 0 && m.blkB_avail(i)) mB = 2;
+				int pred = (mA < 0 || mB < 0) ? 2 : (mA < mB ? mA : mB);
+				int mode;
+				if (cab.decode(68)) {
+					rems8[b] = -1;
+					mode = pred;
+				} else {
+					int rem = cab.decode(69);
+					rem += cab.decode(69) << 1;
+					rem += cab.decode(69) << 2;
+					rems8[b] = rem;
+					mode = rem < pred ? rem : rem + 1;
+				}
+				bool aA = m.blkA_avail(i), aB = m.blkB_avail(i);
+				if ((needs_A8 >> mode & 1) && !aA) mode = 2;
+				if ((needs_B8 >> mode & 1) && !aB) mode = 2;
+				if ((mode == 4 || mode == 5 || mode == 6) && !aD8[b])
+					mode = 2;
+				modes8[b] = mode;
+				for (int k = 0; k < 4; k++)
+					pl.i4_modes[m.gblk(i + k)] = (uint8_t)mode;
+				size_t b8 = (size_t)(m.my * 2 + (b >> 1)) * (m.mbW * 2)
+					+ m.mx * 2 + (b & 1);
+				pl.i8_modes[b8] = (uint8_t)(mode | aA << 4 | aB << 5 |
+				                            aC8[b] << 6 | aD8[b] << 7);
+			}
+			if (log_cb && log_mbs) {
+				logf("    rem_intra8x8_pred_modes: [");
+				for (int b = 0; b < 4; b++)
+					logf(b ? ",%d" : "%d", rems8[b]);
+				logf("]\n    Intra8x8PredModes: [%u,%u,%u,%u]\n",
+				     modes8[0], modes8[1], modes8[2], modes8[3]);
+			}
+			int avail_bits = (m.availA << 4) | (m.availB << 5) | (m.availD << 6);
+			int chroma_mode = parse_chroma_mode_cabac(m);
+			pl.ch_modes[m.mbi] = (uint8_t)(chroma_mode | (avail_bits & 0x70));
+			pl.mb_flags[m.mbi] = MBF_INTRA | MBF_T8x8 | MBF_PARSED;
+			int cbp = parse_cbp_cabac(*this, m);
+			logf("    coded_block_pattern: %u\n", cbp);
+			pl.cbp[m.mbi] = (uint8_t)cbp;
+			int delta = 0;
+			if (cbp) {
+				delta = parse_mb_qp_delta_cabac(*this);
+				logf("    mb_qp_delta: %d\n", delta);
+			} else {
+				mb_qp_delta_nz = 0;
+			}
+			int sum = m.qp + delta;
+			m.qp = sum < 0 ? sum + 52 : sum >= 52 ? sum - 52 : sum;
+			set_mb_qp(m);
+			parse_residuals_cabac(m, cbp, false);
+			return 0;
+		}
 		int rems[16], modes[16];
 		static const uint16_t needs_A = 1 << 1 | 1 << 4 | 1 << 5 | 1 << 6 | 1 << 8;
 		static const uint16_t needs_B =
@@ -546,6 +637,7 @@ int Decoder::parse_P_mb_cabac(MbCtx &m) {
 	int mb_type = (4 - t) & 3;             // 0:16x16 1:16x8 2:8x16 3:P_8x8
 	logf("    mb_type: %u\n", mb_type);
 	int nrefs = sh.num_refs[0];
+	bool sub_all_8x8 = true;
 
 	if (mb_type <= 2) {
 		struct Part { int x4, y4, w4, h4, shape, ri; };
@@ -594,6 +686,8 @@ int Decoder::parse_P_mb_cabac(MbCtx &m) {
 				sub[q] = 2;
 			else
 				sub[q] = 3;
+			if (sub[q] != 0)
+				sub_all_8x8 = false;
 			logf(q < 3 ? "%u," : "%u]\n", sub[q]);
 		}
 		int refidx[4] = {0, 0, 0, 0};
@@ -633,8 +727,17 @@ int Decoder::parse_P_mb_cabac(MbCtx &m) {
 	int cbp = parse_cbp_cabac(*this, m);
 	logf("    coded_block_pattern: %u\n", cbp);
 	pl.cbp[m.mbi] = (uint8_t)cbp;
-	if ((cbp & 15) && cpps->transform_8x8_mode)
-		return E264T_ENOTSUP;
+	bool t8_ok = mb_type <= 2 || sub_all_8x8;
+	if ((cbp & 15) && cpps->transform_8x8_mode && t8_ok) {
+		int incT = (m.availA && (pl.mb_flags[m.mbi - 1] & MBF_T8x8) ? 1 : 0)
+		         + (m.availB && (pl.mb_flags[m.mbi - m.mbW] & MBF_T8x8) ? 1 : 0);
+		if (cab.decode(399 + incT)) {
+			pl.mb_flags[m.mbi] |= MBF_T8x8;
+			logf("    transform_size_8x8_flag: 1\n");
+		} else {
+			logf("    transform_size_8x8_flag: 0\n");
+		}
+	}
 	int delta = 0;
 	if (cbp) {
 		delta = parse_mb_qp_delta_cabac(*this);
@@ -679,8 +782,17 @@ int Decoder::parse_B_mb_cabac(MbCtx &m) {
 		int cbp = parse_cbp_cabac(*this, m);
 		logf("    coded_block_pattern: %u\n", cbp);
 		pl.cbp[m.mbi] = (uint8_t)cbp;
-		if ((cbp & 15) && cpps->transform_8x8_mode)
-			return E264T_ENOTSUP;
+		if ((cbp & 15) && cpps->transform_8x8_mode &&
+		    sps.direct_8x8_inference) {
+			int incT = (m.availA && (pl.mb_flags[m.mbi - 1] & MBF_T8x8) ? 1 : 0)
+			         + (m.availB && (pl.mb_flags[m.mbi - m.mbW] & MBF_T8x8) ? 1 : 0);
+			if (cab.decode(399 + incT)) {
+				pl.mb_flags[m.mbi] |= MBF_T8x8;
+				logf("    transform_size_8x8_flag: 1\n");
+			} else {
+				logf("    transform_size_8x8_flag: 0\n");
+			}
+		}
 		int delta = 0;
 		if (cbp) {
 			delta = parse_mb_qp_delta_cabac(*this);
@@ -712,6 +824,8 @@ int Decoder::parse_B_mb_cabac(MbCtx &m) {
 	int mb_type = str2mb_type[str];
 	logf("    mb_type: %u\n", mb_type);
 	int nrefs[2] = {sh.num_refs[0], sh.num_refs[1]};
+	int b_sub_arr[4] = {1, 1, 1, 1};
+	int *sub = b_sub_arr;
 
 	if (mb_type != 22) {
 		struct Part { int x4, y4, w4, h4, shape, ri; uint8_t use; };
@@ -780,7 +894,6 @@ int Decoder::parse_B_mb_cabac(MbCtx &m) {
 		}
 	} else {
 		// B_8x8: sub_mb_type tree (§9.3.3.1.1.2, ctx 36-39)
-		int sub[4];
 		logf("    sub_mb_types: [");
 		for (int q = 0; q < 4; q++) {
 			if (!cab.decode(36)) {
@@ -873,8 +986,28 @@ int Decoder::parse_B_mb_cabac(MbCtx &m) {
 	int cbp = parse_cbp_cabac(*this, m);
 	logf("    coded_block_pattern: %u\n", cbp);
 	pl.cbp[m.mbi] = (uint8_t)cbp;
-	if ((cbp & 15) && cpps->transform_8x8_mode)
-		return E264T_ENOTSUP;
+	bool t8_ok;
+	if (mb_type != 22) {
+		t8_ok = true;
+	} else {
+		t8_ok = true;
+		for (int q = 0; q < 4; q++) {
+			if (sub[q] < 0)
+				t8_ok = t8_ok && sps.direct_8x8_inference;
+			else if (b_sub_w_c[sub[q]] != 2 || b_sub_h_c[sub[q]] != 2)
+				t8_ok = false;
+		}
+	}
+	if ((cbp & 15) && cpps->transform_8x8_mode && t8_ok) {
+		int incT = (m.availA && (pl.mb_flags[m.mbi - 1] & MBF_T8x8) ? 1 : 0)
+		         + (m.availB && (pl.mb_flags[m.mbi - m.mbW] & MBF_T8x8) ? 1 : 0);
+		if (cab.decode(399 + incT)) {
+			pl.mb_flags[m.mbi] |= MBF_T8x8;
+			logf("    transform_size_8x8_flag: 1\n");
+		} else {
+			logf("    transform_size_8x8_flag: 0\n");
+		}
+	}
 	int delta = 0;
 	if (cbp) {
 		delta = parse_mb_qp_delta_cabac(*this);

@@ -146,8 +146,69 @@ int Decoder::parse_I_mb(MbCtx &m, int mb_type) {
 			t8x8 = gb.u1();
 			logf("    transform_size_8x8_flag: %u\n", t8x8);
 		}
-		if (t8x8)
-			return E264T_ENOTSUP;   // TEMP: 8x8 intra lands with High profile
+		if (t8x8) {
+			// ---- Intra_8x8: 4 prediction modes (§8.3.2) ------------------
+			static const uint16_t needs_A8 =
+				1 << 1 | 1 << 4 | 1 << 5 | 1 << 6 | 1 << 8;
+			static const uint16_t needs_B8 =
+				1 << 0 | 1 << 3 | 1 << 4 | 1 << 5 | 1 << 6 | 1 << 7;
+			int rems[4], modes[4];
+			bool aC8[4] = {m.availB, m.availC, true, false};
+			bool aD8[4] = {m.availD, m.availB, m.availA, true};
+			for (int b = 0; b < 4; b++) {
+				int i = b * 4;          // top-left 4x4 cell of this 8x8
+				int mA = m.neighbor_mode_A(i);
+				int mB = m.neighbor_mode_B(i);
+				if (mA < 0 && m.blkA_avail(i)) mA = 2;
+				if (mB < 0 && m.blkB_avail(i)) mB = 2;
+				int pred = (mA < 0 || mB < 0) ? 2 : (mA < mB ? mA : mB);
+				int mode;
+				if (gb.u1()) {
+					rems[b] = -1;
+					mode = pred;
+				} else {
+					int rem = gb.u(3);
+					rems[b] = rem;
+					mode = rem < pred ? rem : rem + 1;
+				}
+				bool aA = m.blkA_avail(i), aB = m.blkB_avail(i);
+				if ((needs_A8 >> mode & 1) && !aA) mode = 2;
+				if ((needs_B8 >> mode & 1) && !aB) mode = 2;
+				if ((mode == 4 || mode == 5 || mode == 6) && !aD8[b])
+					mode = 2;
+				modes[b] = mode;
+				for (int k = 0; k < 4; k++)
+					pl.i4_modes[m.gblk(i + k)] = (uint8_t)mode;
+				size_t b8 = (size_t)(m.my * 2 + (b >> 1)) * (m.mbW * 2)
+					+ m.mx * 2 + (b & 1);
+				pl.i8_modes[b8] = (uint8_t)(mode | aA << 4 | aB << 5 |
+				                            aC8[b] << 6 | aD8[b] << 7);
+			}
+			if (log_cb && log_mbs) {
+				logf("    rem_intra8x8_pred_modes: [");
+				for (int b = 0; b < 4; b++)
+					logf(b ? ",%d" : "%d", rems[b]);
+				logf("]\n    Intra8x8PredModes: [%u,%u,%u,%u]\n",
+				     modes[0], modes[1], modes[2], modes[3]);
+			}
+			int chroma_mode = gb.ue(3);
+			logf("    intra_chroma_pred_mode: %u\n", chroma_mode);
+			pl.ch_modes[m.mbi] = (uint8_t)(chroma_mode | (avail_bits & 0x70));
+			cbp = me_cbp_intra[gb.ue(47)];
+			logf("    coded_block_pattern: %u\n", cbp);
+			pl.mb_flags[m.mbi] = MBF_INTRA | MBF_T8x8 | MBF_PARSED;
+			pl.cbp[m.mbi] = (uint8_t)((cbp & 15) | (cbp >> 4) << 4);
+			bool is16_ = false;
+			if (cbp) {
+				int delta = gb.se(-26, 25);
+				logf("    mb_qp_delta: %d\n", delta);
+				int sum = m.qp + delta;
+				m.qp = sum < 0 ? sum + 52 : sum >= 52 ? sum - 52 : sum;
+			}
+			set_mb_qp(m);
+			parse_residuals(m, cbp, is16_);
+			return 0;
+		}
 		// 16 prediction modes, each predicted from min(A, B) (§8.3.1.1)
 		int rems[16], modes[16];
 		for (int i = 0; i < 16; i++) {
@@ -243,10 +304,30 @@ void Decoder::parse_residuals(MbCtx &m, int cbp, bool is16) {
 		log_block(*this, nC, tc, zigzag4x4, 16, out);
 	}
 
-	// luma AC / full 4x4 blocks
+	// luma AC / full 4x4 blocks (or 8x8 split into 4 interleaved CAVLC
+	// sub-blocks, §7.4.5.3.3)
+	bool t8 = (pl.mb_flags[m.mbi] & MBF_T8x8) != 0;
+	static const uint8_t iota16[16] =
+		{0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15};
 	for (int i8 = 0; i8 < 4; i8++) {
 		if (!(cbp >> i8 & 1))
 			continue;
+		if (t8) {
+			size_t b8 = (size_t)(m.my * 2 + (i8 >> 1)) * (m.mbW * 2)
+				+ m.mx * 2 + (i8 & 1);
+			int32_t *out8 = &pl.coef_y8[b8 * 64];
+			for (int k = 0; k < 4; k++) {
+				int i = i8 * 4 + k;
+				int32_t tmp[16] = {0};
+				int nC = m.nC_luma(i);
+				int tc = parse_residual_cavlc(gb, nC, 16, iota16, tmp);
+				log_block(*this, nC, tc, iota16, 16, tmp);
+				pl.nz_y[m.gblk(i)] = (uint8_t)tc;
+				for (int j = 0; j < 16; j++)
+					out8[zigzag8x8[4 * j + k]] = tmp[j];
+			}
+			continue;
+		}
 		for (int k = 0; k < 4; k++) {
 			int i = i8 * 4 + k;
 			int nC = m.nC_luma(i);

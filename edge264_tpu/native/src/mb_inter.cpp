@@ -316,9 +316,15 @@ int Decoder::parse_P_mb(MbCtx &m, int &skip_run) {
 	int cbp = me_cbp_inter[gb.ue(47)];
 	pl.cbp[m.mbi] = (uint8_t)cbp;
 	logf("    coded_block_pattern: %u\n", cbp);
-	if (cbp & 15) {
-		if (cpps->transform_8x8_mode)
-			return E264T_ENOTSUP;   // TEMP: inter 8x8 lands with High profile
+	bool t8_ok = mb_type <= 2 ||
+		(sub_types[0] | sub_types[1] | sub_types[2] | sub_types[3]) == 0;
+	if ((cbp & 15) && cpps->transform_8x8_mode && t8_ok) {
+		if (gb.u1()) {
+			pl.mb_flags[m.mbi] |= MBF_T8x8;
+			logf("    transform_size_8x8_flag: 1\n");
+		} else {
+			logf("    transform_size_8x8_flag: 0\n");
+		}
 	}
 	if (cbp) {
 		int delta = gb.se(-26, 25);
@@ -509,9 +515,10 @@ int Decoder::parse_B_mb(MbCtx &m, int &skip_run) {
 	}
 
 	int nrefs[2] = {sh.num_refs[0], sh.num_refs[1]};
+	int b_sub[4] = {1, 1, 1, 1};     // B_8x8 sub types (for t8 eligibility)
+	int *sub = b_sub;
 	if (mb_type == 0) {          // B_Direct_16x16
 		Decoder_direct_mv_pred(*this, m, 0xF);
-		pl.mb_flags[m.mbi] |= MBF_DIRECT;
 	} else if (mb_type < 22) {
 		// large partitions
 		struct Part { int x4, y4, w4, h4, shape, ri; uint8_t use; };
@@ -567,7 +574,6 @@ int Decoder::parse_B_mb(MbCtx &m, int &skip_run) {
 			}
 		}
 	} else {                     // B_8x8
-		int sub[4];
 		logf("    sub_mb_types: [");
 		for (int q = 0; q < 4; q++) {
 			sub[q] = gb.ue(12);
@@ -628,14 +634,34 @@ int Decoder::parse_B_mb(MbCtx &m, int &skip_run) {
 		}
 	}
 
-	pl.mb_flags[m.mbi] = MBF_INTER | MBF_PARSED;
+	pl.mb_flags[m.mbi] = MBF_INTER | MBF_PARSED | (mb_type == 0 ? MBF_DIRECT : 0);
 	Decoder_fill_wp(*this, m);
 
 	int cbp = me_cbp_inter[gb.ue(47)];
 	pl.cbp[m.mbi] = (uint8_t)cbp;
 	logf("    coded_block_pattern: %u\n", cbp);
-	if ((cbp & 15) && cpps->transform_8x8_mode)
-		return E264T_ENOTSUP;   // TEMP: inter 8x8 lands with High profile
+	bool t8_ok;
+	if (mb_type == 0) {
+		t8_ok = sps.direct_8x8_inference;
+	} else if (mb_type < 22) {
+		t8_ok = true;
+	} else {
+		t8_ok = true;
+		for (int q = 0; q < 4; q++) {
+			if (b_sub[q] == 0)
+				t8_ok = t8_ok && sps.direct_8x8_inference;
+			else if (b_sub[q] > 3)
+				t8_ok = false;     // smaller than 8x8 sub-partition
+		}
+	}
+	if ((cbp & 15) && cpps->transform_8x8_mode && t8_ok) {
+		if (gb.u1()) {
+			pl.mb_flags[m.mbi] |= MBF_T8x8;
+			logf("    transform_size_8x8_flag: 1\n");
+		} else {
+			logf("    transform_size_8x8_flag: 0\n");
+		}
+	}
 	if (cbp) {
 		int delta = gb.se(-26, 25);
 		logf("    mb_qp_delta: %d\n", delta);

@@ -36,10 +36,19 @@ TC0 = np.array([
 DBF_LEFT, DBF_TOP, DBF_INNER = 1, 2, 4
 
 
+def _nz_eff(pl, x, y):
+    """Non-zero-coefficient flag of the transform block covering cell (x,y):
+    8x8 granularity for transform_size_8x8 macroblocks (§8.7.2.1)."""
+    if int(pl.mb_flags[y >> 2, x >> 2]) & MBF_T8x8:
+        x0, y0 = x & ~1, y & ~1
+        return pl.nz_y[y0:y0 + 2, x0:x0 + 2].any()
+    return pl.nz_y[y, x] > 0
+
+
 def _block_bs_inter(pl, px, py, qx, qy):
     """bS for an edge between two inter 4x4 luma blocks (block coords in the
     global 4x4 grid): coefficient rule then the mv/ref rules (§8.7.2.1)."""
-    if pl.nz_y[py, px] or pl.nz_y[qy, qx]:
+    if _nz_eff(pl, px, py) or _nz_eff(pl, qx, qy):
         return 2
     pr = [int(pl.refslot[py, px, l]) for l in range(2)]
     qr = [int(pl.refslot[qy, qx, l]) for l in range(2)]

@@ -130,3 +130,5 @@ def build_chroma_dir_idx():
 I4_IDX = build_i4_idx()               # [9,16,3] (mode 2 rows unused)
 I16_DIR_IDX = build_i16_dir_idx()     # [2,256,3]
 CH_DIR_IDX = build_chroma_dir_idx()   # [2,64,3]
+I8_IDX = build_i8_idx()               # [9,64,3] on filtered samples
+I8_FILT_IDX = build_i8_filter_idx()   # [25,3] all-available lowpass

@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from . import oracle as _o
-from .intra_tables import I4_IDX, I16_DIR_IDX, CH_DIR_IDX
+from .intra_tables import I4_IDX, I16_DIR_IDX, CH_DIR_IDX, \
+    I8_IDX, I8_FILT_IDX
 from .deblock_oracle import ALPHA as _ALPHA, BETA as _BETA, TC0 as _TC0
 
 MBF_INTRA, MBF_I16x16, MBF_IPCM, MBF_T8x8 = 1, 2, 4, 8
@@ -309,6 +310,73 @@ def intra_scan(y, cb, cr, res_y, res_cb, res_cr, p, tables):
 
         y = lax.fori_loop(0, 16, sub, y)
 
+        # ---- Intra_8x8 luma: 4 quad-order substeps ----------------------
+        is_i8 = is_intra & is_t8 & ~is_pcm
+        i8m_pl = p["i8_modes"]
+        i8idx = jnp.asarray(I8_IDX)
+        fidx = jnp.asarray(I8_FILT_IDX)
+        r16b = jnp.arange(16, dtype=I32)
+        xx8b = jnp.tile(jnp.arange(8, dtype=I32), (8,)).reshape(8, 8)
+        yy8b = xx8b.T
+
+        def sub8(b, y):
+            bx8, by8 = b & 1, b >> 1
+            px0 = mxs * 16 + bx8 * 8
+            py0 = mys * 16 + by8 * 8
+            mm = i8m_pl[mys * 2 + by8, mxs * 2 + bx8]
+            mode = mm & 15
+            aA, aB = (mm >> 4) & 1, (mm >> 5) & 1
+            aC, aD = (mm >> 6) & 1, (mm >> 7) & 1
+            t = _gather2(y, (py0 - 1)[:, None], px0[:, None] + r16b[None, :])
+            t = jnp.concatenate(
+                [t[:, :8],
+                 jnp.where((aC > 0)[:, None], t[:, 8:], t[:, 7:8])], axis=1)
+            l = _gather2(y, py0[:, None] + r8[None, :], (px0 - 1)[:, None])
+            tl = _gather2(y, py0 - 1, px0 - 1)
+            nb = jnp.concatenate([l[:, ::-1], tl[:, None], t], axis=1)
+            # §8.3.2.2.1 reference lowpass: 3-tap gather + boundary patches
+            a0 = jnp.take_along_axis(nb, fidx[None, :, 0].repeat(nb.shape[0],
+                                                                0), 1)
+            a1 = jnp.take_along_axis(nb, fidx[None, :, 1].repeat(nb.shape[0],
+                                                                0), 1)
+            a2 = jnp.take_along_axis(nb, fidx[None, :, 2].repeat(nb.shape[0],
+                                                                0), 1)
+            nbf = (a0 + 2 * a1 + a2 + 2) >> 2
+            l0, t0, t1, l1 = nb[:, 7], nb[:, 9], nb[:, 10], nb[:, 6]
+            tl0 = nb[:, 8]
+            t0f = jnp.where(aD > 0, (tl0 + 2 * t0 + t1 + 2) >> 2,
+                            (3 * t0 + t1 + 2) >> 2)
+            l0f = jnp.where(aD > 0, (tl0 + 2 * l0 + l1 + 2) >> 2,
+                            (3 * l0 + l1 + 2) >> 2)
+            tlf = jnp.where(
+                aD == 0, tl0,
+                jnp.where((aA & aB) > 0, (t0 + 2 * tl0 + l0 + 2) >> 2,
+                          jnp.where(aB > 0, (3 * tl0 + t0 + 2) >> 2,
+                                    jnp.where(aA > 0, (3 * tl0 + l0 + 2) >> 2,
+                                              tl0))))
+            nbf = nbf.at[:, 9].set(t0f).at[:, 7].set(l0f).at[:, 8].set(tlf)
+            # unfiltered sides when the corresponding edge is unavailable
+            nbf = jnp.where((aB > 0)[:, None],
+                            jnp.concatenate([nbf[:, :9], nbf[:, 9:]], 1),
+                            jnp.concatenate([nbf[:, :9], nb[:, 9:]], 1))
+            nbf = jnp.where((aA > 0)[:, None],
+                            nbf,
+                            jnp.concatenate([nb[:, :8], nbf[:, 8:]], 1))
+            dirp = _tap3(nbf, i8idx[mode])
+            st = jnp.where((aB > 0), nbf[:, 9:17].sum(1), 0)
+            sl = jnp.where((aA > 0), nbf[:, :8].sum(1), 0)
+            dc = jnp.where((aA & aB) > 0, (st + sl + 8) >> 4,
+                           jnp.where(aA > 0, (sl + 4) >> 3,
+                                     jnp.where(aB > 0, (st + 4) >> 3, 128)))
+            pred = jnp.where((mode == 2)[:, None], dc[:, None], dirp)
+            rows = py0[:, None] + yy8b.reshape(-1)[None, :]
+            cols = px0[:, None] + xx8b.reshape(-1)[None, :]
+            res = _gather2(res_y, rows, cols)
+            recon = jnp.clip(pred + res, 0, 255)
+            return _scatter2(y, rows, cols, recon, val & is_i8)
+
+        y = lax.fori_loop(0, 4, sub8, y)
+
         # ---- I16x16 luma ------------------------------------------------
         px0, py0 = mxs * 16, mys * 16
         m = i16m_pl[mys, mxs]
@@ -418,6 +486,12 @@ def deblock_bs(p):
     flags = p["mb_flags"]
     intra_blk = _mb_to_blk4((flags & MBF_INTRA) > 0)
     nz = p["nz_y"] > 0
+    # transform_size_8x8 mbs: the 8x8 block's flag covers all 4 cells
+    BHn, BWn = nz.shape
+    nz8 = nz.reshape(BHn // 2, 2, BWn // 2, 2).any(axis=(1, 3))
+    nz8 = jnp.repeat(jnp.repeat(nz8, 2, 0), 2, 1)
+    t8_blk = _mb_to_blk4((flags & MBF_T8x8) > 0)
+    nz = jnp.where(t8_blk, nz8, nz)
     refslot = p["refslot"]
     mvs = p["mvs"]
     used = refslot >= 0
@@ -638,7 +712,8 @@ def deblock_scan(y, cb, cr, p, bs_v, bs_h, tables):
 # ---------------------------------------------------------------------------
 # Whole-frame decode + backend
 
-PLANE_KEYS = ["mb_flags", "qp", "i4_modes", "i16_modes", "ch_modes",
+PLANE_KEYS = ["mb_flags", "qp", "i4_modes", "i16_modes", "i8_modes",
+              "ch_modes",
               "coef_y", "coef_y8", "coef_y_dc", "coef_c_dc", "coef_cb",
               "coef_cr", "pcm_y", "pcm_c", "nz_y", "refslot", "mvs",
               "deblock", "deblock_ab", "wp", "wp8"]
@@ -688,6 +763,11 @@ class JaxBackend:
 
     def reconstruct(self, planes, slot, store):
         p = planes_to_jax(planes)
+        self.sm4 = jnp.asarray(np.asarray(planes.sm4).astype(np.int32))
+        ws8 = np.full((6, 64), 16, np.int32)
+        ws8[0] = planes.sm8[0]
+        ws8[1] = planes.sm8[1]
+        self.sm8 = jnp.asarray(ws8)
         slots = sorted(self.refplanes.keys())
         if slots:
             S = 1

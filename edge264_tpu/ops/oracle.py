@@ -41,13 +41,13 @@ for _i in range(8):
         a, b = _i % 4, _j % 4
         if a == 0 and b == 0:
             _POS8[_i, _j] = 0
-        elif a == 2 and b == 2:
+        elif _i % 2 == 1 and _j % 2 == 1:
             _POS8[_i, _j] = 1
-        elif a % 2 == 1 and b % 2 == 1:
+        elif a == 2 and b == 2:
             _POS8[_i, _j] = 2
-        elif a == 0 and b == 2 or a == 2 and b == 0:
+        elif (a == 0 and _j % 2 == 1) or (_i % 2 == 1 and b == 0):
             _POS8[_i, _j] = 3
-        elif a == 0 or b == 0:
+        elif (a == 0 and b == 2) or (a == 2 and b == 0):
             _POS8[_i, _j] = 4
         else:
             _POS8[_i, _j] = 5

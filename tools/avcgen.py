@@ -94,12 +94,25 @@ def nal(nal_ref_idc: int, nal_type: int, rbsp: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 def make_sps(mb_w, mb_h, *, profile=66, level=40, log2_max_frame_num=4,
              poc_type=0, log2_max_poc_lsb=4, max_ref_frames=2, gaps=0,
-             crop=(0, 0, 0, 0)) -> bytes:
+             crop=(0, 0, 0, 0), scaling4=None, scaling8=None) -> bytes:
     w = BitWriter()
     w.u(profile, 8)
     w.u(0, 8)               # constraint flags
     w.u(level, 8)
     w.ue(0)                 # sps id
+    if profile not in (66, 77, 88):
+        w.ue(1)             # chroma_format_idc 4:2:0
+        w.ue(0)             # bit_depth_luma_minus8
+        w.ue(0)             # bit_depth_chroma_minus8
+        w.u1(0)             # qpprime_y_zero_transform_bypass
+        if scaling4 or scaling8:
+            w.u1(1)         # seq_scaling_matrix_present
+            for i in range(6):
+                _write_scaling_list(w, scaling4[i] if scaling4 else None, 16)
+            for i in range(2):
+                _write_scaling_list(w, scaling8[i] if scaling8 else None, 64)
+        else:
+            w.u1(0)
     w.ue(log2_max_frame_num - 4)
     w.ue(poc_type)
     if poc_type == 0:
@@ -128,7 +141,7 @@ def make_sps(mb_w, mb_h, *, profile=66, level=40, log2_max_frame_num=4,
 
 def make_pps(*, pps_id=0, cabac=False, init_qp=26, chroma_qp_off=0,
              deblock_control=False, second_chroma_qp_off=None,
-             nrefs=1, nrefs1=1, wbi=0) -> bytes:
+             nrefs=1, nrefs1=1, wbi=0, transform_8x8=False) -> bytes:
     w = BitWriter()
     w.ue(pps_id)
     w.ue(0)                 # sps id
@@ -144,12 +157,43 @@ def make_pps(*, pps_id=0, cabac=False, init_qp=26, chroma_qp_off=0,
     w.u1(1 if deblock_control else 0)
     w.u1(0)                 # constrained_intra_pred
     w.u1(0)                 # redundant_pic_cnt_present
-    if second_chroma_qp_off is not None:
-        w.u1(0)             # transform_8x8_mode
+    if second_chroma_qp_off is not None or transform_8x8:
+        w.u1(1 if transform_8x8 else 0)
         w.u1(0)             # pic_scaling_matrix_present
-        w.se(second_chroma_qp_off)
+        w.se(second_chroma_qp_off or 0)
     w.rbsp_trailing()
     return nal(3, 8, w.bytes_unescaped())
+
+
+ZIGZAG8 = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+           12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+           35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+           58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+
+def _write_scaling_list(w, values, n):
+    """values: raster-order list of n weights, or None for 'not present'."""
+    if values is None:
+        w.u1(0)
+        return
+    w.u1(1)
+    scan = ZIGZAG4 if n == 16 else ZIGZAG8
+    last = 8
+    for j in range(n):
+        target = values[scan[j]]
+        delta = ((target - last + 128) % 256) - 128
+        w.se(delta)
+        last = target
+
+
+
+def _safe_qpd(cur, delta):
+    """Clamp a random mb_qp_delta so the running QP stays in [4, 49]:
+    keeps generated streams conformance-like (no 0/51 wraparound, where
+    high levels would overflow the 16-bit transform range the spec
+    guarantees for real streams)."""
+    t = min(max(cur + delta, 4), 49)
+    return t - cur
 
 
 # ---------------------------------------------------------------------------
@@ -250,8 +294,9 @@ class IntraEncoder:
     """Encodes one I slice worth of MbSpecs, tracking neighbour state
     (modes, total_coeffs) exactly as a decoder would."""
 
-    def __init__(self, mb_w, mb_h, slice_qp):
+    def __init__(self, mb_w, mb_h, slice_qp, pps_t8=False):
         self.mb_w, self.mb_h = mb_w, mb_h
+        self.pps_t8 = pps_t8
         self.qp = slice_qp
         self.modes = {}       # (gby, gbx) -> intra4x4 mode
         self.nz_y = {}        # (gby, gbx) -> total_coeff
@@ -316,6 +361,9 @@ class IntraEncoder:
 
     # --- encode one mb ---------------------------------------------------
     def encode_mb(self, w: BitWriter, mx, my, spec: MbSpec):
+        if spec.kind == 'i8':
+            encode_i8_mb_cavlc(w, self, mx, my, spec)
+            return
         if spec.kind == 'pcm':
             w.ue(25)
             w.align_zero()
@@ -337,6 +385,8 @@ class IntraEncoder:
 
         if spec.kind == 'i4':
             w.ue(0)
+            if self.pps_t8:
+                w.u1(0)        # transform_size_8x8_flag
             # modes: spec.modes[i] may be None = "use predicted"
             for i in range(16):
                 gbx, gby = mx * 4 + BLK4_X[i], my * 4 + BLK4_Y[i]
@@ -373,6 +423,7 @@ class IntraEncoder:
 
         # qp delta + residuals
         if cbp or is16:
+            spec.qp_delta = _safe_qpd(self.qp, spec.qp_delta)
             w.se(spec.qp_delta)
             self.qp = (self.qp + spec.qp_delta + 52) % 52
         if is16:
@@ -742,7 +793,11 @@ def encode_p_mb(w, enc: IntraEncoder, mvs: MvState, mx, my, spec,
     # ---- residuals -------------------------------------------------------
     cbp = spec.cbp
     w.ue(INV_ME_CBP_INTER[cbp])
+    if (cbp & 15) and enc.pps_t8 and (
+            spec.kind != 'p8' or all(s == 0 for s in spec.sub_types)):
+        w.u1(0)                # transform_size_8x8_flag
     if cbp:
+        spec.qp_delta = _safe_qpd(enc.qp, spec.qp_delta)
         w.se(spec.qp_delta)
         enc.qp = (enc.qp + spec.qp_delta + 52) % 52
     for i8 in range(4):
@@ -768,6 +823,8 @@ def encode_p_mb(w, enc: IntraEncoder, mvs: MvState, mx, my, spec,
 
 def enc2_encode_i4_body(w, enc, mx, my, spec):
     """I_4x4 mb body after mb_type (shared with IntraEncoder.encode_mb)."""
+    if enc.pps_t8:
+        w.u1(0)                # transform_size_8x8_flag
     for i in range(16):
         gbx, gby = mx * 4 + BLK4_X[i], my * 4 + BLK4_Y[i]
         aA = enc.blkA_avail(mx, my, i)
@@ -801,6 +858,7 @@ def enc2_encode_i16_body(w, enc, mx, my, spec):
 def _encode_intra_residuals(w, enc, mx, my, spec, is16):
     cbp = spec.cbp
     if cbp or is16:
+        spec.qp_delta = _safe_qpd(enc.qp, spec.qp_delta)
         w.se(spec.qp_delta)
         enc.qp = (enc.qp + spec.qp_delta + 52) % 52
     if is16:
@@ -1019,7 +1077,12 @@ def encode_b_mb(w, enc: IntraEncoder, mx, my, spec, nrefs, skip_state):
     # residuals
     cbp = spec.cbp
     w.ue(INV_ME_CBP_INTER[cbp])
+    if (cbp & 15) and enc.pps_t8:
+        b8ok = spec.kind != 'b8' or all(s <= 3 for s in spec.sub_types)
+        if b8ok:
+            w.u1(0)            # transform_size_8x8_flag
     if cbp:
+        spec.qp_delta = _safe_qpd(enc.qp, spec.qp_delta)
         w.se(spec.qp_delta)
         enc.qp = (enc.qp + spec.qp_delta + 52) % 52
     for i8 in range(4):
@@ -1207,7 +1270,8 @@ class CabacSliceEncoder:
         self.w = bitwriter
         n = mb_w * mb_h
         self.flags = [0] * n            # 1 intra, 2 i16, 4 pcm, 16 skip,
-                                        # 128 direct (B_Skip/B_Direct_16x16)
+                                        # 128 direct, 8 transform_8x8
+        self.pps_t8 = False
         self.cbp = [0] * n              # luma | chroma<<4
         self.chmode = [None] * n
         self.dc_cbf = [[0, 0, 0] for _ in range(n)]   # y, cb, cr
@@ -1218,6 +1282,38 @@ class CabacSliceEncoder:
         self.absmvd = {}                # (l, gy, gx) -> (ax, ay)
         self.qp_delta_nz = 0
         self.mvs = MvState(mb_w, mb_h)
+
+    # -- availability helpers (mirror IntraEncoder) ------------------------
+    def mb_avail(self, mx, my):
+        return 0 <= mx < self.mb_w and 0 <= my < self.mb_h and \
+            (mx, my) in self.mvs.parsed
+
+    def blkA_avail(self, mx, my, i):
+        return True if BLK4_X[i] > 0 else self.mb_avail(mx - 1, my)
+
+    def blkB_avail(self, mx, my, i):
+        return True if BLK4_Y[i] > 0 else self.mb_avail(mx, my - 1)
+
+    def blkC_avail(self, mx, my, i):
+        bx, by = BLK4_X[i], BLK4_Y[i]
+        if by == 0:
+            return self.mb_avail(mx, my - 1) if bx < 3 else                 self.mb_avail(mx + 1, my - 1)
+        if bx == 3:
+            return False
+        return BLK_ORD[by - 1][bx + 1] < i
+
+    def blkD_avail(self, mx, my, i):
+        bx, by = BLK4_X[i], BLK4_Y[i]
+        if bx == 0 and by == 0:
+            return self.mb_avail(mx - 1, my - 1)
+        if by == 0:
+            return self.mb_avail(mx, my - 1)
+        if bx == 0:
+            return self.mb_avail(mx - 1, my)
+        return True
+
+    def neighbor_mode(self, gby, gbx, _):
+        return self.modes.get((gby, gbx), 2)
 
     # -- context helpers ---------------------------------------------------
     def _skip_inc(self, mx, my):
@@ -1300,6 +1396,7 @@ class CabacSliceEncoder:
         self.cbp[mbi] = cbp_val
 
     def _qp_delta(self, delta):
+        delta = _safe_qpd(self.qp, delta)
         self.c.encode(60 + self.qp_delta_nz, 1 if delta else 0)
         self.qp_delta_nz = 1 if delta else 0
         if not delta:
@@ -1417,6 +1514,75 @@ class CabacSliceEncoder:
                         if cbf:
                             self.c.residual_block(4, blockc, None, 1, 15)
 
+    def _t8_flag(self, mx, my, val):
+        mbi = my * self.mb_w + mx
+        inc = (1 if mx > 0 and self.flags[mbi - 1] & 8 else 0) \
+            + (1 if my > 0 and self.flags[mbi - self.mb_w] & 8 else 0)
+        self.c.encode(399 + inc, 1 if val else 0)
+        if val:
+            self.flags[mbi] |= 8
+
+    def _residuals8(self, mx, my, spec, cbp):
+        mbi = my * self.mb_w + mx
+        for i8 in range(4):
+            if not (cbp >> i8 & 1):
+                continue
+            c8 = spec.luma8_coeffs[i8]
+            self.c.residual_block(5, c8, None, 0, 63)
+            for k in range(4):
+                i = i8 * 4 + k
+                self.nz_y[(my * 4 + BLK4_Y[i], mx * 4 + BLK4_X[i])] = 1
+        cc = cbp >> 4
+        if cc:
+            for comp in range(2):
+                dc = spec.chroma_dc[comp]
+                cbf = 1 if any(dc) else 0
+                self.c.encode(CAT_CBF[3]
+                              + self._cbf_inc_dc(mx, my, 1 + comp, True), cbf)
+                self.dc_cbf[mbi][1 + comp] = cbf
+                if cbf:
+                    self.c.residual_block(3, dc, None, 0, 3)
+        if cc == 2:
+            for comp in range(2):
+                for cy in range(2):
+                    for cx in range(2):
+                        coeffs = spec.chroma_ac[comp][cy * 2 + cx]
+                        blockc = [0] + coeffs[1:]
+                        cbf = 1 if any(coeffs[1:]) else 0
+                        self.c.encode(
+                            CAT_CBF[4] + self._cbf_inc_chroma(
+                                mx, my, comp, cx, cy, True), cbf)
+                        self.nz_c[(comp, my * 2 + cy, mx * 2 + cx)] = cbf
+                        if cbf:
+                            self.c.residual_block(4, blockc, None, 1, 15)
+
+    def encode_i8_mb(self, mx, my, spec, slice_type):
+        mbi = my * self.mb_w + mx
+        c = self.c
+        if slice_type == 2:
+            def nb_inc(nmx, nmy):
+                f = self.flags[nmy * self.mb_w + nmx]
+                return 1 if (f & 1) and (f & (2 | 4)) else 0
+            inc = (nb_inc(mx - 1, my) if mx > 0 else 0) \
+                + (nb_inc(mx, my - 1) if my > 0 else 0)
+            base = 3 + inc
+        else:
+            base = 17 if slice_type == 0 else 32
+        c.encode(base, 0)       # I_NxN
+        self._t8_flag(mx, my, True)
+        _encode_i8_modes(None, self, mx, my, spec, cabac=c)
+        self._chroma_mode(mx, my, spec.chroma_mode)
+        self.flags[mbi] |= 1
+        self._cbp_encode(mx, my, spec.cbp)
+        if spec.cbp:
+            self._qp_delta(spec.qp_delta)
+        else:
+            self.qp_delta_nz = 0
+        self._residuals8(mx, my, spec, spec.cbp)
+        self.mvs.start_mb(mx, my)
+        self.mvs.finish_mb(True)
+        self.mvs.parsed.add((mx, my))
+
     # -- macroblocks -------------------------------------------------------
     def encode_i_mb(self, mx, my, spec, slice_type):
         mbi = my * self.mb_w + mx
@@ -1457,6 +1623,8 @@ class CabacSliceEncoder:
 
         if spec.kind == 'i4':
             c.encode(base, 0)
+            if self.pps_t8:
+                self._t8_flag(mx, my, False)
             for i in range(16):
                 gbx, gby = mx * 4 + BLK4_X[i], my * 4 + BLK4_Y[i]
                 aA = BLK4_X[i] > 0 or mx > 0
@@ -1577,6 +1745,9 @@ def _cabac_p_mb(enc: CabacSliceEncoder, mx, my, spec, nrefs):
     enc.mvs.finish_mb(False)
     enc.flags[mbi] = 0
     enc._cbp_encode(mx, my, spec.cbp)
+    if (spec.cbp & 15) and enc.pps_t8 and (
+            spec.kind != 'p8' or all(s == 0 for s in spec.sub_types)):
+        enc._t8_flag(mx, my, False)
     if spec.cbp:
         enc._qp_delta(spec.qp_delta)
     else:
@@ -1613,6 +1784,8 @@ def _cabac_b_mb(enc: CabacSliceEncoder, mx, my, spec, nrefs):
         enc.flags[mbi] = 128
         enc.mvs.parsed.add((mx, my))
         enc._cbp_encode(mx, my, spec.cbp)
+        if (spec.cbp & 15) and enc.pps_t8:
+            enc._t8_flag(mx, my, False)    # direct_8x8_inference is on
         if spec.cbp:
             enc._qp_delta(spec.qp_delta)
         else:
@@ -1727,6 +1900,10 @@ def _cabac_b_mb(enc: CabacSliceEncoder, mx, my, spec, nrefs):
                 enc._mvd(mx, my, l, x4, y4, w4, h4, dx, dy)
     enc.flags[mbi] = 0
     enc._cbp_encode(mx, my, spec.cbp)
+    if (spec.cbp & 15) and enc.pps_t8:
+        b8ok = spec.kind != 'b8' or all(s <= 3 for s in spec.sub_types)
+        if b8ok:
+            enc._t8_flag(mx, my, False)
     if spec.cbp:
         enc._qp_delta(spec.qp_delta)
     else:
@@ -1875,4 +2052,362 @@ def gen_random_cabac_ipb_stream(mb_w, mb_h, n_gops=2, seed=0, *, qp=26,
                                 cabac_init_idc=cabac_init_idc,
                                 direct_spatial=direct_spatial,
                                 deblock_idc=deblock_idc)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# High profile: Intra_8x8 and inter transform_size_8x8 (CAVLC)
+
+I8_AC = {0: 'B', 1: 'C', 2: True, 3: False}   # doc only
+
+
+def _i8_avail(enc, mx, my, b):
+    aA = (b & 1) or enc.mb_avail(mx - 1, my)
+    aB = (b >> 1) or enc.mb_avail(mx, my - 1)
+    aC = [enc.mb_avail(mx, my - 1), enc.mb_avail(mx + 1, my - 1),
+          True, False][b]
+    aD = [enc.mb_avail(mx - 1, my - 1), enc.mb_avail(mx, my - 1),
+          enc.mb_avail(mx - 1, my), True][b]
+    return aA, aB, aC, aD
+
+
+def _encode_i8_modes(w, enc, mx, my, spec, cabac=None):
+    for b in range(4):
+        i = b * 4
+        gbx = mx * 4 + BLK4_X[i]
+        gby = my * 4 + BLK4_Y[i]
+        aA = enc.blkA_avail(mx, my, i)
+        aB = enc.blkB_avail(mx, my, i)
+        mA = enc.neighbor_mode(gby, gbx - 1, None) if aA else -1
+        mB = enc.neighbor_mode(gby - 1, gbx, None) if aB else -1
+        pred = 2 if (mA < 0 or mB < 0) else min(mA, mB)
+        mode = spec.modes[b]
+        if mode is None:
+            mode = pred
+        if cabac is None:
+            if mode == pred:
+                w.u1(1)
+            else:
+                w.u1(0)
+                w.u(mode - (1 if mode > pred else 0), 3)
+        else:
+            if mode == pred:
+                cabac.encode(68, 1)
+            else:
+                rem = mode - (1 if mode > pred else 0)
+                cabac.encode(68, 0)
+                cabac.encode(69, rem & 1)
+                cabac.encode(69, rem >> 1 & 1)
+                cabac.encode(69, rem >> 2 & 1)
+        for k in range(4):
+            cell = i + k
+            enc.modes[(my * 4 + BLK4_Y[cell], mx * 4 + BLK4_X[cell])] = mode
+
+
+def _encode_i8_residuals_cavlc(w, enc, mx, my, spec):
+    cbp = spec.cbp
+    if cbp:
+        spec.qp_delta = _safe_qpd(enc.qp, spec.qp_delta)
+        w.se(spec.qp_delta)
+        enc.qp = (enc.qp + spec.qp_delta + 52) % 52
+    for i8 in range(4):
+        if not (cbp >> i8 & 1):
+            continue
+        c8 = spec.luma8_coeffs[i8]      # 64 levels, 8x8 scan order
+        for k in range(4):
+            sub = [c8[4 * j + k] for j in range(16)]
+            i = i8 * 4 + k
+            nC = enc.nC_luma(mx, my, i)
+            n = encode_residual_cavlc(w, sub, nC, 16)
+            enc.nz_y[(my * 4 + BLK4_Y[i], mx * 4 + BLK4_X[i])] = n
+    if cbp >> 4:
+        for c in range(2):
+            encode_residual_cavlc(w, spec.chroma_dc[c], -1, 4)
+    if cbp >> 4 == 2:
+        for c in range(2):
+            for cy in range(2):
+                for cx in range(2):
+                    nC = enc.nC_chroma(c, mx, my, cx, cy)
+                    n = encode_residual_cavlc(
+                        w, spec.chroma_ac[c][cy * 2 + cx][1:], nC, 15)
+                    enc.nz_c[(c, my * 2 + cy, mx * 2 + cx)] = n
+
+
+def encode_i8_mb_cavlc(w, enc, mx, my, spec, mb_type_offset=0):
+    w.ue(mb_type_offset)        # I_NxN
+    w.u1(1)                     # transform_size_8x8_flag
+    _encode_i8_modes(w, enc, mx, my, spec)
+    w.ue(spec.chroma_mode)
+    w.ue(INV_ME_CBP_INTRA[spec.cbp])
+    enc.parsed.add((mx, my))
+    _encode_i8_residuals_cavlc(w, enc, mx, my, spec)
+
+
+def random_i8_mb(rng, enc, mx, my, max_level=8, density=0.3):
+    def rand_coeffs(n, start=0):
+        c = [0] * n
+        for i in range(start, n):
+            if rng.random() < density:
+                v = rng.randrange(1, max_level + 1)
+                c[i] = v if rng.random() < 0.5 else -v
+        return c
+
+    modes = []
+    for b in range(4):
+        aA, aB, aC, aD = _i8_avail(enc, mx, my, b)
+        # within-mb: left/top halves come from earlier 8x8s
+        if b & 1:
+            aA = True
+        if b >> 1:
+            aB = True
+        allowed = [2]
+        if aB:
+            allowed += [0, 3, 7]
+        if aA:
+            allowed += [1, 8]
+        if aA and aB and aD:
+            allowed += [4, 5, 6]
+        modes.append(rng.choice(allowed))
+    aA, aB = enc.mb_avail(mx - 1, my), enc.mb_avail(mx, my - 1)
+    aD = enc.mb_avail(mx - 1, my - 1)
+    ch = [0]
+    if aA:
+        ch.append(1)
+    if aB:
+        ch.append(2)
+    if aA and aB and aD:
+        ch.append(3)
+    return MbSpec('i8', modes=modes,
+                  cbp=rng.randrange(16) | rng.choice([0, 1, 2]) << 4,
+                  chroma_mode=rng.choice(ch), qp_delta=rng.randrange(-3, 4),
+                  luma8_coeffs=[rand_coeffs(64) for _ in range(4)],
+                  chroma_dc=[rand_coeffs(4) for _ in range(2)],
+                  chroma_ac=[[rand_coeffs(16, 1) for _ in range(4)]
+                             for _ in range(2)])
+
+
+def gen_random_high_stream(mb_w, mb_h, n_frames=1, seed=0, *, qp=26,
+                           kinds=('i4', 'i8', 'i16'), max_level=8,
+                           density=0.3, deblock=True, scaling=False,
+                           second_chroma_qp_off=None) -> bytes:
+    """High-profile all-intra CAVLC stream: 8x8 transforms, optional
+    scaling matrices and separate Cb/Cr QP offsets (config #4)."""
+    rng = random.Random(seed)
+    s4 = s8 = None
+    if scaling:
+        # weights kept near the flat-16 default: conformant encoders pick
+        # (weight x level) products that keep transform intermediates in
+        # 16 bits, which random levels would otherwise violate
+        s4 = [[rng.randrange(8, 25) for _ in range(16)] for _ in range(6)]
+        s8 = [[rng.randrange(8, 25) for _ in range(64)] for _ in range(2)]
+    out = make_sps(mb_w, mb_h, profile=100, scaling4=s4, scaling8=s8)
+    out += make_pps(deblock_control=not deblock, transform_8x8=True,
+                    second_chroma_qp_off=second_chroma_qp_off)
+    deblock_idc = None if deblock else 1
+    n_mbs = mb_w * mb_h
+    result = out
+    for f in range(n_frames):
+        w = BitWriter()
+        w.ue(0)
+        w.ue(7)
+        w.ue(0)
+        w.u(0 if f == 0 else f % 16, 4)
+        if f == 0:
+            w.ue(f)
+        w.u((2 * f) % 16, 4)
+        if f == 0:
+            w.u1(0)            # no_output_of_prior_pics
+            w.u1(0)            # long_term_reference_flag
+        else:
+            w.u1(0)            # adaptive_ref_pic_marking_mode_flag
+        w.se(qp - 26)
+        if deblock_idc is not None:
+            w.ue(deblock_idc)
+        enc = IntraEncoder(mb_w, mb_h, qp, pps_t8=True)
+        for addr in range(n_mbs):
+            mx, my = addr % mb_w, addr // mb_w
+            kind = rng.choice(kinds)
+            if kind == 'i8':
+                spec = random_i8_mb(rng, enc, mx, my, max_level, density)
+                encode_i8_mb_cavlc(w, enc, mx, my, spec)
+            else:
+                spec = random_intra_mb(rng, (kind,), max_level, density)
+                resolve_random_modes(rng, enc, mx, my, spec)
+                enc.encode_mb(w, mx, my, spec)
+        w.rbsp_trailing()
+        result += nal(3, 5 if f == 0 else 1, w.bytes_unescaped())
+    return result
+
+
+def random_p_mb_t8(rng, nrefs, max_level=8, density=0.3, mv_range=32):
+    """P_L0_16x16 with transform_size_8x8 residual."""
+    def rc(n):
+        c = [0] * n
+        for i in range(n):
+            if rng.random() < density:
+                v = rng.randrange(1, max_level + 1)
+                c[i] = v if rng.random() < 0.5 else -v
+        return c
+    return MbSpec('p16t8', refidx=[rng.randrange(nrefs)],
+                  mvds=[(rng.randrange(-mv_range, mv_range + 1),
+                         rng.randrange(-mv_range, mv_range + 1))],
+                  cbp=(rng.randrange(1, 16)) | rng.choice([0, 1, 2]) << 4,
+                  qp_delta=rng.randrange(-3, 4),
+                  luma8_coeffs=[rc(64) for _ in range(4)],
+                  chroma_dc=[rc(4) for _ in range(2)],
+                  chroma_ac=[[([0] + rc(15)) for _ in range(4)]
+                             for _ in range(2)])
+
+
+def gen_random_high_ipp_stream(mb_w, mb_h, n_frames=3, seed=0, *, qp=26,
+                               nrefs=1, max_level=8, density=0.3,
+                               mv_range=32, deblock=True,
+                               t8_prob=0.5) -> bytes:
+    """High-profile IPP stream mixing 4x4 and 8x8 transforms in P frames."""
+    rng = random.Random(seed)
+    out = make_sps(mb_w, mb_h, profile=100, max_ref_frames=max(nrefs, 1))
+    out += make_pps(deblock_control=not deblock, nrefs=nrefs,
+                    transform_8x8=True)
+    deblock_idc = None if deblock else 1
+    n_mbs = mb_w * mb_h
+    # IDR: mixed intra incl. i8
+    w = BitWriter()
+    w.ue(0); w.ue(7); w.ue(0); w.u(0, 4); w.ue(0); w.u(0, 4)
+    w.u1(0); w.u1(0)
+    w.se(qp - 26)
+    if deblock_idc is not None:
+        w.ue(deblock_idc)
+    enc = IntraEncoder(mb_w, mb_h, qp, pps_t8=True)
+    for addr in range(n_mbs):
+        mx, my = addr % mb_w, addr // mb_w
+        kind = rng.choice(('i4', 'i8', 'i16'))
+        if kind == 'i8':
+            spec = random_i8_mb(rng, enc, mx, my, max_level, density)
+            encode_i8_mb_cavlc(w, enc, mx, my, spec)
+        else:
+            spec = random_intra_mb(rng, (kind,), max_level, density)
+            resolve_random_modes(rng, enc, mx, my, spec)
+            enc.encode_mb(w, mx, my, spec)
+    w.rbsp_trailing()
+    out += nal(3, 5, w.bytes_unescaped())
+    for f in range(1, n_frames):
+        nr = min(f, nrefs)
+        w = BitWriter()
+        w.ue(0); w.ue(5); w.ue(0); w.u(f % 16, 4); w.u((2 * f) % 16, 4)
+        if nrefs > 1 and nr != nrefs:
+            w.u1(1); w.ue(nr - 1)
+        else:
+            w.u1(0)
+        w.u1(0)               # ref_pic_list_modification
+        w.u1(0)               # adaptive marking
+        w.se(qp - 26)
+        if deblock_idc is not None:
+            w.ue(deblock_idc)
+        enc = IntraEncoder(mb_w, mb_h, qp, pps_t8=True)
+        mvs = MvState(mb_w, mb_h)
+        skip_state = {'run': 0}
+        for addr in range(n_mbs):
+            mx, my = addr % mb_w, addr // mb_w
+            if rng.random() < t8_prob:
+                spec = random_p_mb_t8(rng, nr, max_level, density, mv_range)
+                # encode like p16 + t8 flag + 8x8 residual
+                w.ue(skip_state['run']); skip_state['run'] = 0
+                mvs.start_mb(mx, my)
+                w.ue(0)       # P_L0_16x16
+                r = spec.refidx[0]
+                if nr > 1:
+                    if nr == 2:
+                        w.u1(r ^ 1)
+                    else:
+                        w.ue(r)
+                dx, dy = spec.mvds[0]
+                px, py = mvs.mvp(r, 0, 0, 4, 4, 0)
+                w.se(dx); w.se(dy)
+                mvs.store(r, 0, 0, 4, 4, px + dx, py + dy)
+                mvs.finish_mb(False)
+                enc.parsed.add((mx, my))
+                w.ue(INV_ME_CBP_INTER[spec.cbp])
+                if spec.cbp & 15:
+                    w.u1(1)   # transform_size_8x8_flag
+                if spec.cbp:
+                    spec.qp_delta = _safe_qpd(enc.qp, spec.qp_delta)
+                    w.se(spec.qp_delta)
+                    enc.qp = (enc.qp + spec.qp_delta + 52) % 52
+                cbp = spec.cbp
+                for i8 in range(4):
+                    if not (cbp >> i8 & 1):
+                        continue
+                    c8 = spec.luma8_coeffs[i8]
+                    for k in range(4):
+                        sub = [c8[4 * j + k] for j in range(16)]
+                        i = i8 * 4 + k
+                        nC = enc.nC_luma(mx, my, i)
+                        n2 = encode_residual_cavlc(w, sub, nC, 16)
+                        enc.nz_y[(my * 4 + BLK4_Y[i],
+                                  mx * 4 + BLK4_X[i])] = n2
+                if cbp >> 4:
+                    for c in range(2):
+                        encode_residual_cavlc(w, spec.chroma_dc[c], -1, 4)
+                if cbp >> 4 == 2:
+                    for c in range(2):
+                        for cy in range(2):
+                            for cx in range(2):
+                                nC = enc.nC_chroma(c, mx, my, cx, cy)
+                                n2 = encode_residual_cavlc(
+                                    w, spec.chroma_ac[c][cy * 2 + cx][1:],
+                                    nC, 15)
+                                enc.nz_c[(c, my * 2 + cy, mx * 2 + cx)] = n2
+            else:
+                spec = random_p_mb(rng, nr, max_level, density, mv_range,
+                                   intra_prob=0.15, skip_prob=0.2)
+                if spec.kind in ('i4', 'i16'):
+                    resolve_random_modes(rng, enc, mx, my, spec)
+                encode_p_mb(w, enc, mvs, mx, my, spec, nr, skip_state)
+        if skip_state['run']:
+            w.ue(skip_state['run'])
+        w.rbsp_trailing()
+        out += nal(3, 1, w.bytes_unescaped())
+    return out
+
+
+def gen_random_high_cabac_stream(mb_w, mb_h, n_frames=1, seed=0, *, qp=26,
+                                 kinds=('i4', 'i8', 'i16'), max_level=8,
+                                 density=0.3, deblock=True) -> bytes:
+    """High-profile all-intra CABAC stream with 8x8 transforms."""
+    rng = random.Random(seed)
+    out = make_sps(mb_w, mb_h, profile=100, log2_max_poc_lsb=6)
+    out += make_pps(cabac=True, deblock_control=not deblock,
+                    transform_8x8=True)
+    deblock_idc = None if deblock else 1
+    n_mbs = mb_w * mb_h
+    for f in range(n_frames):
+        w = BitWriter()
+        w.ue(0); w.ue(7); w.ue(0); w.u(0 if f == 0 else f % 16, 4)
+        if f == 0:
+            w.ue(f)
+        w.u((2 * f) % 64, 6)
+        if f == 0:
+            w.u1(0); w.u1(0)
+        else:
+            w.u1(0)
+        w.se(qp - 26)
+        if deblock_idc is not None:
+            w.ue(deblock_idc)
+        while len(w.bits) % 8:
+            w.u1(1)
+        enc = CabacSliceEncoder(mb_w, mb_h, qp, 0, w)
+        enc.pps_t8 = True
+        for addr in range(n_mbs):
+            mx, my = addr % mb_w, addr // mb_w
+            kind = rng.choice(kinds)
+            if kind == 'i8':
+                spec = random_i8_mb(rng, enc, mx, my, max_level, density)
+                enc.encode_i8_mb(mx, my, spec, 2)
+            else:
+                spec = random_intra_mb(rng, (kind,), max_level, density)
+                resolve_random_modes(rng, enc, mx, my, spec)
+                enc.encode_i_mb(mx, my, spec, 2)
+            enc.c.terminate(0 if addr < n_mbs - 1 else 1)
+        w.align_zero()
+        out += nal(3, 5 if f == 0 else 1, w.bytes_unescaped())
     return out

@@ -21,7 +21,22 @@ CAT = {
     2: (93, 134, 195, 247, 9),
     3: (97, 149, 210, 257, 8),
     4: (101, 151, 212, 266, 9),
+    5: (1012, 402, 417, 426, 9),
 }
+
+# Table 9-43 significant/last maps for 8x8 blocks (frame coding)
+SIG_INC_8x8 = [
+    0, 1, 2, 3, 4, 5, 5, 4, 4, 3, 3, 4, 4, 4, 5, 5,
+    4, 4, 4, 4, 3, 3, 6, 7, 7, 7, 8, 9, 10, 9, 8, 7,
+    7, 6, 11, 12, 13, 11, 6, 7, 8, 9, 14, 10, 9, 8, 6, 11,
+    12, 13, 11, 6, 9, 14, 10, 9, 11, 12, 13, 11, 14, 10, 12, 0,
+]
+LAST_INC_8x8 = [
+    0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2,
+    3, 3, 3, 3, 3, 3, 3, 3, 4, 4, 4, 4, 4, 4, 4, 4,
+    5, 5, 5, 5, 6, 6, 6, 6, 7, 7, 7, 7, 8, 8, 8, 8,
+]
 
 
 class CabacWriter:
@@ -149,16 +164,19 @@ class CabacWriter:
         cbf_unused = None
         base_sig, base_last = CAT[cat][1], CAT[cat][2]
         base_abs, cap = CAT[cat][3], CAT[cat][4]
+        sig_map = SIG_INC_8x8 if cat == 5 else None
+        last_map = LAST_INC_8x8 if cat == 5 else None
         positions = [i for i in range(start, end + 1) if coeffs[i] != 0]
         assert positions, "cbf=1 requires a nonzero coefficient"
         last = positions[-1]
         i = start
         while i < end:
             sig = 1 if coeffs[i] != 0 else 0
-            self.encode(base_sig + i, sig)
+            self.encode(base_sig + (sig_map[i] if sig_map else i), sig)
             if sig:
                 lastf = 1 if i == last else 0
-                self.encode(base_last + i, lastf)
+                self.encode(base_last + (last_map[i] if last_map else i),
+                            lastf)
                 if lastf:
                     break
             i += 1

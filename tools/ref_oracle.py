@@ -30,8 +30,8 @@ class RefOracle:
         lib = os.path.join(BUILD, "libedge264.so.1")
         dump = os.path.join(BUILD, "dump_yuv")
         test = os.path.join(BUILD, "edge264_test")
-        base = ["-march=native", "-std=gnu11", "-O2", "-flax-vector-conversions",
-                "-Wno-override-init", "-pthread"]
+        base = ["-march=native", "-std=gnu11", "-O2", "-DNDEBUG",
+                "-flax-vector-conversions", "-Wno-override-init", "-pthread"]
         if not os.path.exists(lib):
             _run(["cc", f"{REF}/src/edge264.c", "-c", *base, "-fPIC",
                   "-DHAS_LOGS", "-o", f"{BUILD}/edge264.o"])
