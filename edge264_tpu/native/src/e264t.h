@@ -340,6 +340,7 @@ struct Decoder {
 	SliceHeader sh;
 	const PPS *cpps = nullptr;
 	int nal_ref_idc = 0, nal_unit_type = 0;
+	int mvc_non_idr = 0;         // from the NAL-20 header extension
 
 	std::vector<Event> events;
 	// log callback (YAML trace, reference-compatible field names)

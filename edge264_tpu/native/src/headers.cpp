@@ -399,8 +399,45 @@ int Decoder::parse_sps(bool subset) {
 		     "  max_dec_frame_buffering: %u # inferred\n",
 		     s.max_num_reorder_frames, s.max_dec_frame_buffering);
 
-	if (subset)                      // MVC extension: not supported yet
-		return E264T_ENOTSUP;
+	if (subset) {
+		// §7.3.2.1.3 + H.7.3.2.1.4 seq_parameter_set_mvc_extension
+		if (!gb.u1())                // bit_equal_to_one
+			return E264T_EBADMSG;
+		int num_views = (int)gb.ue(1023) + 1;
+		logf("  view_ids: [");
+		for (int i = 0; i < num_views; i++) {
+			unsigned vid = gb.ue(1023);
+			logf(i ? ",%u" : "%u", vid);
+		}
+		logf("]\n");
+		if (num_views != 2)
+			return E264T_ENOTSUP;    // Stereo High: exactly 2 views
+		for (int k = 0; k < 4; k++) {   // (non-)anchor refs, both lists
+			if (gb.ue(1))
+				gb.ue(1023);
+		}
+		for (int i = (int)gb.ue(63); i >= 0; i--) {
+			gb.u(8);                 // level_idc
+			for (int j = (int)gb.ue(1023); j >= 0; j--) {
+				gb.u(3);             // applicable_op_temporal_id
+				for (int k = (int)gb.ue(1023); k >= 0; k--)
+					gb.ue(1023);     // target view ids
+				gb.ue(1023);         // applicable_op_num_views_minus1
+			}
+		}
+		if (gb.u1())                 // mvc_vui_parameters_present
+			return E264T_ENOTSUP;
+		if (gb.u1()) {               // additional_extension2_flag
+			while (gb.more_rbsp())
+				gb.u1();
+		}
+		if (!gb.rbsp_finished())
+			return E264T_EBADMSG;
+		s.valid = 1;
+		s.mvc = 1;
+		ssps = s;
+		return 0;
+	}
 
 	if (!gb.rbsp_finished())
 		ret = E264T_EBADMSG;
@@ -543,6 +580,31 @@ int Decoder::decode_nal(const uint8_t *buf, size_t len) {
 	case 6: case 9: case 11: case 12:
 		ret = 0;                 // ignored NALs (edge264.c:165)
 		break;
+	case 14:                     // MVC prefix NAL: view info for the base
+		ret = 0;                 // slice; nothing the decode needs
+		break;
+	case 20: {                   // coded slice extension (H.7.3.1)
+		if (gb.u1()) {           // svc_extension_flag
+			ret = E264T_ENOTSUP;
+			break;
+		}
+		int non_idr = gb.u1();
+		gb.u(6);                 // priority_id
+		unsigned view_id = gb.u(10);
+		gb.u(3);                 // temporal_id
+		int anchor = gb.u1();
+		gb.u1();                 // inter_view_flag
+		gb.u1();                 // reserved_one_bit
+		logf("  mvc_extension: {non_idr: %d, view_id: %u, anchor: %d}\n",
+		     non_idr, view_id, anchor);
+		if (!ssps.valid) {
+			ret = E264T_EBADMSG;
+			break;
+		}
+		mvc_non_idr = non_idr;
+		ret = parse_slice();
+		break;
+	}
 	case 10:                     // end of sequence: drain + reset
 		if (!gb.rbsp_finished() && rbsp.size() > 0)
 			ret = E264T_EBADMSG;

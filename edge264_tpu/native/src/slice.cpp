@@ -262,16 +262,16 @@ void Decoder::handle_frame_gaps(int) {
 // ---------------------------------------------------------------------------
 int Decoder::parse_slice() {
 	static const char *const type_names[5] = {"P", "B", "I", "SP", "SI"};
-	if (nal_unit_type == 20)
-		return E264T_ENOTSUP;   // MVC slice extension: later milestone
-	int nbv = 0;
+	int nbv = nal_unit_type == 20;
 	uint32_t sv = same_views(nbv);
-	IdrPicFlag = nal_unit_type == 5;
+	IdrPicFlag = nal_unit_type == 5 || (nbv && !mvc_non_idr);
 	sh = SliceHeader();
 
 	sh.first_mb = gb.ue(139263);
 	int slice_type = gb.ue(9);
-	slice_type = (IdrPicFlag || sps.max_num_ref_frames == 0) ? 2 : slice_type;
+	// non-base MVC anchor slices may be P (inter-view prediction only)
+	slice_type = (nal_unit_type == 5 || sps.max_num_ref_frames == 0)
+		? 2 : slice_type;
 	sh.slice_type = slice_type < 5 ? slice_type : slice_type - 5;
 	int ppsid = gb.ue(255);
 	logf("  first_mb_in_slice: %u\n  slice_type: %u # %s\n"

@@ -2411,3 +2411,152 @@ def gen_random_high_cabac_stream(mb_w, mb_h, n_frames=1, seed=0, *, qp=26,
         w.align_zero()
         out += nal(3, 5 if f == 0 else 1, w.bytes_unescaped())
     return out
+
+
+# ---------------------------------------------------------------------------
+# MVC Stereo High (Annex H): subset SPS, prefix NALs, NAL-20 slices
+
+def make_subset_sps(mb_w, mb_h, *, profile=128, level=40,
+                    log2_max_frame_num=4, log2_max_poc_lsb=4,
+                    max_ref_frames=2) -> bytes:
+    w = BitWriter()
+    w.u(profile, 8)
+    w.u(0, 8)
+    w.u(level, 8)
+    w.ue(0)                 # sps id (shared slot)
+    w.ue(1)                 # chroma_format_idc
+    w.ue(0); w.ue(0)        # bit depths
+    w.u1(0)                 # qpprime
+    w.u1(0)                 # seq_scaling_matrix
+    w.ue(log2_max_frame_num - 4)
+    w.ue(0)                 # poc type 0
+    w.ue(log2_max_poc_lsb - 4)
+    w.ue(max_ref_frames)
+    w.u1(0)
+    w.ue(mb_w - 1)
+    w.ue(mb_h - 1)
+    w.u1(1)                 # frame_mbs_only
+    w.u1(1)                 # direct_8x8_inference
+    w.u1(0)                 # crop
+    w.u1(0)                 # vui
+    # MVC extension
+    w.u1(1)                 # bit_equal_to_one
+    w.ue(1)                 # num_views_minus1 = 1
+    w.ue(0)                 # view_id[0]
+    w.ue(1)                 # view_id[1]
+    w.ue(1); w.ue(0)        # num_anchor_refs_l0 = 1, ref = view 0
+    w.ue(0)                 # num_anchor_refs_l1
+    w.ue(1); w.ue(0)        # num_non_anchor_refs_l0 = 1, ref = view 0
+    w.ue(0)                 # num_non_anchor_refs_l1
+    w.ue(0)                 # num_level_values_signalled_minus1
+    w.u(level, 8)
+    w.ue(0)                 # num_applicable_ops_minus1
+    w.u(0, 3)               # temporal_id
+    w.ue(0)                 # num_target_output_views_minus1
+    w.ue(1)                 # target view id
+    w.ue(1)                 # num_views_minus1
+    w.u1(0)                 # mvc_vui_parameters_present
+    w.u1(0)                 # additional_extension2
+    w.rbsp_trailing()
+    return nal(3, 15, w.bytes_unescaped())
+
+
+def _mvc_ext_bytes(w, non_idr, view_id, anchor):
+    w.u1(0)                 # svc_extension_flag
+    w.u1(non_idr)
+    w.u(0, 6)               # priority_id
+    w.u(view_id, 10)
+    w.u(0, 3)               # temporal_id
+    w.u1(anchor)
+    w.u1(1)                 # inter_view_flag
+    w.u1(1)                 # reserved_one_bit
+
+
+def make_prefix_nal(non_idr, anchor) -> bytes:
+    w = BitWriter()
+    _mvc_ext_bytes(w, non_idr, 0, anchor)
+    return nal(3, 14, w.bytes_unescaped())
+
+
+def gen_random_mvc_stream(mb_w, mb_h, n_aus=2, seed=0, *, qp=26,
+                          max_level=8, density=0.3, mv_range=24,
+                          deblock=True) -> bytes:
+    """Stereo MVC: base view IDR+P chain, non-base view P slices that
+    reference the base view (inter-view) and their own previous frames."""
+    rng = random.Random(seed)
+    out = make_sps(mb_w, mb_h, profile=100) + make_subset_sps(mb_w, mb_h)
+    out += make_pps(deblock_control=not deblock, nrefs=2)
+    deblock_idc = None if deblock else 1
+    n_mbs = mb_w * mb_h
+
+    def intra_slice(idr, f):
+        w = BitWriter()
+        w.ue(0); w.ue(7); w.ue(0); w.u(0 if idr else f % 16, 4)
+        if idr:
+            w.ue(0)
+        w.u((2 * f) % 16, 4)
+        if idr:
+            w.u1(0); w.u1(0)
+        else:
+            w.u1(0)
+        w.se(qp - 26)
+        if deblock_idc is not None:
+            w.ue(deblock_idc)
+        enc = IntraEncoder(mb_w, mb_h, qp)
+        for addr in range(n_mbs):
+            spec = random_intra_mb(rng, ('i4', 'i16'), max_level, density)
+            resolve_random_modes(rng, enc, addr % mb_w, addr // mb_w, spec)
+            enc.encode_mb(w, addr % mb_w, addr // mb_w, spec)
+        w.rbsp_trailing()
+        return w
+
+    def p_slice_bits(f, nrefs, mvc_view, idr_like):
+        """P slice payload; for mvc_view the same syntax follows the
+        NAL-20 extension."""
+        w = BitWriter()
+        if mvc_view:
+            _mvc_ext_bytes(w, 0 if idr_like else 1, 1, 1 if idr_like else 0)
+        w.ue(0); w.ue(5); w.ue(0)
+        w.u(0 if idr_like else f % 16, 4)
+        if idr_like:
+            w.ue(0)             # idr_pic_id
+        w.u((2 * f) % 16, 4)
+        if nrefs != 2:          # pps default is 2
+            w.u1(1); w.ue(nrefs - 1)
+        else:
+            w.u1(0)
+        w.u1(0)                 # ref_pic_list_modification
+        if idr_like:
+            w.u1(0); w.u1(0)    # no_output, long_term
+        else:
+            w.u1(0)             # adaptive marking
+        w.se(qp - 26)
+        if deblock_idc is not None:
+            w.ue(deblock_idc)
+        enc = IntraEncoder(mb_w, mb_h, qp)
+        mvs = MvState(mb_w, mb_h)
+        skip_state = {'run': 0}
+        for addr in range(n_mbs):
+            mx, my = addr % mb_w, addr // mb_w
+            spec = random_p_mb(rng, nrefs, max_level, density, mv_range)
+            if spec.kind in ('i4', 'i16'):
+                resolve_random_modes(rng, enc, mx, my, spec)
+            encode_p_mb(w, enc, mvs, mx, my, spec, nrefs, skip_state)
+        if skip_state['run']:
+            w.ue(skip_state['run'])
+        w.rbsp_trailing()
+        return w
+
+    for f in range(n_aus):
+        # base view
+        out += make_prefix_nal(0 if f == 0 else 1, 1 if f == 0 else 0)
+        if f == 0:
+            out += nal(3, 5, intra_slice(True, f).bytes_unescaped())
+        else:
+            out += nal(3, 1, p_slice_bits(f, min(f, 2), False,
+                                          False).bytes_unescaped())
+        # non-base view: P with inter-view ref (+ own temporal refs later)
+        nrefs1 = 1 if f == 0 else min(f + 1, 2)
+        out += nal(3, 20, p_slice_bits(f, nrefs1, True,
+                                       f == 0).bytes_unescaped())
+    return out
