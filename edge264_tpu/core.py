@@ -75,6 +75,7 @@ class DecoderCore:
         self._nd = NativeDecoder(log=log_cb is not None, log_mbs=log_mbs)
         self._log_cb = log_cb
         self._store = FrameStore()
+        self._errors = {}         # slot -> mb_errors plane (or None)
         self._outq = []           # decoded Frames in output order
         self._fmt = None
         if backend == "numpy":
@@ -96,8 +97,12 @@ class DecoderCore:
                 y, cb, cr = self._backend.reconstruct(planes, slot,
                                                       self._store)
                 self._store.put(slot, y, cb, cr)
+                errs = np.asarray(planes.mb_errors)
+                self._errors[slot] = errs.copy() if errs.any() else None
             elif kind == EV_UNPIN:
                 self._store.drop(slot)
+                if hasattr(self._backend, "unpin"):
+                    self._backend.unpin(slot)
         if self._log_cb is not None:
             log = self._nd.get_log()
             if log:
@@ -127,6 +132,7 @@ class DecoderCore:
             cb=cb[ct // 2:(hY - cb_) // 2, cl // 2:(wY - cr_) // 2],
             cr=cr[ct // 2:(hY - cb_) // 2, cl // 2:(wY - cr_) // 2],
             frame_id=info["frame_id"],
+            mb_errors=self._errors.get(slot),
             crop_offsets=(ct, cr_, cb_, cl),
             return_arg=slot,
         )

@@ -62,7 +62,7 @@ EV_UNPIN = 6
 _PLANE_PTRS = ["mb_flags", "qp", "i4_modes", "i16_modes", "i8_modes",
                "ch_modes", "nz_y", "nz_c", "coef_y", "coef_y8", "coef_y_dc",
                "coef_c_dc", "coef_cb", "coef_cr", "mvs", "refslot", "pcm_y",
-               "pcm_c", "deblock", "deblock_ab", "wp", "slice_id", "wp8", "sm4", "sm8"]
+               "pcm_c", "deblock", "deblock_ab", "wp", "slice_id", "wp8", "sm4", "sm8", "mb_errors"]
 
 
 class PlanesStruct(C.Structure):
@@ -157,6 +157,7 @@ class SyntaxPlanes:
         self.wp8 = arr(s.wp8, (2 * H, 2 * W, 2, 3, 2), np.int8)
         self.sm4 = arr(s.sm4, (6, 16), np.uint8)
         self.sm8 = arr(s.sm8, (2, 64), np.uint8)
+        self.mb_errors = arr(s.mb_errors, (H, W), np.uint8)
         self.slice_id = arr(s.slice_id, (H, W), np.uint16)
 
 

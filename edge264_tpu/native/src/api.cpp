@@ -19,7 +19,7 @@ struct E264tPlanes {
 	void *nz_y, *nz_c;
 	void *coef_y, *coef_y8, *coef_y_dc, *coef_c_dc, *coef_cb, *coef_cr;
 	void *mvs, *refslot, *pcm_y, *pcm_c, *deblock, *deblock_ab, *wp;
-	void *slice_id, *wp8, *sm4, *sm8;
+	void *slice_id, *wp8, *sm4, *sm8, *mb_errors;
 };
 
 void *e264t_alloc(void) {
@@ -79,6 +79,7 @@ int e264t_planes(void *h, int slot, E264tPlanes *out) {
 	out->wp8 = p.wp8.data();
 	out->sm4 = p.sm4;
 	out->sm8 = p.sm8;
+	out->mb_errors = p.mb_errors.data();
 	return 0;
 }
 

@@ -209,6 +209,7 @@ struct Planes {
 	std::vector<uint8_t> refnz;       // [mbH*2*mbW*2] per-8x8: bit l set if that
 	                                  // list's refIdx was parsed nonzero (CABAC ref ctx)
 	std::vector<uint16_t> slice_id;   // [mbH*mbW]        slice index within frame
+	std::vector<uint8_t> mb_errors;   // [mbH*mbW] concealment confidence (%)
 	uint8_t sm4[6][16];               // resolved weightScale4x4 (last slice)
 	uint8_t sm8[2][64];               // resolved 8x8 intra/inter lists
 
@@ -341,6 +342,7 @@ struct Decoder {
 	const PPS *cpps = nullptr;
 	int nal_ref_idc = 0, nal_unit_type = 0;
 	int mvc_non_idr = 0;         // from the NAL-20 header extension
+	uint32_t pinned = 0;         // slots whose samples the device must keep
 
 	std::vector<Event> events;
 	// log callback (YAML trace, reference-compatible field names)
@@ -387,6 +389,7 @@ struct Decoder {
 	int  find_free_slot();
 	void finish_frame();         // currPic complete: emit events, marking
 	void bump_frames(bool all);  // C.4.5 output bumping
+	void conceal_frame();        // fill unparsed mbs (recover_slice analog)
 	void logf(const char *fmt, ...);
 	int mb_qp_delta_nz = 0;      // CABAC ctx: previous mb had mb_qp_delta != 0
 

@@ -73,6 +73,33 @@ void Decoder::bump_frames(bool all) {
 // unset_currPic: commit the staged reference state (edge264_headers.c:61-76)
 void Decoder::finish_frame() {
 	if (curr < 0) return;
+	if (!complete[curr] && remaining_mbs[curr] > 0) {
+		int total = sps.mb_width * sps.mb_height;
+		if (remaining_mbs[curr] >= total) {
+			// no slice decoded at all: discard the frame entirely
+			uint32_t bit = 1u << curr;
+			to_get &= ~bit;
+			outputq &= ~bit;
+			curr_st &= ~bit;
+			curr_lt &= ~bit;
+			for (int v = 0; v < 2; v++) {
+				int8_t *q = output_fifo[v];
+				int w = 0;
+				for (int i = 0; i < MAX_SLOTS; i++)
+					if (q[i] != curr)
+						q[w++] = q[i];
+				while (w < MAX_SLOTS)
+					q[w++] = -1;
+			}
+			curr = -1;
+			return;
+		}
+		conceal_frame();        // partial frame: fill + flag the holes
+	}
+	if (!complete[curr] && remaining_mbs[curr] <= 0) {
+		complete[curr] = 1;
+		events.push_back({EV_FRAME_DONE, curr, FrameIds[curr], 0, 0, 0});
+	}
 	int nbv = non_base >> curr & 1;
 	if ((curr_st | curr_lt) & (1u << curr)) {
 		uint32_t sv = same_views(nbv);
@@ -620,6 +647,17 @@ int Decoder::decode_nal(const uint8_t *buf, size_t len) {
 		ret = E264T_ENOTSUP;
 	}
 	logf("  decode_NAL_result: %s\n", ret_name(ret));
+
+	// device memory bookkeeping: slots no longer referenced, queued or
+	// borrowed can release their sample planes (the analog of the
+	// reference's borrow bitmask bookkeeping, edge264.c:389-402)
+	uint32_t now = committed_st | committed_lt | curr_st | curr_lt |
+		to_get | outputq | (curr >= 0 ? 1u << curr : 0) |
+		(base_slot >= 0 ? 1u << base_slot : 0);
+	uint32_t freed = pinned & ~now;
+	for (uint32_t f = freed; f; f &= f - 1)
+		events.push_back({EV_UNPIN, __builtin_ctz(f), 0, 0, 0, 0});
+	pinned = now;
 	return ret;
 }
 

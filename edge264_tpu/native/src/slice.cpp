@@ -8,6 +8,7 @@
 namespace e264t {
 
 int Decoder_bump_frame(Decoder &d, int nbv, uint32_t ignored);
+int chroma_qp(int qpy, int offset);
 
 static int popcount(uint32_t v) { return __builtin_popcount(v); }
 static int ctz32(uint32_t v) { return __builtin_ctz(v); }
@@ -269,9 +270,6 @@ int Decoder::parse_slice() {
 
 	sh.first_mb = gb.ue(139263);
 	int slice_type = gb.ue(9);
-	// non-base MVC anchor slices may be P (inter-view prediction only)
-	slice_type = (nal_unit_type == 5 || sps.max_num_ref_frames == 0)
-		? 2 : slice_type;
 	sh.slice_type = slice_type < 5 ? slice_type : slice_type - 5;
 	int ppsid = gb.ue(255);
 	logf("  first_mb_in_slice: %u\n  slice_type: %u # %s\n"
@@ -411,6 +409,12 @@ int Decoder::parse_slice() {
 		init_ref_lists();
 		parse_ref_pic_list_modification();
 		parse_pred_weight_table();
+		// a P/B slice whose reference list came up empty (IDR P slices,
+		// max_num_ref_frames 0, lost refs) cannot be decoded
+		if (sh.RefPicList[0][0] < 0 ||
+		    (sh.slice_type == 1 && sh.RefPicList[1][0] < 0) ||
+		    (sps.max_num_ref_frames == 0 && nal_unit_type != 20))
+			return E264T_EBADMSG;
 	}
 
 	if (nal_ref_idc)
@@ -532,6 +536,61 @@ int Decoder::parse_slice() {
 		events.push_back({EV_FRAME_DONE, curr, FrameIds[curr], 0, 0, 0});
 	}
 	return 0;
+}
+
+
+// ---------------------------------------------------------------------------
+// Error concealment (recover_slice analog, edge264_headers.c:295-430):
+// unparsed macroblocks of a partially decoded frame are reconstructed as
+// temporal copies (Skip with zero motion from the closest reference) or
+// intra DC when no reference exists, and flagged in the mb_errors plane.
+void Decoder::conceal_frame() {
+	Planes &pl = planes[curr];
+	int W = pl.mb_w, H = pl.mb_h;
+	int BW = W * 4;
+	uint32_t sv = same_views(non_base >> curr & 1);
+	uint32_t refs = (curr_st | curr_lt) & sv & ~(1u << curr);
+	int refslot = -1, best = INT32_MIN;
+	for (uint32_t r = refs; r; r &= r - 1) {
+		int i = __builtin_ctz(r);
+		if (FrameNums[i] > best) { best = FrameNums[i]; refslot = i; }
+	}
+	int qp = sh.qp;
+	for (int my = 0; my < H; my++) {
+		for (int mx = 0; mx < W; mx++) {
+			size_t mbi = (size_t)my * W + mx;
+			if (pl.mb_flags[mbi] & MBF_PARSED)
+				continue;
+			pl.mb_errors[mbi] = 100;
+			pl.qp[mbi * 4] = (int8_t)qp;
+			pl.qp[mbi * 4 + 1] =
+				(int8_t)chroma_qp(qp, cpps ? cpps->chroma_qp_index_offset : 0);
+			pl.qp[mbi * 4 + 2] = (int8_t)chroma_qp(
+				qp, cpps ? cpps->second_chroma_qp_index_offset : 0);
+			pl.deblock[mbi] = 0;
+			pl.slice_id[mbi] = 0xFFFE;     // concealment pseudo-slice
+			if (refslot >= 0) {
+				pl.mb_flags[mbi] = MBF_INTER | MBF_SKIP | MBF_PARSED;
+				for (int dy = 0; dy < 4; dy++)
+					for (int dx = 0; dx < 4; dx++) {
+						size_t c = (size_t)(my * 4 + dy) * BW + mx * 4 + dx;
+						pl.refslot[c * 2] = (int8_t)refslot;
+						pl.refpoc_idx[c * 2] = 0;
+						pl.mvs[c * 2 * 2] = 0;
+						pl.mvs[c * 2 * 2 + 1] = 0;
+					}
+			} else {
+				pl.mb_flags[mbi] = MBF_INTRA | MBF_I16x16 | MBF_PARSED;
+				int aA = mx > 0;     // raster neighbours reconstruct first
+				int aB = my > 0;
+				pl.i16_modes[mbi] = (uint8_t)(2 | aA << 4 | aB << 5);
+				pl.ch_modes[mbi] = (uint8_t)(0 | aA << 4 | aB << 5);
+			}
+			remaining_mbs[curr]--;
+		}
+	}
+	if (remaining_mbs[curr] < 0)
+		remaining_mbs[curr] = 0;
 }
 
 } // namespace e264t

@@ -134,6 +134,7 @@ void Planes::resize(int w, int h) {
 	cbp.assign(n, 0);
 	refnz.assign(n * 4, 0);
 	slice_id.assign(n, 0);
+	mb_errors.assign(n, 0);
 	memset(sm4, 16, sizeof(sm4));
 	memset(sm8, 16, sizeof(sm8));
 }

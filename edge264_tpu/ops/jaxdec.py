@@ -723,6 +723,7 @@ PLANE_KEYS = ["mb_flags", "qp", "i4_modes", "i16_modes", "i8_modes",
 def decode_frame_jit(p, sm4, sm8, mbW, mbH):
     """Full device pixel path for one frame: residuals -> intra wavefront
     -> deblock wavefront.  Returns (y, cb, cr) uint8 (mb-aligned)."""
+    p = _cast_planes(p)
     norm4 = jnp.asarray(_o.NORM_ADJUST_4x4.reshape(6, 16))
     norm8 = jnp.asarray(_o.NORM_ADJUST_8x8.reshape(6, 64))
     tables = tuple(jnp.asarray(t) for t in wave_tables(mbW, mbH))
@@ -737,18 +738,19 @@ def decode_frame_jit(p, sm4, sm8, mbW, mbH):
 
 
 def planes_to_jax(planes):
-    """numpy syntax-plane views -> int32 jnp dict (uint8 kept for pcm)."""
+    """numpy syntax-plane views -> jnp dict in their native narrow dtypes;
+    the device casts to int32 on entry (minimizes host->HBM traffic)."""
     p = {}
     for k in PLANE_KEYS:
         a = np.asarray(getattr(planes, k))
-        if k in ("pcm_y", "pcm_c"):
-            p[k] = jnp.asarray(a.astype(np.int32))
-        elif k == "coef_c_dc":
-            p[k] = jnp.asarray(a.reshape(a.shape[0], a.shape[1], 2, 4)
-                               .astype(np.int32))
-        else:
-            p[k] = jnp.asarray(a.astype(np.int32))
+        if k == "coef_c_dc":
+            a = a.reshape(a.shape[0], a.shape[1], 2, 4)
+        p[k] = jnp.asarray(a)
     return p
+
+
+def _cast_planes(p):
+    return {k: v.astype(jnp.int32) for k, v in p.items()}
 
 
 class JaxBackend:
@@ -789,7 +791,12 @@ class JaxBackend:
             y, cb, cr = decode_frame_jit(p, self.sm4, self.sm8,
                                          planes.mb_w, planes.mb_h)
         self.refplanes[slot] = make_ref_planes(y, cb, cr)
-        return (np.asarray(y), np.asarray(cb), np.asarray(cr))
+        # device arrays are returned as-is: dispatch stays asynchronous and
+        # the host parses the next slice while the chip reconstructs
+        return (y, cb, cr)
+
+    def unpin(self, slot):
+        self.refplanes.pop(slot, None)
 
 
 # ---------------------------------------------------------------------------
@@ -989,6 +996,7 @@ def mc_frame(p, stackL, stackC, slot_map):
 @functools.partial(jax.jit, static_argnames=("mbW", "mbH"))
 def decode_frame_inter_jit(p, sm4, sm8, stackL, stackC, slot_map, mbW, mbH):
     """Full device pixel path for a frame with inter macroblocks."""
+    p = _cast_planes(p)
     norm4 = jnp.asarray(_o.NORM_ADJUST_4x4.reshape(6, 16))
     norm8 = jnp.asarray(_o.NORM_ADJUST_8x8.reshape(6, 64))
     tables = tuple(jnp.asarray(t) for t in wave_tables(mbW, mbH))
