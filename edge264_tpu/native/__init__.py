@@ -19,8 +19,8 @@ _LIB = os.path.join(_DIR, "libe264t.so")
 
 SOURCES = ["tables.cpp", "cabac_tables.cpp", "cavlc.cpp", "cabac.cpp", "headers.cpp", "slice.cpp",
            "mb_cavlc.cpp", "mb_inter.cpp", "mb_cabac.cpp", "api.cpp"]
-CXXFLAGS = ["-std=c++17", "-O2", "-fPIC", "-shared", "-Wall",
-            "-Wno-unused-function"]
+CXXFLAGS = ["-std=c++17", "-O3", "-march=native", "-fno-plt", "-fPIC",
+            "-shared", "-Wall", "-Wno-unused-function"]
 
 
 def _needs_build() -> bool:

@@ -188,6 +188,52 @@ def residual_frame(p, sm4, sm8, norm4, norm8):
 # ---------------------------------------------------------------------------
 # Wavefront tables (static per frame geometry)
 
+def intra_level_tables(flags, mbW, mbH):
+    """Host-side level compression of the intra wavefront.
+
+    An intra macroblock only depends on *intra* neighbours' pixels (inter
+    neighbours are reconstructed by the dense MC+residual pass before the
+    scan runs), so the scan axis can be the longest intra->intra chain
+    ("level") instead of the full anti-diagonal wave index.  For P/B
+    frames with sparse intra mbs this collapses 254 waves to 2-4 levels.
+
+    Levels are computed by fixpoint relaxation over the four causal
+    neighbours (left, top, top-left, top-right).  Tables are padded to a
+    small fixed menu of (L, N) buckets so jit caches stay bounded; returns
+    None when the frame is too intra-dense to fit a bucket (caller falls
+    back to full wave tables).
+    """
+    M = (flags & MBF_INTRA) > 0
+    lvl = M.astype(np.int32)
+    for _ in range(mbW + 2 * mbH):
+        left = np.pad(lvl, ((0, 0), (1, 0)))[:, :-1]
+        top = np.pad(lvl, ((1, 0), (0, 0)))[:-1, :]
+        tl = np.pad(lvl, ((1, 0), (1, 0)))[:-1, :-1]
+        tr = np.pad(lvl, ((1, 0), (0, 1)))[:-1, 1:]
+        new = np.where(M, 1 + np.maximum.reduce([left, top, tl, tr]), 0)
+        if np.array_equal(new, lvl):
+            break
+        lvl = new
+    lmax = int(lvl.max())
+    if lmax == 0:
+        mxs = np.zeros((1, 1), np.int32)
+        return mxs, mxs.copy(), np.zeros((1, 1), bool)
+    per = [np.nonzero(lvl == lv) for lv in range(1, lmax + 1)]
+    nmax = max(len(ys) for ys, xs in per)
+    Lb = next((b for b in (2, 4, 8) if lmax <= b), None)
+    Nb = next((b for b in (128, 512, 2048, 8160) if nmax <= b), None)
+    if Lb is None or Nb is None:
+        return None
+    mxs = np.zeros((Lb, Nb), np.int32)
+    mys = np.zeros((Lb, Nb), np.int32)
+    valid = np.zeros((Lb, Nb), bool)
+    for i, (ys, xs) in enumerate(per):
+        mxs[i, :len(xs)] = xs
+        mys[i, :len(ys)] = ys
+        valid[i, :len(ys)] = True
+    return mxs, mys, valid
+
+
 def wave_tables(mbW, mbH):
     n_waves = mbW + 2 * mbH - 2
     maxd = min(mbH, (mbW + 1) // 2)
@@ -247,6 +293,305 @@ _CH_VM = 5 + np.arange(4)            # l[2-y] (y=3 -> tl)
 def _plane_sums(nb, idx_p, idx_m, n):
     w = jnp.arange(1, n + 1, dtype=I32)
     return ((nb[:, idx_p] - nb[:, idx_m]) * w).sum(1)
+
+
+def _mk_dir_w(idx, ntap):
+    """Directional-mode tap triples -> dense weight matrix [nm*npx, ntap+1]
+    (last column = rounding bias) so prediction for every mode is ONE
+    matmul: pred = (nb1 @ W.T) >> 2.  Integer values stay exact in f32
+    (all inputs <= 255 and sums << 2^24)."""
+    nm, npx, _ = idx.shape
+    W = np.zeros((nm * npx, ntap + 1), np.float32)
+    for m in range(nm):
+        for pp in range(npx):
+            i0, i1, i2 = idx[m, pp]
+            W[m * npx + pp, i0] += 1
+            W[m * npx + pp, i1] += 2
+            W[m * npx + pp, i2] += 1
+            W[m * npx + pp, ntap] += 2
+    return W
+
+
+_W4 = _mk_dir_w(I4_IDX, 13)            # [144, 14]
+_W8 = _mk_dir_w(I8_IDX, 25)            # [576, 26]
+_W16 = _mk_dir_w(I16_DIR_IDX, 33)      # [512, 34]
+_WCH = _mk_dir_w(CH_DIR_IDX, 17)       # [128, 18]
+_WF8 = _mk_dir_w(I8_FILT_IDX[None], 25)  # [25, 26] §8.3.2.2.1 lowpass
+
+
+def _dir_matmul(nb, W, mode, nm, npx):
+    """nb [L, ntap] int32, mode [L] -> directional prediction [L, npx] via
+    one matmul + a one-hot mode contraction."""
+    L = nb.shape[0]
+    nb1 = jnp.concatenate(
+        [nb, jnp.ones((L, 1), I32)], axis=1).astype(jnp.float32)
+    preds = jnp.dot(nb1, jnp.asarray(W).T,
+                    preferred_element_type=jnp.float32)
+    preds = preds.reshape(L, nm, npx)
+    oh = (mode[:, None] == jnp.arange(nm, dtype=I32)).astype(jnp.float32)
+    sel = jnp.einsum("lmp,lm->lp", preds, oh,
+                     preferred_element_type=jnp.float32)
+    return sel.astype(I32) >> 2
+
+
+def intra_scan_sheared(y, cb, cr, res_y, res_cb, res_cr, p, mbW, mbH):
+    """Sheared-layout intra reconstruction for intra-DENSE frames.
+
+    Same rolling-window idea as the sheared deblock scan: the wavefront is
+    the leading axis of sheared tile stacks, and the scan carries the tiles
+    of waves w-1 (left / top-right), w-2 (top) and w-3 (top-left), so each
+    step is pure static slicing over [mbH, ts, ts] tiles — no frame-sized
+    gather/scatter.  Directional prediction for all modes is one matmul
+    through the probe-derived weight matrices (_mk_dir_w).  Sparse-intra
+    frames use intra_scan() over level-compressed tables instead."""
+    NW = mbW + 2 * mbH - 2
+    valid = np.zeros((NW, mbH), bool)
+    for s in range(NW):
+        mx = s - 2 * np.arange(mbH)
+        valid[s] = (0 <= mx) & (mx < mbW)
+    val_t = jnp.asarray(valid)
+
+    Xy_t = _shear_tiles(y, mbW, mbH, 16, extra=0)
+    Xcb_t = _shear_tiles(cb, mbW, mbH, 8, extra=0)
+    Xcr_t = _shear_tiles(cr, mbW, mbH, 8, extra=0)
+    ry_t = _shear_tiles(res_y, mbW, mbH, 16, extra=0)
+    rcb_t = _shear_tiles(res_cb, mbW, mbH, 8, extra=0)
+    rcr_t = _shear_tiles(res_cr, mbW, mbH, 8, extra=0)
+    py_t = _shear_tiles(p["pcm_y"], mbW, mbH, 16, extra=0)
+    pcb_t = _shear_tiles(p["pcm_c"][0], mbW, mbH, 8, extra=0)
+    pcr_t = _shear_tiles(p["pcm_c"][1], mbW, mbH, 8, extra=0)
+    i4m_t = _shear_tiles(p["i4_modes"], mbW, mbH, 4, extra=0)
+    i8m_t = _shear_tiles(p["i8_modes"], mbW, mbH, 2, extra=0)
+    i16m_t = _shear_plane(p["i16_modes"], mbW, mbH, extra=0)
+    chm_t = _shear_plane(p["ch_modes"], mbW, mbH, extra=0)
+    fl_t = _shear_plane(p["mb_flags"], mbW, mbH, extra=0)
+
+    L = mbH
+    ones = jnp.ones((L, 1), I32)
+    xx16 = jnp.tile(jnp.arange(16, dtype=I32), (16,)).reshape(16, 16)
+    yy16 = xx16.T
+    xx8 = jnp.tile(jnp.arange(8, dtype=I32), (8,)).reshape(8, 8)
+    yy8 = xx8.T
+
+    def shift_my(t):
+        return jnp.concatenate([jnp.zeros_like(t[:1]), t[:-1]], 0)
+
+    def step(carry, xs):
+        A, B, C, Ab, Bb, Cb_, Ar, Br, Cr_ = carry
+        (X, Xcb, Xcr, ry, rcb, rcr, pcy, pccb, pccr,
+         i4m, i8m, i16m, chm, flags, val) = xs
+        Bs, Cs, As = shift_my(B), shift_my(C), shift_my(A)
+        is_pcm = (flags & MBF_IPCM) > 0
+        is_i16 = (flags & MBF_I16x16) > 0
+        is_t8 = (flags & MBF_T8x8) > 0
+        is_intra = (flags & MBF_INTRA) > 0
+        is_i4 = is_intra & ~is_i16 & ~is_pcm & ~is_t8
+        is_i8 = is_intra & is_t8 & ~is_pcm
+
+        # ---- I4x4: 16 quad-order substeps, static tile slicing ----------
+        for k in range(16):
+            bx, by = int(BLK4_X[k]), int(BLK4_Y[k])
+            r0, c0 = by * 4, bx * 4
+            m = i4m[:, by, bx]
+            mode = m & 15
+            aA, aB, aC = (m >> 4) & 1, (m >> 5) & 1, (m >> 6) & 1
+            if by == 0:
+                t4 = Bs[:, 15, c0:c0 + 4]
+                tr = As[:, 15, 0:4] if bx == 3 else Bs[:, 15, c0 + 4:c0 + 8]
+            else:
+                t4 = X[:, r0 - 1, c0:c0 + 4]
+                if bx == 3:
+                    tr = jnp.broadcast_to(t4[:, 3:4], (L, 4))
+                else:
+                    tr = X[:, r0 - 1, c0 + 4:c0 + 8]
+            t = jnp.concatenate(
+                [t4, jnp.where((aC > 0)[:, None], tr, t4[:, 3:4])], 1)
+            l = (A[:, r0:r0 + 4, 15] if bx == 0 else
+                 X[:, r0:r0 + 4, c0 - 1])
+            if bx == 0 and by == 0:
+                tl = Cs[:, 15, 15]
+            elif by == 0:
+                tl = Bs[:, 15, c0 - 1]
+            elif bx == 0:
+                tl = A[:, r0 - 1, 15]
+            else:
+                tl = X[:, r0 - 1, c0 - 1]
+            nb = jnp.concatenate([l[:, ::-1], tl[:, None], t], 1)
+            dirp = _dir_matmul(nb, _W4, mode, 9, 16)
+            sA, sB = l.sum(1), t[:, :4].sum(1)
+            dc = jnp.where((aA & aB) > 0, (sA + sB + 4) >> 3,
+                           jnp.where(aA > 0, (sA + 2) >> 2,
+                                     jnp.where(aB > 0, (sB + 2) >> 2, 128)))
+            pred = jnp.where((mode == 2)[:, None], dc[:, None], dirp)
+            res = ry[:, r0:r0 + 4, c0:c0 + 4].reshape(L, 16)
+            recon = jnp.clip(pred + res, 0, 255).reshape(L, 4, 4)
+            act = (val & is_i4)[:, None, None]
+            X = X.at[:, r0:r0 + 4, c0:c0 + 4].set(
+                jnp.where(act, recon, X[:, r0:r0 + 4, c0:c0 + 4]))
+
+        # ---- Intra_8x8: 4 quad-order substeps ---------------------------
+        for b in range(4):
+            bx8, by8 = b & 1, b >> 1
+            r0, c0 = by8 * 8, bx8 * 8
+            mm = i8m[:, by8, bx8]
+            mode = mm & 15
+            aA, aB = (mm >> 4) & 1, (mm >> 5) & 1
+            aC, aD = (mm >> 6) & 1, (mm >> 7) & 1
+            if by8 == 0:
+                t8v = Bs[:, 15, c0:c0 + 8]
+                tr = (As[:, 15, 0:8] if bx8 == 1
+                      else Bs[:, 15, 8:16])
+            else:
+                t8v = X[:, 7, c0:c0 + 8]
+                if bx8 == 1:
+                    tr = jnp.broadcast_to(t8v[:, 7:8], (L, 8))
+                else:
+                    tr = X[:, 7, 8:16]
+            t = jnp.concatenate(
+                [t8v, jnp.where((aC > 0)[:, None], tr, t8v[:, 7:8])], 1)
+            l = (A[:, r0:r0 + 8, 15] if bx8 == 0 else X[:, r0:r0 + 8, 7])
+            if bx8 == 0 and by8 == 0:
+                tl = Cs[:, 15, 15]
+            elif by8 == 0:
+                tl = Bs[:, 15, 7]
+            elif bx8 == 0:
+                tl = A[:, 7, 15]
+            else:
+                tl = X[:, 7, 7]
+            nb = jnp.concatenate([l[:, ::-1], tl[:, None], t], 1)
+            # §8.3.2.2.1 reference lowpass via matmul + boundary patches
+            nb1 = jnp.concatenate([nb, ones], 1).astype(jnp.float32)
+            nbf = (jnp.dot(nb1, jnp.asarray(_WF8).T,
+                           preferred_element_type=jnp.float32)
+                   .astype(I32) >> 2)
+            l0, t0, t1, l1 = nb[:, 7], nb[:, 9], nb[:, 10], nb[:, 6]
+            tl0 = nb[:, 8]
+            t0f = jnp.where(aD > 0, (tl0 + 2 * t0 + t1 + 2) >> 2,
+                            (3 * t0 + t1 + 2) >> 2)
+            l0f = jnp.where(aD > 0, (tl0 + 2 * l0 + l1 + 2) >> 2,
+                            (3 * l0 + l1 + 2) >> 2)
+            tlf = jnp.where(
+                aD == 0, tl0,
+                jnp.where((aA & aB) > 0, (t0 + 2 * tl0 + l0 + 2) >> 2,
+                          jnp.where(aB > 0, (3 * tl0 + t0 + 2) >> 2,
+                                    jnp.where(aA > 0,
+                                              (3 * tl0 + l0 + 2) >> 2,
+                                              tl0))))
+            nbf = nbf.at[:, 9].set(t0f).at[:, 7].set(l0f).at[:, 8].set(tlf)
+            nbf = jnp.where((aB > 0)[:, None],
+                            nbf,
+                            jnp.concatenate([nbf[:, :9], nb[:, 9:]], 1))
+            nbf = jnp.where((aA > 0)[:, None],
+                            nbf,
+                            jnp.concatenate([nb[:, :8], nbf[:, 8:]], 1))
+            dirp = _dir_matmul(nbf, _W8, mode, 9, 64)
+            st = jnp.where(aB > 0, nbf[:, 9:17].sum(1), 0)
+            sl = jnp.where(aA > 0, nbf[:, :8].sum(1), 0)
+            dc = jnp.where((aA & aB) > 0, (st + sl + 8) >> 4,
+                           jnp.where(aA > 0, (sl + 4) >> 3,
+                                     jnp.where(aB > 0, (st + 4) >> 3, 128)))
+            pred = jnp.where((mode == 2)[:, None], dc[:, None], dirp)
+            res = ry[:, r0:r0 + 8, c0:c0 + 8].reshape(L, 64)
+            recon = jnp.clip(pred + res, 0, 255).reshape(L, 8, 8)
+            act = (val & is_i8)[:, None, None]
+            X = X.at[:, r0:r0 + 8, c0:c0 + 8].set(
+                jnp.where(act, recon, X[:, r0:r0 + 8, c0:c0 + 8]))
+
+        # ---- I16x16 ----------------------------------------------------
+        m = i16m
+        mode = m & 3
+        aA, aB = (m >> 4) & 1, (m >> 5) & 1
+        t = jnp.where((aB > 0)[:, None], Bs[:, 15, :], 0)
+        l = jnp.where((aA > 0)[:, None], A[:, :, 15], 0)
+        tl = Cs[:, 15, 15]
+        nb = jnp.concatenate([l[:, ::-1], tl[:, None], t], 1)
+        dirp = _dir_matmul(nb, _W16, jnp.clip(mode, 0, 1), 2, 256)
+        st, sl = t.sum(1), l.sum(1)
+        dc = jnp.where((aA & aB) > 0, (st + sl + 16) >> 5,
+                       jnp.where(aA > 0, (sl + 8) >> 4,
+                                 jnp.where(aB > 0, (st + 8) >> 4, 128)))
+        hs = _plane_sums(nb, _I16_HP, _I16_HM, 8)
+        vs = _plane_sums(nb, _I16_VP, _I16_VM, 8)
+        a = 16 * (nb[:, 0] + nb[:, 32])
+        b_ = (5 * hs + 32) >> 6
+        c_ = (5 * vs + 32) >> 6
+        plane = jnp.clip(
+            (a[:, None] + b_[:, None] * (xx16.reshape(-1) - 7)[None, :]
+             + c_[:, None] * (yy16.reshape(-1) - 7)[None, :] + 16) >> 5,
+            0, 255)
+        pred = jnp.where((mode == 2)[:, None], dc[:, None],
+                         jnp.where((mode == 3)[:, None], plane, dirp))
+        recon = jnp.clip(pred + ry.reshape(L, 256), 0, 255).reshape(L, 16,
+                                                                    16)
+        act = (val & is_i16)[:, None, None]
+        X = jnp.where(act, recon, X)
+        X = jnp.where((val & is_pcm)[:, None, None], pcy, X)
+
+        # ---- chroma ----------------------------------------------------
+        m = chm
+        mode = m & 3
+        aA, aB = (m >> 4) & 1, (m >> 5) & 1
+        out_c = []
+        for Ac, Bc, Cc, img, res_c, pcm_c in (
+                (Ab, Bb, Cb_, Xcb, rcb, pccb),
+                (Ar, Br, Cr_, Xcr, rcr, pccr)):
+            Bcs, Ccs = shift_my(Bc), shift_my(Cc)
+            t = jnp.where((aB > 0)[:, None], Bcs[:, 7, :], 0)
+            l = jnp.where((aA > 0)[:, None], Ac[:, :, 7], 0)
+            tl = Ccs[:, 7, 7]
+            nb = jnp.concatenate([l[:, ::-1], tl[:, None], t], 1)
+            dirp = _dir_matmul(nb, _WCH, jnp.clip(mode - 1, 0, 1), 2, 64)
+            ts0, ts1 = t[:, :4].sum(1), t[:, 4:].sum(1)
+            ls0, ls1 = l[:, :4].sum(1), l[:, 4:].sum(1)
+            both, onlyA, onlyB = (aA & aB) > 0, aA > 0, aB > 0
+            q00 = jnp.where(both, (ts0 + ls0 + 4) >> 3,
+                            jnp.where(onlyA, (ls0 + 2) >> 2,
+                                      jnp.where(onlyB, (ts0 + 2) >> 2, 128)))
+            q01 = jnp.where(onlyB, (ts1 + 2) >> 2,
+                            jnp.where(onlyA, (ls0 + 2) >> 2, 128))
+            q10 = jnp.where(onlyA, (ls1 + 2) >> 2,
+                            jnp.where(onlyB, (ts0 + 2) >> 2, 128))
+            q11 = jnp.where(both, (ts1 + ls1 + 4) >> 3,
+                            jnp.where(onlyA, (ls1 + 2) >> 2,
+                                      jnp.where(onlyB, (ts1 + 2) >> 2,
+                                                128)))
+            right = (xx8.reshape(-1) >= 4)[None, :]
+            bottom = (yy8.reshape(-1) >= 4)[None, :]
+            dcmap = jnp.where(
+                bottom, jnp.where(right, q11[:, None], q10[:, None]),
+                jnp.where(right, q01[:, None], q00[:, None]))
+            hs = _plane_sums(nb, _CH_HP, _CH_HM, 4)
+            vs = _plane_sums(nb, _CH_VP, _CH_VM, 4)
+            a = 16 * (nb[:, 0] + nb[:, 16])
+            b_ = (34 * hs + 32) >> 6
+            c_ = (34 * vs + 32) >> 6
+            plane = jnp.clip(
+                (a[:, None] + b_[:, None] * (xx8.reshape(-1) - 3)[None, :]
+                 + c_[:, None] * (yy8.reshape(-1) - 3)[None, :] + 16) >> 5,
+                0, 255)
+            pred = jnp.where((mode == 0)[:, None], dcmap,
+                             jnp.where((mode == 3)[:, None], plane, dirp))
+            recon = jnp.clip(pred + res_c.reshape(L, 64), 0,
+                             255).reshape(L, 8, 8)
+            img = jnp.where((val & is_intra & ~is_pcm)[:, None, None],
+                            recon, img)
+            img = jnp.where((val & is_pcm)[:, None, None], pcm_c, img)
+            out_c.append(img)
+        Xcb, Xcr = out_c
+
+        new_carry = (X, A, B, Xcb, Ab, Bb, Xcr, Ar, Br)
+        return new_carry, (X, Xcb, Xcr)
+
+    z_y = jnp.zeros((mbH, 16, 16), I32)
+    z_c = jnp.zeros((mbH, 8, 8), I32)
+    carry0 = (z_y, z_y, z_y, z_c, z_c, z_c, z_c, z_c, z_c)
+    xs = (Xy_t, Xcb_t, Xcr_t, ry_t, rcb_t, rcr_t, py_t, pcb_t, pcr_t,
+          i4m_t, i8m_t, i16m_t, chm_t, fl_t, val_t)
+    _, (ey, ecb, ecr) = lax.scan(step, carry0, xs)
+    y = _unshear_tiles(ey, mbW, mbH, 16, shift=0)
+    cb = _unshear_tiles(ecb, mbW, mbH, 8, shift=0)
+    cr = _unshear_tiles(ecr, mbW, mbH, 8, shift=0)
+    return y, cb, cr
 
 
 def intra_scan(y, cb, cr, res_y, res_cb, res_cr, p, tables):
@@ -593,9 +938,215 @@ def _filter_chroma_lines(S, alpha, beta, bs, tc0, active):
     return jnp.where(filt[..., None], out, S[..., 1:3])
 
 
-def deblock_scan(y, cb, cr, p, bs_v, bs_h, tables):
-    """Apply the deblocking filter in wavefront order (per-mb V edges then
-    H edges; same-wave mbs are write-disjoint)."""
+# ---------------------------------------------------------------------------
+# Sheared (skewed-layout) deblocking scan.
+#
+# The wavefront w = mb_x + 2*mb_y is materialized as the LEADING axis of a
+# sheared tile tensor [NW, mbH, ts, ts]: the macroblocks of one wave are a
+# single leading-axis slice, so the scan body runs entirely on small
+# statically-sliced tiles — no scatter/gather over the frame (XLA scatter
+# serializes on TPU; this layout replaced it and cut the wave step cost
+# ~30x).  The step at wave w filters mb tiles X (wave w) against a rolling
+# carry window A (wave w-1, left neighbours) and B (wave w-2, top
+# neighbours); V-edge-0 writes back into A's last 3 columns and H-edge-0
+# into B's last 3 rows, and B is emitted as final (its last writer is this
+# step).
+
+
+def _shear_tiles(img, mbW, mbH, ts, extra=2):
+    """Dense [ts*mbH, ts*mbW] -> sheared [NW+extra, mbH, ts, ts]; the tile
+    of mb (mx,my) lands at wave index mx + 2*my."""
+    NW = mbW + 2 * mbH - 2
+    T = NW + extra
+    strips = []
+    for my in range(mbH):
+        s = img[my * ts:(my + 1) * ts, :]
+        off = 2 * my * ts
+        strips.append(jnp.pad(s, ((0, 0), (off, (T - mbW) * ts - off))))
+    sh = jnp.stack(strips)                       # [mbH, ts, T*ts]
+    return sh.reshape(mbH, ts, T, ts).transpose(2, 0, 1, 3)
+
+
+def _unshear_tiles(t, mbW, mbH, ts, shift=2):
+    """Inverse of _shear_tiles for tiles emitted with a wave delay."""
+    S = t.shape[0]
+    d = t.transpose(1, 2, 0, 3).reshape(mbH, ts, S * ts)
+    rows = []
+    for my in range(mbH):
+        off = (2 * my + shift) * ts
+        rows.append(d[my, :, off:off + mbW * ts])
+    return jnp.concatenate(rows, axis=0)
+
+
+def _shear_plane(pl, mbW, mbH, extra=2):
+    """[mbH, mbW, ...] per-mb data -> [NW+extra, mbH, ...]."""
+    T = mbW + 2 * mbH - 2 + extra
+    pad = [(0, 0)] * (pl.ndim - 2)
+    rows = [jnp.pad(pl[my], [(2 * my, T - mbW - 2 * my)] + pad)
+            for my in range(pl.shape[0])]
+    return jnp.stack(rows, 1)
+
+
+def deblock_scan(y, cb, cr, p, bs_v, bs_h, mbW, mbH):
+    """Apply the deblocking filter in wavefront order over sheared tiles
+    (per-mb V edges then H edges, §8.7; reference edge264_deblock.c)."""
+    alpha_t = jnp.asarray(_ALPHA)
+    beta_t = jnp.asarray(_BETA)
+    tc0_t = jnp.asarray(_TC0)
+    NW = mbW + 2 * mbH - 2
+    T = NW + 2
+
+    valid = np.zeros((T, mbH), bool)
+    for s in range(T):
+        my = np.arange(mbH)
+        mx = s - 2 * my
+        valid[s] = (0 <= mx) & (mx < mbW)
+    val_t = jnp.asarray(valid)
+
+    Xy_t = _shear_tiles(y, mbW, mbH, 16)
+    Xcb_t = _shear_tiles(cb, mbW, mbH, 8)
+    Xcr_t = _shear_tiles(cr, mbW, mbH, 8)
+    bsv_t = _shear_tiles(bs_v, mbW, mbH, 4)      # [T,mbH,seg,e]
+    bsh_t = _shear_tiles(bs_h, mbW, mbH, 4)      # [T,mbH,e,seg]
+    qp_t = _shear_plane(p["qp"], mbW, mbH)       # [T,mbH,4]
+    qpl_t = jnp.concatenate([jnp.zeros_like(qp_t[:1]), qp_t[:-1]], 0)
+    qpt_shift = jnp.concatenate([jnp.zeros_like(qp_t[:2]), qp_t[:-2]], 0)
+    qpt_t = jnp.concatenate(
+        [jnp.zeros_like(qpt_shift[:, :1]), qpt_shift[:, :-1]], 1)
+    db_t = _shear_plane(p["deblock"], mbW, mbH)
+    ab_t = _shear_plane(p["deblock_ab"], mbW, mbH)
+    t8_t = _shear_plane((p["mb_flags"] & MBF_T8x8) > 0, mbW, mbH)
+
+    ones16 = jnp.ones((1, 16), bool)
+    ones8 = jnp.ones((1, 8), bool)
+
+    def tc0_sel(bs, ia):
+        """tc0 lookup without 2D gather: 3 per-lane gathers + select."""
+        t3 = tc0_t[:, ia]                        # [3, L]
+        z = jnp.zeros_like(bs)
+        return jnp.where(bs == 0, z,
+                         jnp.where(bs == 1, t3[0][:, None],
+                                   jnp.where(bs == 2, t3[1][:, None],
+                                             t3[2][:, None])))
+
+    def step(carry, xs):
+        A_y, A_cb, A_cr, B_y, B_cb, B_cr = carry
+        (Xy, Xcb, Xcr, bsv, bsh, qpo, qpl, qpt, db, ab, t8, val) = xs
+        offA, offB = ab[:, 0], ab[:, 1]
+        Bts_y = jnp.concatenate([jnp.zeros_like(B_y[:1]), B_y[:-1]], 0)
+        Bts_cb = jnp.concatenate([jnp.zeros_like(B_cb[:1]), B_cb[:-1]], 0)
+        Bts_cr = jnp.concatenate([jnp.zeros_like(B_cr[:1]), B_cr[:-1]], 0)
+
+        def edge_params(qpp, qpq, comp_bs, act, nseg):
+            ia = jnp.clip(((qpp + qpq + 1) >> 1) + offA, 0, 51)
+            ib = jnp.clip(((qpp + qpq + 1) >> 1) + offB, 0, 51)
+            alpha, beta = alpha_t[ia], beta_t[ib]
+            bs = jnp.repeat(comp_bs, nseg // 4, axis=1)
+            tc0 = tc0_sel(bs, ia)
+            actm = act[:, None] & (ones16 if nseg == 16 else ones8)
+            return alpha, beta, bs, tc0, actm
+
+        # ---- luma V edges ----------------------------------------------
+        W = jnp.concatenate([A_y[:, :, 12:16], Xy], axis=2)
+        for e in range(4):
+            if e == 0:
+                act = val & ((db & DBF_LEFT) > 0)
+                qpp = qpl[:, 0]
+            else:
+                act = val & ((db & DBF_INNER) > 0)
+                if e % 2:
+                    act = act & ~t8
+                qpp = qpo[:, 0]
+            alpha, beta, bs, tc0, actm = edge_params(
+                qpp, qpo[:, 0], bsv[:, :, e], act, 16)
+            S = W[:, :, 4 * e:4 * e + 8]
+            new = _filter_luma_lines(S, alpha, beta, bs, tc0, actm)
+            W = W.at[:, :, 4 * e + 1:4 * e + 7].set(new)
+        A_y = A_y.at[:, :, 13:16].set(W[:, :, 1:4])
+        Xy = W[:, :, 4:20]
+
+        # ---- chroma V edges --------------------------------------------
+        new_c = []
+        for comp, (A_c, X_c) in enumerate(((A_cb, Xcb), (A_cr, Xcr)), 1):
+            Wc = jnp.concatenate([A_c[:, :, 6:8], X_c], axis=2)
+            for e in (0, 2):
+                if e == 0:
+                    act = val & ((db & DBF_LEFT) > 0)
+                    qpp = qpl[:, comp]
+                else:
+                    act = val & ((db & DBF_INNER) > 0)
+                    qpp = qpo[:, comp]
+                alpha, beta, bs, tc0, actm = edge_params(
+                    qpp, qpo[:, comp], bsv[:, :, e], act, 8)
+                S = Wc[:, :, 2 * e:2 * e + 4]
+                new = _filter_chroma_lines(S, alpha, beta, bs, tc0, actm)
+                Wc = Wc.at[:, :, 2 * e + 1:2 * e + 3].set(new)
+            A_c = A_c.at[:, :, 6:8].set(Wc[:, :, 0:2])
+            new_c.append((A_c, Wc[:, :, 2:10]))
+        (A_cb, Xcb), (A_cr, Xcr) = new_c
+
+        # ---- luma H edges ----------------------------------------------
+        V = jnp.concatenate([Bts_y[:, 12:16, :], Xy], axis=1)
+        for e in range(4):
+            if e == 0:
+                act = val & ((db & DBF_TOP) > 0)
+                qpp = qpt[:, 0]
+            else:
+                act = val & ((db & DBF_INNER) > 0)
+                if e % 2:
+                    act = act & ~t8
+                qpp = qpo[:, 0]
+            alpha, beta, bs, tc0, actm = edge_params(
+                qpp, qpo[:, 0], bsh[:, e, :], act, 16)
+            S = V[:, 4 * e:4 * e + 8, :].transpose(0, 2, 1)
+            new = _filter_luma_lines(S, alpha, beta, bs, tc0, actm)
+            V = V.at[:, 4 * e + 1:4 * e + 7, :].set(new.transpose(0, 2, 1))
+        Bts_y = Bts_y.at[:, 13:16, :].set(V[:, 1:4, :])
+        Xy = V[:, 4:20, :]
+
+        # ---- chroma H edges --------------------------------------------
+        new_c = []
+        for comp, (Bts_c, X_c) in enumerate(((Bts_cb, Xcb),
+                                             (Bts_cr, Xcr)), 1):
+            Vc = jnp.concatenate([Bts_c[:, 6:8, :], X_c], axis=1)
+            for e in (0, 2):
+                if e == 0:
+                    act = val & ((db & DBF_TOP) > 0)
+                    qpp = qpt[:, comp]
+                else:
+                    act = val & ((db & DBF_INNER) > 0)
+                    qpp = qpo[:, comp]
+                alpha, beta, bs, tc0, actm = edge_params(
+                    qpp, qpo[:, comp], bsh[:, e, :], act, 8)
+                S = Vc[:, 2 * e:2 * e + 4, :].transpose(0, 2, 1)
+                new = _filter_chroma_lines(S, alpha, beta, bs, tc0, actm)
+                Vc = Vc.at[:, 2 * e + 1:2 * e + 3, :].set(
+                    new.transpose(0, 2, 1))
+            Bts_c = Bts_c.at[:, 6:8, :].set(Vc[:, 0:2, :])
+            new_c.append((Bts_c, Vc[:, 2:10, :]))
+        (Bts_cb, Xcb), (Bts_cr, Xcr) = new_c
+
+        B_out_y = jnp.concatenate([Bts_y[1:], B_y[-1:]], 0)
+        B_out_cb = jnp.concatenate([Bts_cb[1:], B_cb[-1:]], 0)
+        B_out_cr = jnp.concatenate([Bts_cr[1:], B_cr[-1:]], 0)
+        return (Xy, Xcb, Xcr, A_y, A_cb, A_cr), \
+            (B_out_y, B_out_cb, B_out_cr)
+
+    z_y = jnp.zeros((mbH, 16, 16), I32)
+    z_c = jnp.zeros((mbH, 8, 8), I32)
+    carry0 = (z_y, z_c, z_c, z_y, z_c, z_c)
+    xs = (Xy_t, Xcb_t, Xcr_t, bsv_t, bsh_t, qp_t, qpl_t, qpt_t,
+          db_t, ab_t, t8_t, val_t)
+    _, (ey, ecb, ecr) = lax.scan(step, carry0, xs)
+    y = _unshear_tiles(ey, mbW, mbH, 16)
+    cb = _unshear_tiles(ecb, mbW, mbH, 8)
+    cr = _unshear_tiles(ecr, mbW, mbH, 8)
+    return y, cb, cr
+
+
+def _deblock_scan_gather(y, cb, cr, p, bs_v, bs_h, tables):
+    """Gather/scatter formulation (superseded by the sheared scan; kept as
+    the readable reference of the edge schedule)."""
     mxs_t, mys_t, valid_t = tables
     alpha_t = jnp.asarray(_ALPHA)
     beta_t = jnp.asarray(_BETA)
@@ -720,20 +1271,26 @@ PLANE_KEYS = ["mb_flags", "qp", "i4_modes", "i16_modes", "i8_modes",
 
 
 @functools.partial(jax.jit, static_argnames=("mbW", "mbH"))
-def decode_frame_jit(p, sm4, sm8, mbW, mbH):
+def decode_frame_jit(p, sm4, sm8, mbW, mbH, itab=None):
     """Full device pixel path for one frame: residuals -> intra wavefront
-    -> deblock wavefront.  Returns (y, cb, cr) uint8 (mb-aligned)."""
+    -> deblock wavefront.  Returns (y, cb, cr) uint8 (mb-aligned).
+
+    itab: optional level-compressed intra scan tables (mxs, mys, valid)
+    from intra_level_tables(); defaults to the full wave tables."""
     p = _cast_planes(p)
     norm4 = jnp.asarray(_o.NORM_ADJUST_4x4.reshape(6, 16))
     norm8 = jnp.asarray(_o.NORM_ADJUST_8x8.reshape(6, 64))
-    tables = tuple(jnp.asarray(t) for t in wave_tables(mbW, mbH))
     res_y, res_cb, res_cr = residual_frame(p, sm4, sm8, norm4, norm8)
     y = jnp.zeros((16 * mbH, 16 * mbW), I32)
     cb = jnp.zeros((8 * mbH, 8 * mbW), I32)
     cr = jnp.zeros((8 * mbH, 8 * mbW), I32)
-    y, cb, cr = intra_scan(y, cb, cr, res_y, res_cb, res_cr, p, tables)
+    if itab is not None:
+        y, cb, cr = intra_scan(y, cb, cr, res_y, res_cb, res_cr, p, itab)
+    else:
+        y, cb, cr = intra_scan_sheared(y, cb, cr, res_y, res_cb, res_cr,
+                                       p, mbW, mbH)
     bs_v, bs_h = deblock_bs(p)
-    y, cb, cr = deblock_scan(y, cb, cr, p, bs_v, bs_h, tables)
+    y, cb, cr = deblock_scan(y, cb, cr, p, bs_v, bs_h, mbW, mbH)
     return y.astype(jnp.uint8), cb.astype(jnp.uint8), cr.astype(jnp.uint8)
 
 
@@ -765,6 +1322,10 @@ class JaxBackend:
 
     def reconstruct(self, planes, slot, store):
         p = planes_to_jax(planes)
+        itab = intra_level_tables(np.asarray(planes.mb_flags),
+                                  planes.mb_w, planes.mb_h)
+        if itab is not None:
+            itab = tuple(jnp.asarray(t) for t in itab)
         self.sm4 = jnp.asarray(np.asarray(planes.sm4).astype(np.int32))
         ws8 = np.full((6, 64), 16, np.int32)
         ws8[0] = planes.sm8[0]
@@ -786,10 +1347,11 @@ class JaxBackend:
                 smap[s] = i
             y, cb, cr = decode_frame_inter_jit(
                 p, self.sm4, self.sm8, stackL, stackC, jnp.asarray(smap),
-                planes.mb_w, planes.mb_h)
+                planes.mb_w, planes.mb_h, itab,
+                bool((np.asarray(planes.refslot)[..., 1] >= 0).any()))
         else:
             y, cb, cr = decode_frame_jit(p, self.sm4, self.sm8,
-                                         planes.mb_w, planes.mb_h)
+                                         planes.mb_w, planes.mb_h, itab)
         self.refplanes[slot] = make_ref_planes(y, cb, cr)
         # device arrays are returned as-is: dispatch stays asynchronous and
         # the host parses the next slice while the chip reconstructs
@@ -845,8 +1407,9 @@ def _six_j(a, axis):
 
 @jax.jit
 def make_ref_planes(y, cb, cr):
-    """uint8 frame -> (luma4 [4, ph, pw] uint8, chroma [2, phc, pwc] uint8)
-    padded half-pel plane sets."""
+    """uint8 frame -> (luma16 [16, ph, pw] uint8, chroma [2, phc, pwc]
+    uint8): all 16 quarter-pel phase planes precomputed, so per-frame MC
+    is a SINGLE gather per pixel (gathers are the expensive op on TPU)."""
     g = jnp.pad(y.astype(jnp.int32), PADL, mode="edge")
     gx = jnp.pad(g, ((0, 0), (2, 3)), mode="edge")      # taps for horiz
     braw = _six_j(gx, 1)                                # [ph, pw]
@@ -856,36 +1419,40 @@ def make_ref_planes(y, cb, cr):
     h = jnp.clip((hraw + 16) >> 5, 0, 255)
     bx = jnp.pad(braw, ((2, 3), (0, 0)), mode="edge")
     j = jnp.clip((_six_j(bx, 0) + 512) >> 10, 0, 255)
-    luma4 = jnp.stack([g, b, h, j]).astype(jnp.uint8)
+    ph, pw = g.shape
+    hp = [jnp.pad(pl, ((0, 1), (0, 1)), mode="edge") for pl in (g, b, h, j)]
+
+    def shifted(pl_, oy, ox):
+        return hp[pl_][oy:oy + ph, ox:ox + pw]
+
+    phases = []
+    for fy in range(4):
+        for fx in range(4):
+            p1, ox1, oy1, p2, ox2, oy2 = (int(v) for v in _MC_TAB[fy, fx])
+            phases.append(
+                (shifted(p1, oy1, ox1) + shifted(p2, oy2, ox2) + 1) >> 1)
+    luma16 = jnp.stack(phases).astype(jnp.uint8)
     cpad = jnp.stack([jnp.pad(cb, PADC, mode="edge"),
                       jnp.pad(cr, PADC, mode="edge")])
-    return luma4, cpad
+    return luma16, cpad
 
 
 def _mc_luma_list(stackL, sidx, mvx, mvy, gx4, gy4):
-    """Luma MC for one list over all 4x4 cells.  stackL [S,4,ph,pw] uint8;
-    sidx/mvx/mvy [BH,BW] int32 (stack index, quarter-pel mv);
-    gx4/gy4 [BH,BW] cell top-left full-pel coords.  Returns [16H,16W]."""
+    """Luma MC for one list over all 4x4 cells.  stackL [S,16,ph,pw] uint8
+    quarter-pel phase planes; sidx/mvx/mvy [BH,BW] int32; gx4/gy4 [BH,BW]
+    cell top-left full-pel coords.  Returns [16H,16W]."""
     ph, pw = stackL.shape[2], stackL.shape[3]
     px = gx4 + (mvx >> 2)
     py = gy4 + (mvy >> 2)
-    fx = mvx & 3
-    fy = mvy & 3
+    phase = (mvy & 3) * 4 + (mvx & 3)
     px = jnp.clip(px + PADL, 0, pw - 6)
     py = jnp.clip(py + PADL, 0, ph - 6)
-    tab = jnp.asarray(_MC_TAB)[fy, fx]                   # [BH,BW,6]
     off = jnp.arange(4, dtype=I32)
-    preds = []
-    for k in (0, 1):
-        pl_ = tab[..., 3 * k]
-        ox = tab[..., 3 * k + 1]
-        oy = tab[..., 3 * k + 2]
-        rows = (py + oy)[..., None, None] + off[None, None, :, None]
-        cols = (px + ox)[..., None, None] + off[None, None, None, :]
-        s = sidx[..., None, None] * jnp.ones((1, 1, 4, 4), I32)
-        pidx = pl_[..., None, None] * jnp.ones((1, 1, 4, 4), I32)
-        preds.append(stackL[s, pidx, rows, cols].astype(jnp.int32))
-    v = (preds[0] + preds[1] + 1) >> 1                   # [BH,BW,4,4]
+    rows = py[..., None, None] + off[None, None, :, None]
+    cols = px[..., None, None] + off[None, None, None, :]
+    s = jnp.broadcast_to(sidx[..., None, None], rows.shape)
+    pidx = jnp.broadcast_to(phase[..., None, None], rows.shape)
+    v = stackL[s, pidx, rows, cols].astype(jnp.int32)    # [BH,BW,4,4]
     BH, BW = v.shape[0], v.shape[1]
     return v.transpose(0, 2, 1, 3).reshape(BH * 4, BW * 4)
 
@@ -923,9 +1490,10 @@ def _expand_cell(a, n):
     return jnp.repeat(jnp.repeat(a, n, axis=0), n, axis=1)
 
 
-def mc_frame(p, stackL, stackC, slot_map):
+def mc_frame(p, stackL, stackC, slot_map, has_b=True):
     """Motion-compensated prediction planes for all inter cells of a frame.
-    slot_map [32] int32: DPB slot -> index into the ref stacks.
+    slot_map [32] int32: DPB slot -> index into the ref stacks.  has_b
+    False (static) skips the list-1 gathers entirely (P frames).
     Returns (pred_y, pred_cb, pred_cr, inter_mask_pix)."""
     refslot = p["refslot"]                    # [BH,BW,2]
     mvs = p["mvs"]                            # [BH,BW,2,2]
@@ -944,13 +1512,16 @@ def mc_frame(p, stackL, stackC, slot_map):
     w8c = jnp.repeat(jnp.repeat(w8, 2, 0), 2, 1)   # [BH,BW,2,3,2]
 
     preds = []
-    for l in (0, 1):
+    for l in (0, 1) if has_b else (0,):
         used = refslot[..., l] >= 0
         sidx = slot_map[jnp.clip(refslot[..., l], 0, 31)]
         mvx, mvy = mvs[..., l, 0], mvs[..., l, 1]
         py_ = _mc_luma_list(stackL, sidx, mvx, mvy, gx4, gy4)
         pcb, pcr = _mc_chroma_list(stackC, sidx, mvx, mvy, gx2, gy2)
         preds.append((used, py_, pcb, pcr))
+    if not has_b:
+        f = jnp.zeros_like(preds[0][0])
+        preds.append((f, preds[0][1], preds[0][2], preds[0][3]))
 
     u0, y0_, cb0, cr0 = preds[0]
     u1, y1_, cb1, cr1 = preds[1]
@@ -993,20 +1564,24 @@ def mc_frame(p, stackL, stackC, slot_map):
     return pred_y, pred_cb, pred_cr, mask_y, mask_c
 
 
-@functools.partial(jax.jit, static_argnames=("mbW", "mbH"))
-def decode_frame_inter_jit(p, sm4, sm8, stackL, stackC, slot_map, mbW, mbH):
+@functools.partial(jax.jit, static_argnames=("mbW", "mbH", "has_b"))
+def decode_frame_inter_jit(p, sm4, sm8, stackL, stackC, slot_map, mbW, mbH,
+                           itab=None, has_b=True):
     """Full device pixel path for a frame with inter macroblocks."""
     p = _cast_planes(p)
     norm4 = jnp.asarray(_o.NORM_ADJUST_4x4.reshape(6, 16))
     norm8 = jnp.asarray(_o.NORM_ADJUST_8x8.reshape(6, 64))
-    tables = tuple(jnp.asarray(t) for t in wave_tables(mbW, mbH))
     res_y, res_cb, res_cr = residual_frame(p, sm4, sm8, norm4, norm8)
     pred_y, pred_cb, pred_cr, mask_y, mask_c = mc_frame(
-        p, stackL, stackC, slot_map)
+        p, stackL, stackC, slot_map, has_b)
     y = jnp.where(mask_y, jnp.clip(pred_y + res_y, 0, 255), 0)
     cb = jnp.where(mask_c, jnp.clip(pred_cb + res_cb, 0, 255), 0)
     cr = jnp.where(mask_c, jnp.clip(pred_cr + res_cr, 0, 255), 0)
-    y, cb, cr = intra_scan(y, cb, cr, res_y, res_cb, res_cr, p, tables)
+    if itab is not None:
+        y, cb, cr = intra_scan(y, cb, cr, res_y, res_cb, res_cr, p, itab)
+    else:
+        y, cb, cr = intra_scan_sheared(y, cb, cr, res_y, res_cb, res_cr,
+                                       p, mbW, mbH)
     bs_v, bs_h = deblock_bs(p)
-    y, cb, cr = deblock_scan(y, cb, cr, p, bs_v, bs_h, tables)
+    y, cb, cr = deblock_scan(y, cb, cr, p, bs_v, bs_h, mbW, mbH)
     return y.astype(jnp.uint8), cb.astype(jnp.uint8), cr.astype(jnp.uint8)
