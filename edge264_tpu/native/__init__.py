@@ -110,9 +110,9 @@ class SyntaxPlanes:
       i4_modes  [4H, 4W]      uint8       i16_modes [H, W]       uint8
       ch_modes  [H, W]        uint8       nz_y      [4H, 4W]     uint8
       nz_c      [2H, 2W, 2]   uint8
-      coef_y    [4H, 4W, 16]  int32       coef_y8   [2H, 2W, 64] int32
-      coef_y_dc [H, W, 16]    int32       coef_c_dc [H, W, 2, 4] int32
-      coef_cb   [2H, 2W, 16]  int32       coef_cr   [2H, 2W, 16] int32
+      coef_y    [4H, 4W, 16]  int16       coef_y8   [2H, 2W, 64] int16
+      coef_y_dc [H, W, 16]    int16       coef_c_dc [H, W, 2, 4] int16
+      coef_cb   [2H, 2W, 16]  int16       coef_cr   [2H, 2W, 16] int16
       mvs       [4H, 4W, 2, 2] int16      refslot   [4H, 4W, 2]  int8
       pcm_y     [16H, 16W]    uint8       pcm_c     [2, 8H, 8W]  uint8
       deblock   [H, W]        uint8       deblock_ab [H, W, 2]   int8
@@ -141,12 +141,12 @@ class SyntaxPlanes:
         self.ch_modes = arr(s.ch_modes, (H, W), np.uint8)
         self.nz_y = arr(s.nz_y, (4 * H, 4 * W), np.uint8)
         self.nz_c = arr(s.nz_c, (2 * H, 2 * W, 2), np.uint8)
-        self.coef_y = arr(s.coef_y, (4 * H, 4 * W, 16), np.int32)
-        self.coef_y8 = arr(s.coef_y8, (2 * H, 2 * W, 64), np.int32)
-        self.coef_y_dc = arr(s.coef_y_dc, (H, W, 16), np.int32)
-        self.coef_c_dc = arr(s.coef_c_dc, (H, W, 2, 4), np.int32)
-        self.coef_cb = arr(s.coef_cb, (2 * H, 2 * W, 16), np.int32)
-        self.coef_cr = arr(s.coef_cr, (2 * H, 2 * W, 16), np.int32)
+        self.coef_y = arr(s.coef_y, (4 * H, 4 * W, 16), np.int16)
+        self.coef_y8 = arr(s.coef_y8, (2 * H, 2 * W, 64), np.int16)
+        self.coef_y_dc = arr(s.coef_y_dc, (H, W, 16), np.int16)
+        self.coef_c_dc = arr(s.coef_c_dc, (H, W, 2, 4), np.int16)
+        self.coef_cb = arr(s.coef_cb, (2 * H, 2 * W, 16), np.int16)
+        self.coef_cr = arr(s.coef_cr, (2 * H, 2 * W, 16), np.int16)
         self.mvs = arr(s.mvs, (4 * H, 4 * W, 2, 2), np.int16)
         self.refslot = arr(s.refslot, (4 * H, 4 * W, 2), np.int8)
         self.pcm_y = arr(s.pcm_y, (16 * H, 16 * W), np.uint8)

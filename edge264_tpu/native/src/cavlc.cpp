@@ -98,7 +98,7 @@ static int parse_run_before(BitReader &gb, int zeros_left) {
 // out:     coefficient array indexed by scan[] values.
 // Returns TotalCoeff.
 int parse_residual_cavlc(BitReader &gb, int nC, int max_coeff,
-                         const uint8_t *scan, int32_t *out) {
+                         const uint8_t *scan, int16_t *out) {
 	int token = parse_coeff_token(gb, nC);
 	int total_coeff = token >> 2;
 	int trailing_ones = token & 3;

@@ -188,12 +188,12 @@ struct Planes {
 	std::vector<uint8_t> ch_modes;    // [mbH*mbW]        mode|avail<<4
 	std::vector<uint8_t> nz_y;        // [mbH*4*mbW*4]    luma total_coeff (or cbf)
 	std::vector<uint8_t> nz_c;        // [mbH*2*mbW*2*2]  cb,cr interleaved last
-	std::vector<int32_t> coef_y;      // [mbH*4*mbW*4*16] 4x4 luma levels (AC for I16)
-	std::vector<int32_t> coef_y8;     // [mbH*2*mbW*2*64] 8x8 luma levels
-	std::vector<int32_t> coef_y_dc;   // [mbH*mbW*16]     I16 luma DC
-	std::vector<int32_t> coef_c_dc;   // [mbH*mbW*8]      chroma DC, cb 4 + cr 4
-	std::vector<int32_t> coef_cb;     // [mbH*2*mbW*2*16]
-	std::vector<int32_t> coef_cr;     // [mbH*2*mbW*2*16]
+	std::vector<int16_t> coef_y;      // [mbH*4*mbW*4*16] 4x4 luma levels (AC for I16)
+	std::vector<int16_t> coef_y8;     // [mbH*2*mbW*2*64] 8x8 luma levels
+	std::vector<int16_t> coef_y_dc;   // [mbH*mbW*16]     I16 luma DC
+	std::vector<int16_t> coef_c_dc;   // [mbH*mbW*8]      chroma DC, cb 4 + cr 4
+	std::vector<int16_t> coef_cb;     // [mbH*2*mbW*2*16]
+	std::vector<int16_t> coef_cr;     // [mbH*2*mbW*2*16]
 	std::vector<int16_t> mvs;         // [mbH*4*mbW*4*2*2] per 4x4, list, x/y
 	std::vector<int8_t>  refslot;     // [mbH*4*mbW*4*2]  DPB slot per list, -1
 	std::vector<uint8_t> pcm_y;       // [mbH*16*mbW*16]
@@ -213,7 +213,20 @@ struct Planes {
 	uint8_t sm4[6][16];               // resolved weightScale4x4 (last slice)
 	uint8_t sm8[2][64];               // resolved 8x8 intra/inter lists
 
+	// dirty-block bookkeeping: the big sparse coefficient planes are
+	// cleared lazily -- only blocks written by the slot's PREVIOUS frame
+	// are re-zeroed at frame start (a full 12MB memset per 1080p frame
+	// was 50% of host parse time).  pcm planes need no clearing at all:
+	// the device masks them by MBF_IPCM.
+	enum { DP_COEF_Y, DP_COEF_Y8, DP_COEF_Y_DC, DP_COEF_C_DC,
+	       DP_COEF_CB, DP_COEF_CR };
+	std::vector<uint64_t> dirty;
+	bool dirty_all = true;
+	void mark(int id, size_t off) {
+		dirty.push_back((uint64_t)id << 48 | off);
+	}
 	void resize(int w, int h);
+	void clear_frame();
 	void clear_mb_range(int mb0, int mb1);
 };
 

@@ -130,7 +130,7 @@ static int cbf_inc_dc(Decoder::MbCtx &m, int comp) {
 // Residual block decoding (§9.3.2.3 + 9.3.3.1.3): significance map then
 // levels in reverse scan order, un-zigzagged into `out`.
 static void parse_block_cabac(Decoder &d, int cat, int startIdx, int endIdx,
-                              const uint8_t *scan, int32_t *out,
+                              const uint8_t *scan, int16_t *out,
                               const uint8_t *sig_inc, const uint8_t *last_inc) {
 	Cabac &c = d.cab;
 	const CatOff &co = CAT[cat];
@@ -197,6 +197,7 @@ void Decoder::parse_residuals_cabac(MbCtx &m, int cbp, bool is16) {
 	static const uint8_t scan2x2[4] = {0, 1, 2, 3};
 	if (is16) {
 		if (cab.decode(CAT[0].cbf + cbf_inc_dc(m, -1))) {
+			pl.mark(Planes::DP_COEF_Y_DC, m.mbi * 16);
 			parse_block_cabac(*this, 0, 0, 15, zigzag4x4,
 			                  &pl.coef_y_dc[m.mbi * 16], nullptr, nullptr);
 		}
@@ -209,6 +210,7 @@ void Decoder::parse_residuals_cabac(MbCtx &m, int cbp, bool is16) {
 			// cat5: no coded_block_flag for 4:2:0 (§7.3.5.3.3)
 			size_t b8 = (size_t)(m.my * 2 + (i8 >> 1)) * (m.mbW * 2)
 				+ m.mx * 2 + (i8 & 1);
+			pl.mark(Planes::DP_COEF_Y8, b8 * 64);
 			parse_block_cabac(*this, 5, 0, 63, zigzag8x8,
 			                  &pl.coef_y8[b8 * 64], SIG_INC_8x8,
 			                  LAST_INC_8x8);
@@ -221,6 +223,7 @@ void Decoder::parse_residuals_cabac(MbCtx &m, int cbp, bool is16) {
 			int cat = is16 ? 1 : 2;
 			if (cab.decode(CAT[cat].cbf + cbf_inc_luma4(m, i))) {
 				pl.nz_y[m.gblk(i)] = 1;
+				pl.mark(Planes::DP_COEF_Y, m.gblk(i) * 16);
 				if (is16)
 					parse_block_cabac(*this, 1, 1, 15, zigzag4x4,
 					                  &pl.coef_y[m.gblk(i) * 16],
@@ -235,22 +238,26 @@ void Decoder::parse_residuals_cabac(MbCtx &m, int cbp, bool is16) {
 	int cbp_c = cbp >> 4;
 	if (cbp_c) {
 		for (int comp = 0; comp < 2; comp++) {
-			if (cab.decode(CAT[3].cbf + cbf_inc_dc(m, comp)))
+			if (cab.decode(CAT[3].cbf + cbf_inc_dc(m, comp))) {
+				pl.mark(Planes::DP_COEF_C_DC, m.mbi * 8 + comp * 4);
 				parse_block_cabac(*this, 3, 0, 3, scan2x2,
 				                  &pl.coef_c_dc[m.mbi * 8 + comp * 4],
 				                  nullptr, nullptr);
+			}
 		}
 	}
 	if (cbp_c == 2) {
 		int W2 = m.mbW * 2;
 		for (int comp = 0; comp < 2; comp++) {
-			std::vector<int32_t> &plane = comp == 0 ? pl.coef_cb : pl.coef_cr;
+			std::vector<int16_t> &plane = comp == 0 ? pl.coef_cb : pl.coef_cr;
 			for (int cy = 0; cy < 2; cy++) {
 				for (int cx = 0; cx < 2; cx++) {
 					size_t blk = (size_t)(m.my * 2 + cy) * W2 + m.mx * 2 + cx;
 					if (cab.decode(CAT[4].cbf
 					               + cbf_inc_chroma(m, comp, cx, cy))) {
 						pl.nz_c[blk * 2 + comp] = 1;
+						pl.mark(comp == 0 ? Planes::DP_COEF_CB
+						        : Planes::DP_COEF_CR, blk * 16);
 						parse_block_cabac(*this, 4, 1, 15, zigzag4x4,
 						                  &plane[blk * 16], nullptr, nullptr);
 					}

@@ -11,7 +11,7 @@ extern const uint8_t me_cbp_intra[48], me_cbp_inter[48];
 extern const uint8_t blk4_x[16], blk4_y[16];
 int chroma_qp(int qpy, int offset);
 int parse_residual_cavlc(BitReader &gb, int nC, int max_coeff,
-                         const uint8_t *scan, int32_t *out);
+                         const uint8_t *scan, int16_t *out);
 
 // Out-of-line MbCtx helpers (declared in e264t.h).
 int Decoder::MbCtx::gbx(int i) const { return mx * 4 + blk4_x[i]; }
@@ -87,7 +87,7 @@ int Decoder::MbCtx::neighbor_mode_B(int i) const {
 // trace line per residual block, matching the reference's
 // "- {nC: %u, c: [...]}" schema (edge264_slice.c:265-297)
 static void log_block(Decoder &d, int nC, int tc, const uint8_t *scan, int n,
-                      const int32_t *out) {
+                      const int16_t *out) {
 	if (!d.log_cb || !d.log_mbs)
 		return;
 	if (!tc) {
@@ -299,7 +299,8 @@ void Decoder::parse_residuals(MbCtx &m, int cbp, bool is16) {
 	Planes &pl = m.pl;
 	if (is16) {
 		int nC = m.nC_luma(0);
-		int32_t *out = &pl.coef_y_dc[m.mbi * 16];
+		int16_t *out = &pl.coef_y_dc[m.mbi * 16];
+		pl.mark(Planes::DP_COEF_Y_DC, m.mbi * 16);
 		int tc = parse_residual_cavlc(gb, nC, 16, zigzag4x4, out);
 		log_block(*this, nC, tc, zigzag4x4, 16, out);
 	}
@@ -315,10 +316,11 @@ void Decoder::parse_residuals(MbCtx &m, int cbp, bool is16) {
 		if (t8) {
 			size_t b8 = (size_t)(m.my * 2 + (i8 >> 1)) * (m.mbW * 2)
 				+ m.mx * 2 + (i8 & 1);
-			int32_t *out8 = &pl.coef_y8[b8 * 64];
+			int16_t *out8 = &pl.coef_y8[b8 * 64];
+			pl.mark(Planes::DP_COEF_Y8, b8 * 64);
 			for (int k = 0; k < 4; k++) {
 				int i = i8 * 4 + k;
-				int32_t tmp[16] = {0};
+				int16_t tmp[16] = {0};
 				int nC = m.nC_luma(i);
 				int tc = parse_residual_cavlc(gb, nC, 16, iota16, tmp);
 				log_block(*this, nC, tc, iota16, 16, tmp);
@@ -331,7 +333,8 @@ void Decoder::parse_residuals(MbCtx &m, int cbp, bool is16) {
 		for (int k = 0; k < 4; k++) {
 			int i = i8 * 4 + k;
 			int nC = m.nC_luma(i);
-			int32_t *out = &pl.coef_y[m.gblk(i) * 16];
+			int16_t *out = &pl.coef_y[m.gblk(i) * 16];
+			pl.mark(Planes::DP_COEF_Y, m.gblk(i) * 16);
 			int tc;
 			if (is16) {
 				tc = parse_residual_cavlc(gb, nC, 15, zigzag4x4 + 1, out);
@@ -349,7 +352,8 @@ void Decoder::parse_residuals(MbCtx &m, int cbp, bool is16) {
 	if (cbp_c) {
 		static const uint8_t scan2x2[4] = {0, 1, 2, 3};
 		for (int c = 0; c < 2; c++) {
-			int32_t *out = &pl.coef_c_dc[m.mbi * 8 + c * 4];
+			int16_t *out = &pl.coef_c_dc[m.mbi * 8 + c * 4];
+			pl.mark(Planes::DP_COEF_C_DC, m.mbi * 8 + c * 4);
 			int tc = parse_residual_cavlc(gb, -1, 4, scan2x2, out);
 			log_block(*this, -1, tc, scan2x2, 4, out);
 		}
@@ -358,11 +362,13 @@ void Decoder::parse_residuals(MbCtx &m, int cbp, bool is16) {
 	if (cbp_c == 2) {
 		int W2 = m.mbW * 2;
 		for (int c = 0; c < 2; c++) {
-			std::vector<int32_t> &plane = c == 0 ? pl.coef_cb : pl.coef_cr;
+			std::vector<int16_t> &plane = c == 0 ? pl.coef_cb : pl.coef_cr;
 			for (int cy = 0; cy < 2; cy++) {
 				for (int cx = 0; cx < 2; cx++) {
 					int nC = m.nC_chroma(c, cx, cy);
 					size_t blk = (size_t)(m.my * 2 + cy) * W2 + m.mx * 2 + cx;
+					pl.mark(c == 0 ? Planes::DP_COEF_CB : Planes::DP_COEF_CR,
+					        blk * 16);
 					int tc = parse_residual_cavlc(gb, nC, 15, zigzag4x4 + 1,
 					                              &plane[blk * 16]);
 					log_block(*this, nC, tc, zigzag4x4 + 1, 15,

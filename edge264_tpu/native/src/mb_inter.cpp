@@ -408,7 +408,7 @@ void Decoder_direct_mv_pred(Decoder &d, Decoder::MbCtx &m, int quad_mask) {
 		for (int q = 0; q < 4; q++) {
 			if (!(quad_mask >> q & 1))
 				continue;
-			int refIdxCol, cmx, cmy, colRefSlot;
+			int refIdxCol = -1, cmx = 0, cmy = 0, colRefSlot = 0;
 			if (d.sps.direct_8x8_inference)
 				col_info(corner_x[q], corner_y[q], refIdxCol, cmx, cmy,
 				         colRefSlot);
@@ -438,7 +438,7 @@ void Decoder_direct_mv_pred(Decoder &d, Decoder::MbCtx &m, int quad_mask) {
 		for (int q = 0; q < 4; q++) {
 			if (!(quad_mask >> q & 1))
 				continue;
-			int refIdxCol, cmx, cmy, colRefSlot;
+			int refIdxCol = -1, cmx = 0, cmy = 0, colRefSlot = 0;
 			if (d.sps.direct_8x8_inference)
 				col_info(corner_x[q], corner_y[q], refIdxCol, cmx, cmy,
 				         colRefSlot);

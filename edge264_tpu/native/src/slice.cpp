@@ -370,7 +370,7 @@ int Decoder::parse_slice() {
 		if (pl.mb_w != sps.mb_width || pl.mb_h != sps.mb_height)
 			pl.resize(sps.mb_width, sps.mb_height);
 		else
-			pl.resize(sps.mb_width, sps.mb_height);  // re-zero
+			pl.clear_frame();
 		non_base = (non_base & ~(1u << curr)) | (uint32_t)nbv << curr;
 		FrameIds[curr] = ++prev_frame_id;
 		FrameNums[curr] = FrameNum;
@@ -546,6 +546,7 @@ int Decoder::parse_slice() {
 // intra DC when no reference exists, and flagged in the mb_errors plane.
 void Decoder::conceal_frame() {
 	Planes &pl = planes[curr];
+	pl.dirty_all = true;   // concealment writes planes wholesale
 	int W = pl.mb_w, H = pl.mb_h;
 	int BW = W * 4;
 	uint32_t sv = same_views(non_base >> curr & 1);

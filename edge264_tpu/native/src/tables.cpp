@@ -137,6 +137,51 @@ void Planes::resize(int w, int h) {
 	mb_errors.assign(n, 0);
 	memset(sm4, 16, sizeof(sm4));
 	memset(sm8, 16, sizeof(sm8));
+	dirty.clear();
+	dirty.reserve(4096);
+	dirty_all = false;
+}
+
+void Planes::clear_frame() {
+	if (dirty_all) {
+		resize(mb_w, mb_h);            // full re-zero
+		return;
+	}
+	size_t n = (size_t)mb_w * mb_h;
+	memset(mb_flags.data(), 0, n * 4);
+	memset(qp.data(), 0, n * 4);
+	memset(i4_modes.data(), 0xFF, n * 16);
+	memset(i16_modes.data(), 0xFF, n);
+	memset(i8_modes.data(), 0xFF, n * 4);
+	memset(ch_modes.data(), 0xFF, n);
+	memset(nz_y.data(), 0, n * 16);
+	memset(nz_c.data(), 0, n * 8);
+	memset(absmvd.data(), 0, n * 64);
+	memset(deblock.data(), 0, n);
+	memset(deblock_ab.data(), 0, n * 2);
+	memset(wp.data(), 0, n * 24);
+	memset(wp8.data(), 0, n * 48);
+	memset(cbp.data(), 0, n);
+	memset(refnz.data(), 0, n * 4);
+	memset(slice_id.data(), 0, n * 2);
+	memset(mb_errors.data(), 0, n);
+	memset(sm4, 16, sizeof(sm4));
+	memset(sm8, 16, sizeof(sm8));
+	// mvs/refslot/refpoc_idx need no clear: every parsed macroblock
+	// either stores its cells (store_mv) or clears them
+	// (Decoder_clear_inter_cells); concealment sets dirty_all.
+	for (uint64_t e : dirty) {
+		size_t off = e & ((1ULL << 48) - 1);
+		switch ((int)(e >> 48)) {
+		case DP_COEF_Y: memset(&coef_y[off], 0, 16 * 2); break;
+		case DP_COEF_Y8: memset(&coef_y8[off], 0, 64 * 2); break;
+		case DP_COEF_Y_DC: memset(&coef_y_dc[off], 0, 16 * 2); break;
+		case DP_COEF_C_DC: memset(&coef_c_dc[off], 0, 4 * 2); break;
+		case DP_COEF_CB: memset(&coef_cb[off], 0, 16 * 2); break;
+		case DP_COEF_CR: memset(&coef_cr[off], 0, 16 * 2); break;
+		}
+	}
+	dirty.clear();
 }
 
 void Planes::clear_mb_range(int mb0, int mb1) {

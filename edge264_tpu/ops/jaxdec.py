@@ -25,11 +25,22 @@ the one used for multi-chip sharding.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+# the big sheared-wavefront programs are expensive to compile: persist
+# compiled executables across processes (huge win for CLI runs / benches)
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("E264T_JAX_CACHE",
+                                     "/tmp/e264t_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
 
 from . import oracle as _o
 from .intra_tables import I4_IDX, I16_DIR_IDX, CH_DIR_IDX, \
@@ -110,12 +121,73 @@ def _blocks_to_pixels(b, n):
     return b.transpose(0, 2, 1, 3).reshape(BH * n, BW * n)
 
 
-def residual_frame(p, sm4, sm8, norm4, norm8):
+def _sel_norm(qpm6, table):
+    """6-way row select: qpm6 [H,W] in 0..5, table [6,K] -> [H,W,K] via a
+    one-hot matmul (exact in f32; avoids a TPU gather)."""
+    oh = (qpm6[..., None] == jnp.arange(6, dtype=I32)).astype(jnp.float32)
+    return jnp.einsum("hwj,jk->hwk", oh, jnp.asarray(table, jnp.float32),
+                      preferred_element_type=jnp.float32).astype(I32)
+
+
+def _idct4_planes(d):
+    """§8.5.12.2 on a list of 16 coefficient planes (plane-major layout
+    keeps every op on cleanly-tiled [BH,BW] arrays)."""
+    rows = []
+    for r in range(4):
+        d0, d1, d2, d3 = d[4 * r:4 * r + 4]
+        e0, e1 = d0 + d2, d0 - d2
+        e2, e3 = (d1 >> 1) - d3, d1 + (d3 >> 1)
+        rows += [e0 + e3, e1 + e2, e1 - e2, e0 - e3]
+    out = []
+    for c in range(4):
+        f0, f1, f2, f3 = rows[c], rows[4 + c], rows[8 + c], rows[12 + c]
+        g0, g1 = f0 + f2, f0 - f2
+        g2, g3 = (f1 >> 1) - f3, f1 + (f3 >> 1)
+        col = [g0 + g3, g1 + g2, g1 - g2, g0 - g3]
+        out.append([(v + 32) >> 6 for v in col])
+    return [out[c][r] for r in range(4) for c in range(4)]
+
+
+def _idct8_planes(d):
+    """§8.5.13.2 on 64 coefficient planes."""
+    def pass1(x):
+        e = [x[0] + x[4],
+             -x[3] + x[5] - x[7] - (x[7] >> 1),
+             x[0] - x[4],
+             x[1] + x[7] - x[3] - (x[3] >> 1),
+             (x[2] >> 1) - x[6],
+             -x[1] + x[7] + x[5] + (x[5] >> 1),
+             x[2] + (x[6] >> 1),
+             x[3] + x[5] + x[1] + (x[1] >> 1)]
+        f = [e[0] + e[6], e[1] + (e[7] >> 2), e[2] + e[4],
+             e[3] + (e[5] >> 2), e[2] - e[4], (e[3] >> 2) - e[5],
+             e[0] - e[6], e[7] - (e[1] >> 2)]
+        return [f[0] + f[7], f[2] + f[5], f[4] + f[3], f[6] + f[1],
+                f[6] - f[1], f[4] - f[3], f[2] - f[5], f[0] - f[7]]
+
+    rows = []
+    for r in range(8):
+        rows += pass1(d[8 * r:8 * r + 8])
+    cols = [pass1([rows[8 * r + c] for r in range(8)]) for c in range(8)]
+    return [(cols[c][r] + 32) >> 6 for r in range(8) for c in range(8)]
+
+
+def _planes_to_pixels(pl, n, BH, BW):
+    """n*n coefficient planes [BH,BW] -> pixel image [n*BH, n*BW]."""
+    a = jnp.stack(pl).reshape(n, n, BH, BW)
+    return a.transpose(2, 0, 3, 1).reshape(BH * n, BW * n)
+
+
+def residual_frame(p, sm4, sm8, norm4, norm8, has_t8=True):
     """All luma+chroma residuals for one frame.
 
     p: dict of syntax planes (int32 jnp arrays).  sm4 [6,16] / sm8 [6,64]
     weight-scale matrices, norm4 [6,16] / norm8 [6,64] normAdjust.
-    Returns res_y [16H,16W], res_cb, res_cr [8H,8W] int32."""
+    Returns res_y [16H,16W], res_cb, res_cr [8H,8W] int32.
+
+    Coefficients are processed in PLANE-major layout ([16,BH,BW] instead
+    of [BH,BW,16]): a trailing dim of 16 would be padded to 128 lanes by
+    the TPU tiling, making every pass read 8x the bytes."""
     flags = p["mb_flags"]
     H, W = flags.shape
     intra = (flags & MBF_INTRA) > 0
@@ -123,49 +195,75 @@ def residual_frame(p, sm4, sm8, norm4, norm8):
     t8 = (flags & MBF_T8x8) > 0
 
     qpy = p["qp"][..., 0]
-    qpy4 = _mb_to_blk4(qpy)[..., None]                    # [4H,4W,1]
-    widx = jnp.where(intra, 0, 3)
-    ls4 = sm4[_mb_to_blk4(widx)] * norm4[_mb_to_blk4(qpy % 6)]
-    d4 = _dequant4(p["coef_y"], qpy4, ls4)                # [4H,4W,16]
+    s_mb = qpy // 6
+
+    def expand4(a):
+        return jnp.repeat(jnp.repeat(a, 4, 0), 4, 1)
+
+    def dequant_planes(coef_pl, ls_mb, s_mb, rep, shift_base):
+        """coef_pl: list of [BH,BW] planes; ls_mb [H,W,K] per-mb scales;
+        s_mb [H,W] qp//6.  rep: mb->block expansion factor."""
+        K = len(coef_pl)
+        s = jnp.repeat(jnp.repeat(s_mb, rep, 0), rep, 1)
+        sh_hi = jnp.maximum(s - shift_base, 0)
+        sh_lo_add = 1 << jnp.maximum(shift_base - 1 - s, 0)
+        sh_lo = jnp.maximum(shift_base - s, 0)
+        hi_mask = s >= shift_base
+        out = []
+        for k in range(K):
+            lsk = jnp.repeat(jnp.repeat(ls_mb[..., k], rep, 0), rep, 1)
+            t = coef_pl[k] * lsk
+            out.append(jnp.where(hi_mask, t << sh_hi,
+                                 (t + sh_lo_add) >> sh_lo))
+        return out
+
+    # ---- luma 4x4 ---------------------------------------------------
+    ls4_mb = jnp.where(intra[..., None], sm4[0][None, None, :],
+                       sm4[3][None, None, :]) * _sel_norm(qpy % 6, norm4)
+    Cy = p["coef_y"].transpose(2, 0, 1)               # [16, 4H, 4W]
+    d4 = dequant_planes([Cy[k] for k in range(16)], ls4_mb, s_mb, 4, 4)
 
     # Intra16x16 DC hadamard (§8.5.10)
     c = p["coef_y_dc"].reshape(H, W, 4, 4)
     f = jnp.einsum("ik,hwkl,lj->hwij", _H4, c, _H4)
     ls00 = sm4[0, 0] * norm4[qpy % 6, 0]
-    s = qpy // 6
+    s = s_mb
     tdc = f * ls00[..., None, None]
     dchi = tdc << jnp.maximum(s - 6, 0)[..., None, None]
     dclo = (tdc + (1 << jnp.maximum(5 - s, 0))[..., None, None]) \
         >> jnp.maximum(6 - s, 0)[..., None, None]
     dcy = jnp.where((s >= 6)[..., None, None], dchi, dclo)  # [H,W,4,4]
     dcy_blk = dcy.transpose(0, 2, 1, 3).reshape(4 * H, 4 * W)
-    i16blk = _mb_to_blk4(i16)
-    d4 = d4.at[..., 0].set(jnp.where(i16blk, dcy_blk, d4[..., 0]))
-    res4 = _blocks_to_pixels(_idct4(d4.reshape(4 * H, 4 * W, 4, 4)), 4)
+    i16blk = expand4(i16)
+    d4[0] = jnp.where(i16blk, dcy_blk, d4[0])
+    r4 = _idct4_planes(d4)
+    res4 = _planes_to_pixels(r4, 4, 4 * H, 4 * W)
 
-    # 8x8 transform path
-    qpy8 = jnp.repeat(jnp.repeat(qpy, 2, 0), 2, 1)[..., None]
-    widx8 = jnp.where(intra, 0, 1)
-    ls8 = sm8[jnp.repeat(jnp.repeat(widx8, 2, 0), 2, 1)] \
-        * norm8[jnp.repeat(jnp.repeat(qpy % 6, 2, 0), 2, 1)]
-    s8 = qpy8 // 6
-    t = p["coef_y8"] * ls8
-    hi = t << jnp.maximum(s8 - 6, 0)
-    lo = (t + (1 << jnp.maximum(5 - s8, 0))) >> jnp.maximum(6 - s8, 0)
-    d8 = jnp.where(s8 >= 6, hi, lo)
-    res8 = _blocks_to_pixels(_idct8(d8.reshape(2 * H, 2 * W, 8, 8)), 8)
-    t8pix = jnp.repeat(jnp.repeat(t8, 16, 0), 16, 1)
-    res_y = jnp.where(t8pix, res8, res4)
+    # ---- luma 8x8 (statically skipped when absent) ------------------
+    if not has_t8:
+        res_y = res4
+    else:
+        ls8_mb = jnp.where(intra[..., None], sm8[0][None, None, :],
+                           sm8[1][None, None, :]) * _sel_norm(qpy % 6,
+                                                              norm8)
+        C8 = p["coef_y8"].transpose(2, 0, 1)          # [64, 2H, 2W]
+        d8 = dequant_planes([C8[k] for k in range(64)], ls8_mb, s_mb,
+                            2, 6)
+        r8 = _idct8_planes(d8)
+        res8 = _planes_to_pixels(r8, 8, 2 * H, 2 * W)
+        t8pix = jnp.repeat(jnp.repeat(t8, 16, 0), 16, 1)
+        res_y = jnp.where(t8pix, res8, res4)
 
-    # chroma (4:2:0): 2x2 DC hadamard (§8.5.11) + AC
+    # ---- chroma (4:2:0): 2x2 DC hadamard (§8.5.11) + AC -------------
     res_c = []
     for comp, coef in ((1, p["coef_cb"]), (2, p["coef_cr"])):
         qpc = p["qp"][..., comp]
-        widc = jnp.where(intra, comp, comp + 3)
-        qpc2 = jnp.repeat(jnp.repeat(qpc, 2, 0), 2, 1)[..., None]
-        lsc = sm4[jnp.repeat(jnp.repeat(widc, 2, 0), 2, 1)] \
-            * norm4[jnp.repeat(jnp.repeat(qpc % 6, 2, 0), 2, 1)]
-        dc4 = _dequant4(coef, qpc2, lsc)
+        lsc_mb = jnp.where(intra[..., None], sm4[comp][None, None, :],
+                           sm4[comp + 3][None, None, :]) \
+            * _sel_norm(qpc % 6, norm4)
+        Cc = coef.transpose(2, 0, 1)                  # [16, 2H, 2W]
+        dc4 = dequant_planes([Cc[k] for k in range(16)], lsc_mb,
+                             qpc // 6, 2, 4)
         cdc = p["coef_c_dc"][:, :, comp - 1].reshape(H, W, 2, 2)
         c00, c01 = cdc[..., 0, 0], cdc[..., 0, 1]
         c10, c11 = cdc[..., 1, 0], cdc[..., 1, 1]
@@ -179,9 +277,9 @@ def residual_frame(p, sm4, sm8, norm4, norm8):
         dcc = ((fdc * ls00c[..., None, None])
                << (qpc // 6)[..., None, None]) >> 5
         dcc_blk = dcc.transpose(0, 2, 1, 3).reshape(2 * H, 2 * W)
-        dc4 = dc4.at[..., 0].set(dcc_blk)
-        res_c.append(_blocks_to_pixels(_idct4(dc4.reshape(2 * H, 2 * W, 4, 4)),
-                                       4))
+        dc4[0] = dcc_blk
+        rc = _idct4_planes(dc4)
+        res_c.append(_planes_to_pixels(rc, 4, 2 * H, 2 * W))
     return res_y, res_c[0], res_c[1]
 
 
@@ -204,8 +302,10 @@ def intra_level_tables(flags, mbW, mbH):
     back to full wave tables).
     """
     M = (flags & MBF_INTRA) > 0
+    if M.mean() > 0.4:        # intra-dense: chains will exceed any bucket
+        return None
     lvl = M.astype(np.int32)
-    for _ in range(mbW + 2 * mbH):
+    for it in range(9):       # levels > 8 never fit a bucket anyway
         left = np.pad(lvl, ((0, 0), (1, 0)))[:, :-1]
         top = np.pad(lvl, ((1, 0), (0, 0)))[:-1, :]
         tl = np.pad(lvl, ((1, 0), (1, 0)))[:-1, :-1]
@@ -214,6 +314,8 @@ def intra_level_tables(flags, mbW, mbH):
         if np.array_equal(new, lvl):
             break
         lvl = new
+    else:
+        return None           # did not converge within 8 levels
     lmax = int(lvl.max())
     if lmax == 0:
         mxs = np.zeros((1, 1), np.int32)
@@ -334,7 +436,8 @@ def _dir_matmul(nb, W, mode, nm, npx):
     return sel.astype(I32) >> 2
 
 
-def intra_scan_sheared(y, cb, cr, res_y, res_cb, res_cr, p, mbW, mbH):
+def intra_scan_sheared(y, cb, cr, res_y, res_cb, res_cr, p, mbW, mbH,
+                       has_t8=True, has_pcm=True):
     """Sheared-layout intra reconstruction for intra-DENSE frames.
 
     Same rolling-window idea as the sheared deblock scan: the wavefront is
@@ -357,11 +460,19 @@ def intra_scan_sheared(y, cb, cr, res_y, res_cb, res_cr, p, mbW, mbH):
     ry_t = _shear_tiles(res_y, mbW, mbH, 16, extra=0)
     rcb_t = _shear_tiles(res_cb, mbW, mbH, 8, extra=0)
     rcr_t = _shear_tiles(res_cr, mbW, mbH, 8, extra=0)
-    py_t = _shear_tiles(p["pcm_y"], mbW, mbH, 16, extra=0)
-    pcb_t = _shear_tiles(p["pcm_c"][0], mbW, mbH, 8, extra=0)
-    pcr_t = _shear_tiles(p["pcm_c"][1], mbW, mbH, 8, extra=0)
+    if has_pcm:
+        py_t = _shear_tiles(p["pcm_y"], mbW, mbH, 16, extra=0)
+        pcb_t = _shear_tiles(p["pcm_c"][0], mbW, mbH, 8, extra=0)
+        pcr_t = _shear_tiles(p["pcm_c"][1], mbW, mbH, 8, extra=0)
+    else:
+        NWt = mbW + 2 * mbH - 2
+        py_t = jnp.zeros((NWt, 1, 1, 1), I32)
+        pcb_t = pcr_t = jnp.zeros((NWt, 1, 1, 1), I32)
     i4m_t = _shear_tiles(p["i4_modes"], mbW, mbH, 4, extra=0)
-    i8m_t = _shear_tiles(p["i8_modes"], mbW, mbH, 2, extra=0)
+    if has_t8:
+        i8m_t = _shear_tiles(p["i8_modes"], mbW, mbH, 2, extra=0)
+    else:
+        i8m_t = jnp.zeros((mbW + 2 * mbH - 2, 1, 1, 1), I32)
     i16m_t = _shear_plane(p["i16_modes"], mbW, mbH, extra=0)
     chm_t = _shear_plane(p["ch_modes"], mbW, mbH, extra=0)
     fl_t = _shear_plane(p["mb_flags"], mbW, mbH, extra=0)
@@ -430,7 +541,7 @@ def intra_scan_sheared(y, cb, cr, res_y, res_cb, res_cr, p, mbW, mbH):
                 jnp.where(act, recon, X[:, r0:r0 + 4, c0:c0 + 4]))
 
         # ---- Intra_8x8: 4 quad-order substeps ---------------------------
-        for b in range(4):
+        for b in range(4) if has_t8 else ():
             bx8, by8 = b & 1, b >> 1
             r0, c0 = by8 * 8, bx8 * 8
             mm = i8m[:, by8, bx8]
@@ -525,7 +636,8 @@ def intra_scan_sheared(y, cb, cr, res_y, res_cb, res_cr, p, mbW, mbH):
                                                                     16)
         act = (val & is_i16)[:, None, None]
         X = jnp.where(act, recon, X)
-        X = jnp.where((val & is_pcm)[:, None, None], pcy, X)
+        if has_pcm:
+            X = jnp.where((val & is_pcm)[:, None, None], pcy, X)
 
         # ---- chroma ----------------------------------------------------
         m = chm
@@ -575,7 +687,8 @@ def intra_scan_sheared(y, cb, cr, res_y, res_cb, res_cr, p, mbW, mbH):
                              255).reshape(L, 8, 8)
             img = jnp.where((val & is_intra & ~is_pcm)[:, None, None],
                             recon, img)
-            img = jnp.where((val & is_pcm)[:, None, None], pcm_c, img)
+            if has_pcm:
+                img = jnp.where((val & is_pcm)[:, None, None], pcm_c, img)
             out_c.append(img)
         Xcb, Xcr = out_c
 
@@ -827,7 +940,9 @@ def _far(a, b):
 
 def deblock_bs(p):
     """Boundary strengths for every 4x4 block's left edge (bs_v) and top
-    edge (bs_h), fully batched (§8.7.2.1)."""
+    edge (bs_h), fully batched (§8.7.2.1).  All per-component arrays are
+    kept as separate [BH,BW] planes: trailing size-2 axes would waste 64x
+    of every vector op under the TPU's (8,128) tiling."""
     flags = p["mb_flags"]
     intra_blk = _mb_to_blk4((flags & MBF_INTRA) > 0)
     nz = p["nz_y"] > 0
@@ -837,41 +952,44 @@ def deblock_bs(p):
     nz8 = jnp.repeat(jnp.repeat(nz8, 2, 0), 2, 1)
     t8_blk = _mb_to_blk4((flags & MBF_T8x8) > 0)
     nz = jnp.where(t8_blk, nz8, nz)
-    refslot = p["refslot"]
-    mvs = p["mvs"]
-    used = refslot >= 0
-    cnt = used.sum(-1)
-    r = jnp.where(used, refslot, 99)
-    lo = jnp.minimum(r[..., 0], r[..., 1])
-    hi = jnp.maximum(r[..., 0], r[..., 1])
-    mv0, mv1 = mvs[..., 0, :], mvs[..., 1, :]
-    single = jnp.where(used[..., 0:1], mv0, mv1)
+    rs0, rs1 = p["refslot"][..., 0], p["refslot"][..., 1]
+    m0x, m0y = p["mvs"][..., 0, 0], p["mvs"][..., 0, 1]
+    m1x, m1y = p["mvs"][..., 1, 0], p["mvs"][..., 1, 1]
+    u0, u1 = rs0 >= 0, rs1 >= 0
+    cnt = u0.astype(I32) + u1.astype(I32)
+    r0 = jnp.where(u0, rs0, 99)
+    r1 = jnp.where(u1, rs1, 99)
+    lo = jnp.minimum(r0, r1)
+    hi = jnp.maximum(r0, r1)
+    sx = jnp.where(u0, m0x, m1x)
+    sy = jnp.where(u0, m0y, m1y)
 
     BH, BW = nz.shape
     gbx = jax.lax.broadcasted_iota(I32, (BH, BW), 1)
     gby = jax.lax.broadcasted_iota(I32, (BH, BW), 0)
+
+    def far(ax, ay, bx, by):
+        return (jnp.abs(ax - bx) >= 4) | (jnp.abs(ay - by) >= 4)
 
     def one_dir(axis):
         sh = functools.partial(jnp.roll, shift=1, axis=axis)
         mb_edge = (gbx % 4 == 0) if axis == 1 else (gby % 4 == 0)
         intra_e = intra_blk | sh(intra_blk)
         nz_e = nz | sh(nz)
-        cnt_p, lo_p, hi_p = sh(cnt), sh(lo), sh(hi)
-        r0p = sh(refslot[..., 0])
-        pm0 = jnp.stack([sh(mv0[..., 0]), sh(mv0[..., 1])], -1)
-        pm1 = jnp.stack([sh(mv1[..., 0]), sh(mv1[..., 1])], -1)
-        psingle = jnp.stack([sh(single[..., 0]), sh(single[..., 1])], -1)
-        refs_diff = (cnt_p != cnt) | (lo_p != lo) | (hi_p != hi)
-        f_single = _far(psingle, single)
-        c0 = (refslot[..., 0] == r0p)[..., None]
-        qm_for_p0 = jnp.where(c0, mv0, mv1)
-        qm_for_p1 = jnp.where(c0, mv1, mv0)
-        f_bi_distinct = _far(pm0, qm_for_p0) | _far(pm1, qm_for_p1)
-        pair_a = ~_far(pm0, mv0) & ~_far(pm1, mv1)
-        pair_b = ~_far(pm0, mv1) & ~_far(pm1, mv0)
-        f_bi = jnp.where(sh(refslot[..., 0]) != sh(refslot[..., 1]),
-                         f_bi_distinct, ~(pair_a | pair_b))
-        f_mv = jnp.where(cnt_p == 1, f_single, f_bi)
+        refs_diff = (sh(cnt) != cnt) | (sh(lo) != lo) | (sh(hi) != hi)
+        p0x, p0y, p1x, p1y = sh(m0x), sh(m0y), sh(m1x), sh(m1y)
+        f_single = far(sh(sx), sh(sy), sx, sy)
+        c0 = sh(rs0) == rs0
+        q0x = jnp.where(c0, m0x, m1x)
+        q0y = jnp.where(c0, m0y, m1y)
+        q1x = jnp.where(c0, m1x, m0x)
+        q1y = jnp.where(c0, m1y, m0y)
+        f_bi_distinct = far(p0x, p0y, q0x, q0y) | far(p1x, p1y, q1x, q1y)
+        pair_a = ~far(p0x, p0y, m0x, m0y) & ~far(p1x, p1y, m1x, m1y)
+        pair_b = ~far(p0x, p0y, m1x, m1y) & ~far(p1x, p1y, m0x, m0y)
+        f_bi = jnp.where(sh(rs0) != sh(rs1), f_bi_distinct,
+                         ~(pair_a | pair_b))
+        f_mv = jnp.where(sh(cnt) == 1, f_single, f_bi)
         bs_mv = jnp.where(refs_diff | f_mv, 1, 0)
         return jnp.where(intra_e, jnp.where(mb_edge, 4, 3),
                          jnp.where(nz_e, 2, bs_mv)).astype(I32)
@@ -879,12 +997,16 @@ def deblock_bs(p):
     return one_dir(1), one_dir(0)
 
 
-def _filter_luma_lines(S, alpha, beta, bs, tc0, active):
-    """§8.7.2.3/.4 on S [L, n, 8] = [p3..p0, q0..q3] per line.
+def _filter_luma_lines(S, alpha, beta, bs, tc0, active, axis=-1):
+    """§8.7.2.3/.4 on S = [p3..p0, q0..q3] per line, sample index along
+    `axis` ([L, n, 8] for axis=-1, [L, 8, n] for axis=1 -- the latter
+    avoids two relayout transposes per horizontal edge).
     alpha/beta [L], bs/tc0 [L, n], active [L, n].  Returns the 6 middle
-    samples' new values [L, n, 6] (p2 p1 p0 q0 q1 q2)."""
-    p3, p2, p1, p0 = S[..., 0], S[..., 1], S[..., 2], S[..., 3]
-    q0, q1, q2, q3 = S[..., 4], S[..., 5], S[..., 6], S[..., 7]
+    samples' new values (p2 p1 p0 q0 q1 q2) along the same axis."""
+    take = lambda k: lax.index_in_dim(S, k, S.ndim + axis if axis < 0
+                                      else axis, keepdims=False)
+    p3, p2, p1, p0 = take(0), take(1), take(2), take(3)
+    q0, q1, q2, q3 = take(4), take(5), take(6), take(7)
     al, be = alpha[:, None], beta[:, None]
     filt = active & (bs > 0) & (jnp.abs(p0 - q0) < al) & \
         (jnp.abs(p1 - p0) < be) & (jnp.abs(q1 - q0) < be)
@@ -917,13 +1039,18 @@ def _filter_luma_lines(S, alpha, beta, bs, tc0, active):
     nq0 = jnp.where(s4, sq0, wq0)
     nq1 = jnp.where(s4, sq1, wq1)
     nq2 = jnp.where(s4, sq2, q2)
-    out = jnp.stack([np2, np1, np0, nq0, nq1, nq2], axis=-1)
-    return jnp.where(filt[..., None], out, S[..., 1:7])
+    out = jnp.stack([np2, np1, np0, nq0, nq1, nq2], axis=axis)
+    if axis == -1:
+        return jnp.where(filt[..., None], out, S[..., 1:7])
+    return jnp.where(filt[:, None, :], out, S[:, 1:7, :])
 
 
-def _filter_chroma_lines(S, alpha, beta, bs, tc0, active):
-    """Chroma: S [L, n, 4] = [p1 p0 q0 q1]; returns new [L, n, 2]."""
-    p1, p0, q0, q1 = S[..., 0], S[..., 1], S[..., 2], S[..., 3]
+def _filter_chroma_lines(S, alpha, beta, bs, tc0, active, axis=-1):
+    """Chroma: S = [p1 p0 q0 q1] along `axis`; returns the 2 middle
+    samples."""
+    take = lambda k: lax.index_in_dim(S, k, S.ndim + axis if axis < 0
+                                      else axis, keepdims=False)
+    p1, p0, q0, q1 = take(0), take(1), take(2), take(3)
     al, be = alpha[:, None], beta[:, None]
     filt = active & (bs > 0) & (jnp.abs(p0 - q0) < al) & \
         (jnp.abs(p1 - p0) < be) & (jnp.abs(q1 - q0) < be)
@@ -934,8 +1061,11 @@ def _filter_chroma_lines(S, alpha, beta, bs, tc0, active):
     wp0 = jnp.clip(p0 + delta, 0, 255)
     wq0 = jnp.clip(q0 - delta, 0, 255)
     s4 = bs == 4
-    out = jnp.stack([jnp.where(s4, sp0, wp0), jnp.where(s4, sq0, wq0)], -1)
-    return jnp.where(filt[..., None], out, S[..., 1:3])
+    out = jnp.stack([jnp.where(s4, sp0, wp0), jnp.where(s4, sq0, wq0)],
+                    axis)
+    if axis == -1:
+        return jnp.where(filt[..., None], out, S[..., 1:3])
+    return jnp.where(filt[:, None, :], out, S[:, 1:3, :])
 
 
 # ---------------------------------------------------------------------------
@@ -1098,9 +1228,9 @@ def deblock_scan(y, cb, cr, p, bs_v, bs_h, mbW, mbH):
                 qpp = qpo[:, 0]
             alpha, beta, bs, tc0, actm = edge_params(
                 qpp, qpo[:, 0], bsh[:, e, :], act, 16)
-            S = V[:, 4 * e:4 * e + 8, :].transpose(0, 2, 1)
-            new = _filter_luma_lines(S, alpha, beta, bs, tc0, actm)
-            V = V.at[:, 4 * e + 1:4 * e + 7, :].set(new.transpose(0, 2, 1))
+            S = V[:, 4 * e:4 * e + 8, :]
+            new = _filter_luma_lines(S, alpha, beta, bs, tc0, actm, axis=1)
+            V = V.at[:, 4 * e + 1:4 * e + 7, :].set(new)
         Bts_y = Bts_y.at[:, 13:16, :].set(V[:, 1:4, :])
         Xy = V[:, 4:20, :]
 
@@ -1118,10 +1248,10 @@ def deblock_scan(y, cb, cr, p, bs_v, bs_h, mbW, mbH):
                     qpp = qpo[:, comp]
                 alpha, beta, bs, tc0, actm = edge_params(
                     qpp, qpo[:, comp], bsh[:, e, :], act, 8)
-                S = Vc[:, 2 * e:2 * e + 4, :].transpose(0, 2, 1)
-                new = _filter_chroma_lines(S, alpha, beta, bs, tc0, actm)
-                Vc = Vc.at[:, 2 * e + 1:2 * e + 3, :].set(
-                    new.transpose(0, 2, 1))
+                S = Vc[:, 2 * e:2 * e + 4, :]
+                new = _filter_chroma_lines(S, alpha, beta, bs, tc0, actm,
+                                           axis=1)
+                Vc = Vc.at[:, 2 * e + 1:2 * e + 3, :].set(new)
             Bts_c = Bts_c.at[:, 6:8, :].set(Vc[:, 0:2, :])
             new_c.append((Bts_c, Vc[:, 2:10, :]))
         (Bts_cb, Xcb), (Bts_cr, Xcr) = new_c
@@ -1270,28 +1400,108 @@ PLANE_KEYS = ["mb_flags", "qp", "i4_modes", "i16_modes", "i8_modes",
               "deblock", "deblock_ab", "wp", "wp8"]
 
 
+def _decode_frame_impl(p, sm4, sm8, mbW, mbH, itab, mc=None,
+                       has_t8=True, has_pcm=True):
+    """Shared device pixel path: residuals [-> MC] -> intra -> deblock.
+    mc: optional (stackL, stackC, slot_map, has_b) for inter frames."""
+    norm4 = jnp.asarray(_o.NORM_ADJUST_4x4.reshape(6, 16))
+    norm8 = jnp.asarray(_o.NORM_ADJUST_8x8.reshape(6, 64))
+    res_y, res_cb, res_cr = residual_frame(p, sm4, sm8, norm4, norm8,
+                                           has_t8)
+    if mc is not None:
+        stackL, stackC, slot_map, has_b = mc
+        pred_y, pred_cb, pred_cr, mask_y, mask_c = mc_frame(
+            p, stackL, stackC, slot_map, has_b)
+        y = jnp.where(mask_y, jnp.clip(pred_y + res_y, 0, 255), 0)
+        cb = jnp.where(mask_c, jnp.clip(pred_cb + res_cb, 0, 255), 0)
+        cr = jnp.where(mask_c, jnp.clip(pred_cr + res_cr, 0, 255), 0)
+    else:
+        y = jnp.zeros((16 * mbH, 16 * mbW), I32)
+        cb = jnp.zeros((8 * mbH, 8 * mbW), I32)
+        cr = jnp.zeros((8 * mbH, 8 * mbW), I32)
+    if itab is not None:
+        y, cb, cr = intra_scan(y, cb, cr, res_y, res_cb, res_cr, p, itab)
+    else:
+        y, cb, cr = intra_scan_sheared(y, cb, cr, res_y, res_cb, res_cr,
+                                       p, mbW, mbH, has_t8, has_pcm)
+    bs_v, bs_h = deblock_bs(p)
+    y, cb, cr = deblock_scan(y, cb, cr, p, bs_v, bs_h, mbW, mbH)
+    return y.astype(jnp.uint8), cb.astype(jnp.uint8), cr.astype(jnp.uint8)
+
+
+# The device path is split into TWO jitted programs (reconstruct, then
+# deblock): XLA compile time is superlinear in program size, and the two
+# sheared wavefront scans in one graph pushed warmup compiles into the
+# tens of minutes on the TPU AOT helper.  The split costs only one
+# intermediate int32 frame in HBM.
+
+@functools.partial(jax.jit,
+                   static_argnames=("layout", "mbW", "mbH", "has_b"))
+def _recon_arena(arena, sm4, sm8, itab=None, mc_in=None, *, layout,
+                 mbW, mbH, has_b=True):
+    p = _unpack_planes(arena, layout)
+    present = {k for k, _, _, off in layout if off >= 0}
+    has_t8 = "coef_y8" in present
+    norm4 = jnp.asarray(_o.NORM_ADJUST_4x4.reshape(6, 16))
+    norm8 = jnp.asarray(_o.NORM_ADJUST_8x8.reshape(6, 64))
+    res_y, res_cb, res_cr = residual_frame(p, sm4, sm8, norm4, norm8,
+                                           has_t8)
+    if mc_in is not None:
+        stackL, stackC, slot_map = mc_in
+        pred_y, pred_cb, pred_cr, mask_y, mask_c = mc_frame(
+            p, stackL, stackC, slot_map, has_b)
+        y = jnp.where(mask_y, jnp.clip(pred_y + res_y, 0, 255), 0)
+        cb = jnp.where(mask_c, jnp.clip(pred_cb + res_cb, 0, 255), 0)
+        cr = jnp.where(mask_c, jnp.clip(pred_cr + res_cr, 0, 255), 0)
+    else:
+        y = jnp.zeros((16 * mbH, 16 * mbW), I32)
+        cb = jnp.zeros((8 * mbH, 8 * mbW), I32)
+        cr = jnp.zeros((8 * mbH, 8 * mbW), I32)
+    if itab is not None:
+        y, cb, cr = intra_scan(y, cb, cr, res_y, res_cb, res_cr, p, itab)
+    else:
+        y, cb, cr = intra_scan_sheared(y, cb, cr, res_y, res_cb, res_cr,
+                                       p, mbW, mbH, has_t8,
+                                       "pcm_y" in present)
+    return y, cb, cr
+
+
+@functools.partial(jax.jit, static_argnames=("layout", "mbW", "mbH"))
+def _deblock_arena(arena, y, cb, cr, *, layout, mbW, mbH):
+    p = _unpack_planes(arena, layout)
+    bs_v, bs_h = deblock_bs(p)
+    y, cb, cr = deblock_scan(y, cb, cr, p, bs_v, bs_h, mbW, mbH)
+    return y.astype(jnp.uint8), cb.astype(jnp.uint8), cr.astype(jnp.uint8)
+
+
+def decode_frame_arena(arena, sm4, sm8, itab=None, *, layout, mbW, mbH):
+    """Arena-transfer intra-frame path (see pack_planes)."""
+    y, cb, cr = _recon_arena(arena, sm4, sm8, itab, layout=layout,
+                             mbW=mbW, mbH=mbH)
+    return _deblock_arena(arena, y, cb, cr, layout=layout, mbW=mbW,
+                          mbH=mbH)
+
+
+def decode_frame_inter_arena(arena, sm4, sm8, stackL, stackC,
+                             slot_map, itab=None, *, layout, mbW, mbH,
+                             has_b=True):
+    """Arena-transfer inter-frame path."""
+    y, cb, cr = _recon_arena(arena, sm4, sm8, itab,
+                             (stackL, stackC, slot_map), layout=layout,
+                             mbW=mbW, mbH=mbH, has_b=has_b)
+    return _deblock_arena(arena, y, cb, cr, layout=layout, mbW=mbW,
+                          mbH=mbH)
+
+
 @functools.partial(jax.jit, static_argnames=("mbW", "mbH"))
 def decode_frame_jit(p, sm4, sm8, mbW, mbH, itab=None):
     """Full device pixel path for one frame: residuals -> intra wavefront
     -> deblock wavefront.  Returns (y, cb, cr) uint8 (mb-aligned).
 
     itab: optional level-compressed intra scan tables (mxs, mys, valid)
-    from intra_level_tables(); defaults to the full wave tables."""
+    from intra_level_tables(); defaults to the sheared wavefront scan."""
     p = _cast_planes(p)
-    norm4 = jnp.asarray(_o.NORM_ADJUST_4x4.reshape(6, 16))
-    norm8 = jnp.asarray(_o.NORM_ADJUST_8x8.reshape(6, 64))
-    res_y, res_cb, res_cr = residual_frame(p, sm4, sm8, norm4, norm8)
-    y = jnp.zeros((16 * mbH, 16 * mbW), I32)
-    cb = jnp.zeros((8 * mbH, 8 * mbW), I32)
-    cr = jnp.zeros((8 * mbH, 8 * mbW), I32)
-    if itab is not None:
-        y, cb, cr = intra_scan(y, cb, cr, res_y, res_cb, res_cr, p, itab)
-    else:
-        y, cb, cr = intra_scan_sheared(y, cb, cr, res_y, res_cb, res_cr,
-                                       p, mbW, mbH)
-    bs_v, bs_h = deblock_bs(p)
-    y, cb, cr = deblock_scan(y, cb, cr, p, bs_v, bs_h, mbW, mbH)
-    return y.astype(jnp.uint8), cb.astype(jnp.uint8), cr.astype(jnp.uint8)
+    return _decode_frame_impl(p, sm4, sm8, mbW, mbH, itab)
 
 
 def planes_to_jax(planes):
@@ -1303,6 +1513,65 @@ def planes_to_jax(planes):
         if k == "coef_c_dc":
             a = a.reshape(a.shape[0], a.shape[1], 2, 4)
         p[k] = jnp.asarray(a)
+    return p
+
+
+def pack_planes(planes):
+    """Pack all syntax planes into ONE host buffer -> (arena uint8 jnp
+    array, static layout).  A single large H2D transfer replaces ~20
+    per-plane transfers whose fixed dispatch cost dominated; planes a
+    frame provably doesn't use (no T8x8 mb -> coef_y8/i8_modes, no PCM mb
+    -> pcm planes) are dropped from the transfer and recreated as device
+    zeros (or their compute statically skipped)."""
+    flags = np.asarray(planes.mb_flags)
+    skip = set()
+    if not (flags & MBF_T8x8).any():
+        skip |= {"coef_y8", "i8_modes"}
+    if not (flags & MBF_IPCM).any():
+        skip |= {"pcm_y", "pcm_c"}
+    bufs = []
+    layout = []
+    off = 0
+    for k in PLANE_KEYS:
+        a = np.asarray(getattr(planes, k))
+        if k == "coef_c_dc":
+            a = a.reshape(a.shape[0], a.shape[1], 2, 4)
+        if k in skip:
+            layout.append((k, str(a.dtype), a.shape, -1))
+            continue
+        b = a.tobytes()
+        pad = (-off) % 8
+        if pad:
+            bufs.append(b"\x00" * pad)
+            off += pad
+        layout.append((k, str(a.dtype), a.shape, off))
+        bufs.append(b)
+        off += len(b)
+    arena = np.frombuffer(b"".join(bufs), np.uint8)
+    return jnp.asarray(arena), tuple(layout)
+
+
+_JDT = {"uint8": jnp.uint8, "int8": jnp.int8, "int16": jnp.int16,
+        "uint16": jnp.uint16, "int32": jnp.int32}
+
+
+def _unpack_planes(arena, layout):
+    """Device-side arena -> int32 plane dict (slices + bitcasts fuse into
+    the consumers; dropped planes come back as zeros)."""
+    p = {}
+    for k, dt, shape, off in layout:
+        if off < 0:
+            p[k] = jnp.zeros(shape, I32)
+            continue
+        dtype = np.dtype(dt)
+        n = int(np.prod(shape))
+        seg = lax.slice(arena, (off,), (off + n * dtype.itemsize,))
+        if dtype.itemsize > 1:
+            seg = lax.bitcast_convert_type(
+                seg.reshape(n, dtype.itemsize), _JDT[dt])
+        elif dt == "int8":
+            seg = lax.bitcast_convert_type(seg, jnp.int8)
+        p[k] = seg.astype(I32).reshape(shape)
     return p
 
 
@@ -1321,9 +1590,13 @@ class JaxBackend:
         self.refplanes = {}       # DPB slot -> (luma4, chroma) device arrays
 
     def reconstruct(self, planes, slot, store):
-        p = planes_to_jax(planes)
+        arena, layout = pack_planes(planes)
+        # level compression only pays off for small buckets; the sheared
+        # scan's flat cost beats big gather/scatter level steps
         itab = intra_level_tables(np.asarray(planes.mb_flags),
                                   planes.mb_w, planes.mb_h)
+        if itab is not None and itab[0].shape[1] > 128:
+            itab = None
         if itab is not None:
             itab = tuple(jnp.asarray(t) for t in itab)
         self.sm4 = jnp.asarray(np.asarray(planes.sm4).astype(np.int32))
@@ -1345,13 +1618,17 @@ class JaxBackend:
             smap = np.zeros(32, np.int32)
             for i, s in enumerate(slots):
                 smap[s] = i
-            y, cb, cr = decode_frame_inter_jit(
-                p, self.sm4, self.sm8, stackL, stackC, jnp.asarray(smap),
-                planes.mb_w, planes.mb_h, itab,
-                bool((np.asarray(planes.refslot)[..., 1] >= 0).any()))
+            y, cb, cr = decode_frame_inter_arena(
+                arena, self.sm4, self.sm8, stackL, stackC,
+                jnp.asarray(smap), itab, layout=layout,
+                mbW=planes.mb_w, mbH=planes.mb_h,
+                has_b=bool((np.asarray(planes.refslot)[..., 1] >= 0)
+                           .any()))
         else:
-            y, cb, cr = decode_frame_jit(p, self.sm4, self.sm8,
-                                         planes.mb_w, planes.mb_h, itab)
+            y, cb, cr = decode_frame_arena(arena, self.sm4, self.sm8,
+                                           itab, layout=layout,
+                                           mbW=planes.mb_w,
+                                           mbH=planes.mb_h)
         self.refplanes[slot] = make_ref_planes(y, cb, cr)
         # device arrays are returned as-is: dispatch stays asynchronous and
         # the host parses the next slice while the chip reconstructs
@@ -1447,13 +1724,16 @@ def _mc_luma_list(stackL, sidx, mvx, mvy, gx4, gy4):
     phase = (mvy & 3) * 4 + (mvx & 3)
     px = jnp.clip(px + PADL, 0, pw - 6)
     py = jnp.clip(py + PADL, 0, ph - 6)
-    off = jnp.arange(4, dtype=I32)
-    rows = py[..., None, None] + off[None, None, :, None]
-    cols = px[..., None, None] + off[None, None, None, :]
-    s = jnp.broadcast_to(sidx[..., None, None], rows.shape)
-    pidx = jnp.broadcast_to(phase[..., None, None], rows.shape)
-    v = stackL[s, pidx, rows, cols].astype(jnp.int32)    # [BH,BW,4,4]
-    BH, BW = v.shape[0], v.shape[1]
+    BH, BW = px.shape
+    # one slice-gather start per 4x4 cell (measured ~1.6x faster on TPU
+    # than per-pixel advanced indexing)
+    starts = jnp.stack([sidx, phase, py, px], -1).reshape(-1, 4)
+    dn = lax.GatherDimensionNumbers(offset_dims=(1, 2, 3, 4),
+                                    collapsed_slice_dims=(),
+                                    start_index_map=(0, 1, 2, 3))
+    v = lax.gather(stackL, starts, dn, slice_sizes=(1, 1, 4, 4),
+                   mode=lax.GatherScatterMode.CLIP)
+    v = v.reshape(BH, BW, 4, 4).astype(jnp.int32)
     return v.transpose(0, 2, 1, 3).reshape(BH * 4, BW * 4)
 
 
@@ -1467,21 +1747,27 @@ def _mc_chroma_list(stackC, sidx, mvx, mvy, gx2, gy2):
     dy = (mvy & 7)[..., None, None]
     px = jnp.clip(px + PADC, 0, pwc - 4)
     py = jnp.clip(py + PADC, 0, phc - 4)
-    off = jnp.arange(2, dtype=I32)
+    BH, BW = px.shape
+    # one 3x3x{cb,cr} slice-gather per 2x2 cell replaces 8 point gathers
+    starts = jnp.stack([sidx, py, px], -1).reshape(-1, 3)
+    dn = lax.GatherDimensionNumbers(offset_dims=(1, 2, 3),
+                                    collapsed_slice_dims=(0,),
+                                    start_index_map=(0, 2, 3))
+    w = lax.gather(stackC, starts, dn, slice_sizes=(1, 2, 3, 3),
+                   mode=lax.GatherScatterMode.CLIP)
+    w = w.reshape(BH, BW, 2, 3, 3).astype(jnp.int32)
+    dx = dx[..., None]
+    dy = dy[..., None]
+    A = w[..., 0:2, 0:2]
+    B = w[..., 0:2, 1:3]
+    Cc = w[..., 1:3, 0:2]
+    D = w[..., 1:3, 1:3]
+    v = ((8 - dx) * (8 - dy) * A + dx * (8 - dy) * B
+         + (8 - dx) * dy * Cc + dx * dy * D + 32) >> 6   # [BH,BW,2,2,2]
     outs = []
     for comp in (0, 1):
-        rows = py[..., None, None] + off[None, None, :, None]
-        cols = px[..., None, None] + off[None, None, None, :]
-        s = sidx[..., None, None] * jnp.ones((1, 1, 2, 2), I32)
-        c = jnp.full((1, 1, 2, 2), comp, I32) * jnp.ones_like(s)
-        A = stackC[s, c, rows, cols].astype(jnp.int32)
-        B = stackC[s, c, rows, cols + 1].astype(jnp.int32)
-        Cc = stackC[s, c, rows + 1, cols].astype(jnp.int32)
-        D = stackC[s, c, rows + 1, cols + 1].astype(jnp.int32)
-        v = ((8 - dx) * (8 - dy) * A + dx * (8 - dy) * B
-             + (8 - dx) * dy * Cc + dx * dy * D + 32) >> 6
-        BH, BW = v.shape[0], v.shape[1]
-        outs.append(v.transpose(0, 2, 1, 3).reshape(BH * 2, BW * 2))
+        outs.append(v[:, :, comp].transpose(0, 2, 1, 3)
+                    .reshape(BH * 2, BW * 2))
     return outs
 
 
@@ -1569,19 +1855,5 @@ def decode_frame_inter_jit(p, sm4, sm8, stackL, stackC, slot_map, mbW, mbH,
                            itab=None, has_b=True):
     """Full device pixel path for a frame with inter macroblocks."""
     p = _cast_planes(p)
-    norm4 = jnp.asarray(_o.NORM_ADJUST_4x4.reshape(6, 16))
-    norm8 = jnp.asarray(_o.NORM_ADJUST_8x8.reshape(6, 64))
-    res_y, res_cb, res_cr = residual_frame(p, sm4, sm8, norm4, norm8)
-    pred_y, pred_cb, pred_cr, mask_y, mask_c = mc_frame(
-        p, stackL, stackC, slot_map, has_b)
-    y = jnp.where(mask_y, jnp.clip(pred_y + res_y, 0, 255), 0)
-    cb = jnp.where(mask_c, jnp.clip(pred_cb + res_cb, 0, 255), 0)
-    cr = jnp.where(mask_c, jnp.clip(pred_cr + res_cr, 0, 255), 0)
-    if itab is not None:
-        y, cb, cr = intra_scan(y, cb, cr, res_y, res_cb, res_cr, p, itab)
-    else:
-        y, cb, cr = intra_scan_sheared(y, cb, cr, res_y, res_cb, res_cr,
-                                       p, mbW, mbH)
-    bs_v, bs_h = deblock_bs(p)
-    y, cb, cr = deblock_scan(y, cb, cr, p, bs_v, bs_h, mbW, mbH)
-    return y.astype(jnp.uint8), cb.astype(jnp.uint8), cr.astype(jnp.uint8)
+    return _decode_frame_impl(p, sm4, sm8, mbW, mbH, itab,
+                              mc=(stackL, stackC, slot_map, has_b))
