@@ -27,6 +27,60 @@ static int vlc_match(BitReader &gb, const int16_t *lens, const int16_t *vals,
 	}
 	return -1;
 }
+
+// Direct-lookup VLC decode: lut[w] = (sym+1) | len<<8 over a peeked
+// window (the linear scans above were ~30% of host parse time; kept as
+// the build-time reference).
+template <typename L, typename V>
+static void build_vlc_lut(uint16_t *lut, int win_bits, const L *lens,
+                          const V *vals, int n) {
+	memset(lut, 0, sizeof(uint16_t) << win_bits);
+	for (int s = 0; s < n; s++) {
+		int len = (int)lens[s];
+		if (len <= 0 || len > win_bits)
+			continue;
+		uint32_t lo = (uint32_t)vals[s] << (win_bits - len);
+		uint32_t hi = lo + (1u << (win_bits - len));
+		for (uint32_t w = lo; w < hi; w++)
+			lut[w] = (uint16_t)((s + 1) | len << 8);
+	}
+}
+
+static inline int vlc_lut16(BitReader &gb, const uint16_t *lut) {
+	uint16_t e = lut[gb.peek(16)];
+	if (!e)
+		return -1;
+	gb.u(e >> 8);
+	return (e & 255) - 1;
+}
+
+static inline int vlc_lut9(BitReader &gb, const uint16_t *lut) {
+	uint16_t e = lut[gb.peek(9)];
+	if (!e)
+		return -1;
+	gb.u(e >> 8);
+	return (e & 255) - 1;
+}
+
+static uint16_t g_ct_lut[4][1 << 16];          // coeff_token per class
+static uint16_t g_tz4_lut[15][1 << 9];         // total_zeros 4x4
+static uint16_t g_tz2_lut[3][1 << 9];          // total_zeros chroma DC 2x2
+static uint16_t g_rb_lut[7][1 << 9];           // run_before zl 1..7
+static bool g_luts_built = [] {
+	for (int c = 0; c < 4; c++)
+		build_vlc_lut(g_ct_lut[c], 16, kCoeffTokenLen[c],
+		              kCoeffTokenVal[c], c == 3 ? 20 : 68);
+	for (int t = 0; t < 15; t++)
+		build_vlc_lut(g_tz4_lut[t], 9, kTotalZeros4x4Len[t],
+		              kTotalZeros4x4Val[t], 16);
+	for (int t = 0; t < 3; t++)
+		build_vlc_lut(g_tz2_lut[t], 9, kTotalZeros2x2Len[t],
+		              kTotalZeros2x2Val[t], 4);
+	for (int t = 0; t < 7; t++)
+		build_vlc_lut(g_rb_lut[t], 9, kRunBeforeLen[t],
+		              kRunBeforeVal[t], 8);
+	return true;
+}();
 template <typename L, typename V>
 static int vlc_match8(BitReader &gb, const L *lens, const V *vals, int n) {
 	uint32_t window = gb.peek(24);
@@ -51,16 +105,14 @@ int parse_coeff_token(BitReader &gb, int nC) {
 		return (int)v + 4;                 // TotalCoeff<<2|T1 = value+4
 	}
 	int cls = nC < 0 ? 3 : nC < 2 ? 0 : nC < 4 ? 1 : 2;
-	int nsym = cls == 3 ? 20 : 68;         // chroma DC: TotalCoeff<=4
-	int s = vlc_match(gb, kCoeffTokenLen[cls], kCoeffTokenVal[cls], nsym);
+	int s = vlc_lut16(gb, g_ct_lut[cls]);
 	return s < 0 ? 0 : s;
 }
 
 // total_zeros (§9.2.3): tables per TotalCoeff and block size.
 static int parse_total_zeros(BitReader &gb, int total_coeff, int max_coeff) {
 	if (max_coeff == 4) {     // chroma DC 2x2
-		int s = vlc_match8(gb, kTotalZeros2x2Len[total_coeff - 1],
-		                   kTotalZeros2x2Val[total_coeff - 1], 4);
+		int s = vlc_lut9(gb, g_tz2_lut[total_coeff - 1]);
 		return s < 0 ? 0 : s;
 	}
 	if (max_coeff == 8) {     // chroma DC 2x4 (4:2:2)
@@ -68,8 +120,7 @@ static int parse_total_zeros(BitReader &gb, int total_coeff, int max_coeff) {
 		                   kTotalZeros2x4Val[total_coeff - 1], 8);
 		return s < 0 ? 0 : s;
 	}
-	int s = vlc_match8(gb, kTotalZeros4x4Len[total_coeff - 1],
-	                   kTotalZeros4x4Val[total_coeff - 1], 16);
+	int s = vlc_lut9(gb, g_tz4_lut[total_coeff - 1]);
 	return s < 0 ? 0 : s;
 }
 
@@ -88,7 +139,7 @@ static int parse_run_before(BitReader &gb, int zeros_left) {
 			return run <= zeros_left ? run : zeros_left;
 		}
 	}
-	int s = vlc_match8(gb, kRunBeforeLen[zl - 1], kRunBeforeVal[zl - 1], 8);
+	int s = vlc_lut9(gb, g_rb_lut[zl - 1]);
 	return s < 0 ? 0 : (s <= zeros_left ? s : zeros_left);
 }
 

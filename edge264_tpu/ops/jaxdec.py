@@ -200,28 +200,25 @@ def residual_frame(p, sm4, sm8, norm4, norm8, has_t8=True):
     def expand4(a):
         return jnp.repeat(jnp.repeat(a, 4, 0), 4, 1)
 
-    def dequant_planes(coef_pl, ls_mb, s_mb, rep, shift_base):
-        """coef_pl: list of [BH,BW] planes; ls_mb [H,W,K] per-mb scales;
-        s_mb [H,W] qp//6.  rep: mb->block expansion factor."""
-        K = len(coef_pl)
-        s = jnp.repeat(jnp.repeat(s_mb, rep, 0), rep, 1)
-        sh_hi = jnp.maximum(s - shift_base, 0)
-        sh_lo_add = 1 << jnp.maximum(shift_base - 1 - s, 0)
-        sh_lo = jnp.maximum(shift_base - s, 0)
-        hi_mask = s >= shift_base
-        out = []
-        for k in range(K):
-            lsk = jnp.repeat(jnp.repeat(ls_mb[..., k], rep, 0), rep, 1)
-            t = coef_pl[k] * lsk
-            out.append(jnp.where(hi_mask, t << sh_hi,
-                                 (t + sh_lo_add) >> sh_lo))
-        return out
+    def dequant_planes(coef, ls_mb, s_mb, rep, shift_base):
+        """coef [K,BH,BW] stacked planes; ls_mb [H,W,K] per-mb scales;
+        s_mb [H,W] qp//6.  rep: mb->block expansion.  One stacked pass
+        (a per-plane loop tripled XLA's op count and compile time)."""
+        s = jnp.repeat(jnp.repeat(s_mb, rep, 0), rep, 1)[None]
+        ls = jnp.repeat(jnp.repeat(ls_mb.transpose(2, 0, 1), rep, 1),
+                        rep, 2)
+        t = coef * ls
+        hi = t << jnp.maximum(s - shift_base, 0)
+        lo = (t + (1 << jnp.maximum(shift_base - 1 - s, 0))) \
+            >> jnp.maximum(shift_base - s, 0)
+        d = jnp.where(s >= shift_base, hi, lo)
+        return [d[k] for k in range(coef.shape[0])]
 
     # ---- luma 4x4 ---------------------------------------------------
     ls4_mb = jnp.where(intra[..., None], sm4[0][None, None, :],
                        sm4[3][None, None, :]) * _sel_norm(qpy % 6, norm4)
     Cy = p["coef_y"].transpose(2, 0, 1)               # [16, 4H, 4W]
-    d4 = dequant_planes([Cy[k] for k in range(16)], ls4_mb, s_mb, 4, 4)
+    d4 = dequant_planes(Cy, ls4_mb, s_mb, 4, 4)
 
     # Intra16x16 DC hadamard (§8.5.10)
     c = p["coef_y_dc"].reshape(H, W, 4, 4)
@@ -247,8 +244,7 @@ def residual_frame(p, sm4, sm8, norm4, norm8, has_t8=True):
                            sm8[1][None, None, :]) * _sel_norm(qpy % 6,
                                                               norm8)
         C8 = p["coef_y8"].transpose(2, 0, 1)          # [64, 2H, 2W]
-        d8 = dequant_planes([C8[k] for k in range(64)], ls8_mb, s_mb,
-                            2, 6)
+        d8 = dequant_planes(C8, ls8_mb, s_mb, 2, 6)
         r8 = _idct8_planes(d8)
         res8 = _planes_to_pixels(r8, 8, 2 * H, 2 * W)
         t8pix = jnp.repeat(jnp.repeat(t8, 16, 0), 16, 1)
@@ -262,8 +258,7 @@ def residual_frame(p, sm4, sm8, norm4, norm8, has_t8=True):
                            sm4[comp + 3][None, None, :]) \
             * _sel_norm(qpc % 6, norm4)
         Cc = coef.transpose(2, 0, 1)                  # [16, 2H, 2W]
-        dc4 = dequant_planes([Cc[k] for k in range(16)], lsc_mb,
-                             qpc // 6, 2, 4)
+        dc4 = dequant_planes(Cc, lsc_mb, qpc // 6, 2, 4)
         cdc = p["coef_c_dc"][:, :, comp - 1].reshape(H, W, 2, 2)
         c00, c01 = cdc[..., 0, 0], cdc[..., 0, 1]
         c10, c11 = cdc[..., 1, 0], cdc[..., 1, 1]
@@ -1437,8 +1432,9 @@ def _decode_frame_impl(p, sm4, sm8, mbW, mbH, itab, mc=None,
 
 @functools.partial(jax.jit,
                    static_argnames=("layout", "mbW", "mbH", "has_b"))
-def _recon_arena(arena, sm4, sm8, itab=None, mc_in=None, *, layout,
-                 mbW, mbH, has_b=True):
+def _dense_arena(arena, sm4, sm8, mc_in=None, *, layout, mbW, mbH,
+                 has_b=True):
+    """Residual + (optional) MC: the dense stages, one program."""
     p = _unpack_planes(arena, layout)
     present = {k for k, _, _, off in layout if off >= 0}
     has_t8 = "coef_y8" in present
@@ -1457,13 +1453,29 @@ def _recon_arena(arena, sm4, sm8, itab=None, mc_in=None, *, layout,
         y = jnp.zeros((16 * mbH, 16 * mbW), I32)
         cb = jnp.zeros((8 * mbH, 8 * mbW), I32)
         cr = jnp.zeros((8 * mbH, 8 * mbW), I32)
+    return y, cb, cr, res_y, res_cb, res_cr
+
+
+@functools.partial(jax.jit, static_argnames=("layout", "mbW", "mbH"))
+def _intra_arena(arena, y, cb, cr, res_y, res_cb, res_cr, itab=None, *,
+                 layout, mbW, mbH):
+    """Intra reconstruction wavefront, one program."""
+    p = _unpack_planes(arena, layout)
+    present = {k for k, _, _, off in layout if off >= 0}
     if itab is not None:
-        y, cb, cr = intra_scan(y, cb, cr, res_y, res_cb, res_cr, p, itab)
-    else:
-        y, cb, cr = intra_scan_sheared(y, cb, cr, res_y, res_cb, res_cr,
-                                       p, mbW, mbH, has_t8,
-                                       "pcm_y" in present)
-    return y, cb, cr
+        return intra_scan(y, cb, cr, res_y, res_cb, res_cr, p, itab)
+    return intra_scan_sheared(y, cb, cr, res_y, res_cb, res_cr, p,
+                              mbW, mbH, "coef_y8" in present,
+                              "pcm_y" in present)
+
+
+def _recon_arena(arena, sm4, sm8, itab=None, mc_in=None, *, layout,
+                 mbW, mbH, has_b=True):
+    y, cb, cr, res_y, res_cb, res_cr = _dense_arena(
+        arena, sm4, sm8, mc_in, layout=layout, mbW=mbW, mbH=mbH,
+        has_b=has_b)
+    return _intra_arena(arena, y, cb, cr, res_y, res_cb, res_cr, itab,
+                        layout=layout, mbW=mbW, mbH=mbH)
 
 
 @functools.partial(jax.jit, static_argnames=("layout", "mbW", "mbH"))
