@@ -78,7 +78,9 @@ class DecoderCore:
         self._errors = {}         # slot -> mb_errors plane (or None)
         self._outq = []           # decoded Frames in output order
         self._fmt = None
-        if backend == "numpy":
+        if not isinstance(backend, str):
+            self._backend = backend       # custom backend instance
+        elif backend == "numpy":
             self._backend = NumpyBackend()
         elif backend == "jax":
             from .ops.jaxdec import JaxBackend

@@ -58,6 +58,7 @@ struct BitReader {
 	}
 	// total bits consumed so far
 	int64_t consumed() const { return (int64_t)pos * 8 - cnt; }
+	int64_t remaining_bits() const { return (int64_t)size * 8 - consumed(); }
 	uint32_t u(int n) {           // read n bits (0..32)
 		if (n == 0) return 0;
 		uint32_t v = (uint32_t)(cache >> (64 - n));
@@ -385,6 +386,7 @@ struct Decoder {
 
 	// ---- internals ----
 	int parse_sps(bool subset);
+	int parse_sei();
 	int parse_pps();
 	int parse_slice();
 	void parse_scaling_lists(uint8_t ws4[6][16], uint8_t ws8[6][64],

@@ -239,6 +239,57 @@ static void parse_hrd(Decoder &d) {
 	d.gb.u(20);                      // the four delay lengths
 }
 
+// SEI messages (§7.3.2.3 / D.1) — log-variant parity with the
+// reference's edge264_sei.c (buffering period, pic timing, pan-scan);
+// payloads only affect the YAML log, never the decode.
+int Decoder::parse_sei() {
+	while (gb.remaining_bits() >= 16) {
+		int type = 0, size = 0, b;
+		do { b = gb.u(8); type += b; } while (b == 255);
+		do { b = gb.u(8); size += b; } while (b == 255);
+		int64_t end = gb.consumed() + (int64_t)size * 8;
+		switch (type) {
+		case 2: {                // pan_scan_rect (D.1.4)
+			unsigned id = gb.ue(255);
+			int cancel = gb.u1();
+			logf("  pan_scan_rect: {id: %u, cancel: %d", id, cancel);
+			if (!cancel) {
+				int cnt = gb.ue(2) + 1;
+				for (int i = 0; i < cnt; i++) {
+					int l = gb.se(-(1 << 16), 1 << 16);
+					int r = gb.se(-(1 << 16), 1 << 16);
+					int t = gb.se(-(1 << 16), 1 << 16);
+					int bo = gb.se(-(1 << 16), 1 << 16);
+					logf(", rect%d: [%d, %d, %d, %d]", i, l, r, t, bo);
+				}
+				gb.ue(1 << 16);  // repetition_period
+			}
+			logf("}\n");
+			break;
+		}
+		case 6: {                // recovery_point (D.1.8)
+			unsigned cnt = gb.ue(1 << 16);
+			int exact = gb.u1();
+			int broken = gb.u1();
+			gb.u(2);             // changing_slice_group_idc
+			logf("  recovery_point: {frame_cnt: %u, exact_match: %d, "
+			     "broken_link: %d}\n", cnt, exact, broken);
+			break;
+		}
+		default:
+			logf("  sei: {type: %d, size: %d}\n", type, size);
+			break;
+		}
+		// skip to declared payload end regardless of what we read
+		while (gb.consumed() < end && gb.remaining_bits() > 0)
+			gb.u1();
+		// stop at rbsp trailing bits
+		if (gb.remaining_bits() < 16)
+			break;
+	}
+	return 0;
+}
+
 static void parse_vui(Decoder &d, SPS &s) {
 	if (d.gb.u1()) {                 // aspect_ratio_info_present
 		if (d.gb.u(8) == 255)
@@ -604,7 +655,10 @@ int Decoder::decode_nal(const uint8_t *buf, size_t len) {
 	case 8:
 		ret = parse_pps();
 		break;
-	case 6: case 9: case 11: case 12:
+	case 6:
+		ret = parse_sei();
+		break;
+	case 9: case 11: case 12:
 		ret = 0;                 // ignored NALs (edge264.c:165)
 		break;
 	case 14:                     // MVC prefix NAL: view info for the base

@@ -1,0 +1,37 @@
+"""GOP-parallel decode equals serial decode frame-for-frame."""
+
+import numpy as np
+
+from edge264_tpu.api import decode_annexb
+from edge264_tpu.parallel.gop import decode_annexb_parallel, split_gops
+from tools.avcgen import gen_random_ipp_stream
+
+
+def _multi_gop_stream():
+    """3 closed GOPs = 3 concatenated IDR-led IPP streams (shared
+    parameter sets are re-sent; split_gops handles both forms)."""
+    parts = [gen_random_ipp_stream(6, 4, n_frames=3, seed=s, density=0.2,
+                                   skip_prob=0.3, intra_prob=0.1,
+                                   mv_range=8, nrefs=1)
+             for s in (11, 22, 33)]
+    return b"".join(parts)
+
+
+def test_split_gops():
+    data = _multi_gop_stream()
+    gops = split_gops(data)
+    assert len(gops) == 3
+    single = gen_random_ipp_stream(6, 4, n_frames=2, seed=1)
+    assert len(split_gops(single)) == 1
+
+
+def test_parallel_matches_serial():
+    data = _multi_gop_stream()
+    serial = list(decode_annexb(data, backend="numpy"))
+    par = list(decode_annexb_parallel(data, backend="numpy",
+                                      n_workers=3))
+    assert len(par) == len(serial) == 9
+    for a, b in zip(serial, par):
+        assert np.array_equal(np.asarray(a.y), np.asarray(b.y))
+        assert np.array_equal(np.asarray(a.cb), np.asarray(b.cb))
+        assert np.array_equal(np.asarray(a.cr), np.asarray(b.cr))
