@@ -46,8 +46,11 @@ def main():
         n = 0
         for f in decode_annexb(data, backend="jax"):
             n += int(f.y[0, 0]) >= 0      # force materialization
+            print(f"  frame {n} at {time.perf_counter() - t0:.1f}s",
+                  file=sys.stderr, flush=True)
         return n, time.perf_counter() - t0
 
+    print("warmup...", file=sys.stderr, flush=True)
     run()                     # warmup (compiles all shapes)
     best = None
     for _ in range(3):

@@ -34,6 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .deblock_oracle import ALPHA as _ALPHA, BETA as _BETA, TC0 as _TC0
+from .jaxdec import _shear_tiles, _unshear_tiles
 
 I32 = jnp.int32
 DBF_LEFT, DBF_TOP, DBF_INNER = 1, 2, 4
@@ -256,8 +257,8 @@ def _kernel(xy, xcb, xcr, pv, ph, pcv, pch,
     # packed params: luma [1,20,L] = (bs, alpha, beta, tc0, act) x 4
     # edges; chroma [1,20,Lc] = cb(bs,al,be,tc,act)x2e + cr(...)x2e
     w = pl.program_id(0)
-    L = xy.shape[-1]
-    Lc = xcb.shape[-1]
+    L = xy.shape[1] * 16          # [1, mbH, 16, 16] tile blocks
+    Lc = xcb.shape[1] * 8
     # all per-line data is kept as [1, L] 2-D rows: 1-D vectors with
     # sublane offsets crash Mosaic's layout inference
     PV, PH, PCV, PCH = pv[0], ph[0], pcv[0], pch[0]
@@ -278,7 +279,9 @@ def _kernel(xy, xcb, xcr, pv, ph, pcv, pch,
         Bcr[...] = jnp.zeros_like(Bcr)
 
     # ---- luma V ------------------------------------------------------
-    x = xy[0]
+    # tiles arrive as [mbH, ts, ts]; convert to col-major [ts, mbH*ts]
+    # via sublane-merge + 2D transpose (the only Mosaic-supported way)
+    x = xy[0].reshape(L, 16).T
     Av = A[...]
     W = [Av[12 + i:13 + i] for i in range(4)] \
         + [x[i:i + 1] for i in range(16)]
@@ -291,7 +294,9 @@ def _kernel(xy, xcb, xcr, pv, ph, pcv, pch,
 
     # ---- chroma V ----------------------------------------------------
     crs = []
-    for comp, (xc, Ac) in enumerate(((xcb[0], Acb), (xcr[0], Acr))):
+    for comp, (xc, Ac) in enumerate(
+            ((xcb[0].reshape(Lc, 8).T, Acb),
+             (xcr[0].reshape(Lc, 8).T, Acr))):
         Acv = Ac[...]
         Wc = [Acv[6:7], Acv[7:8]] + [xc[i:i + 1] for i in range(8)]
         for i, e in enumerate((0, 2)):
@@ -314,7 +319,8 @@ def _kernel(xy, xcb, xcr, pv, ph, pcv, pch,
         V[4 * e + 1:4 * e + 7] = new
     b_tail = [_unshift_merge(V[1 + i], Bv[13 + i:14 + i], 16, L)
               for i in range(3)]
-    oy[0] = jnp.concatenate([Bv[:13]] + b_tail, axis=0)
+    b_rm = jnp.concatenate([Bv[:13]] + b_tail, axis=0)    # [16, L]
+    oy[0] = b_rm.T.reshape(L // 16, 16, 16).transpose(0, 2, 1)
     # rotate the window: B <- A (V-halo final; its H-halo arrives next
     # step), A <- this wave's fully filtered tiles, back in col-major
     Bm[...] = _t_cm_rm(A[...], 16, L // 16)
@@ -333,7 +339,8 @@ def _kernel(xy, xcb, xcr, pv, ph, pcv, pch,
             Vc[2 * e + 1:2 * e + 3] = new
         c_tail = [_unshift_merge(Vc[i], Bcv[6 + i:7 + i], 8, Lc)
                   for i in range(2)]
-        oc[0] = jnp.concatenate([Bcv[:6]] + c_tail, axis=0)
+        c_rm = jnp.concatenate([Bcv[:6]] + c_tail, axis=0)
+        oc[0] = c_rm.T.reshape(Lc // 8, 8, 8).transpose(0, 2, 1)
         Bc[...] = _t_cm_rm(Ac[...], 8, Lc // 8)
         Ac[...] = _t_cm_rm(jnp.stack(Vc[2:10]), 8, Lc // 8)
 
@@ -344,9 +351,9 @@ def deblock_pallas(y, cb, cr, p, bs_v, bs_h, mbW, mbH, interpret=False):
     T = mbW + 2 * mbH - 2 + 2
     L = mbH * 16
     Lc = mbH * 8
-    xy = _shear_cm(y, mbW, mbH, 16, 2)
-    xcb = _shear_cm(cb, mbW, mbH, 8, 2)
-    xcr = _shear_cm(cr, mbW, mbH, 8, 2)
+    xy = _shear_tiles(y, mbW, mbH, 16, extra=2)
+    xcb = _shear_tiles(cb, mbW, mbH, 8, extra=2)
+    xcr = _shear_tiles(cr, mbW, mbH, 8, extra=2)
     pv, ph, pcv, pch = _edge_params(p, bs_v, bs_h, mbW, mbH, 2)
     ins = [xy, xcb, xcr, pv, ph, pcv, pch]
 
@@ -355,9 +362,9 @@ def deblock_pallas(y, cb, cr, p, bs_v, bs_h, mbW, mbH, interpret=False):
         nd = len(shape)
         return pl.BlockSpec(blk, lambda w, nd=nd: (w,) + (0,) * (nd - 1))
 
-    out_shapes = (jax.ShapeDtypeStruct((T, 16, L), jnp.int32),
-                  jax.ShapeDtypeStruct((T, 8, Lc), jnp.int32),
-                  jax.ShapeDtypeStruct((T, 8, Lc), jnp.int32))
+    out_shapes = (jax.ShapeDtypeStruct((T, mbH, 16, 16), jnp.int32),
+                  jax.ShapeDtypeStruct((T, mbH, 8, 8), jnp.int32),
+                  jax.ShapeDtypeStruct((T, mbH, 8, 8), jnp.int32))
     ey, ecb, ecr = pl.pallas_call(
         _kernel,
         grid=(T,),
@@ -374,7 +381,7 @@ def deblock_pallas(y, cb, cr, p, bs_v, bs_h, mbW, mbH, interpret=False):
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(*ins)
-    y = _unshear_rm(ey, mbW, mbH, 16, 2)
-    cb = _unshear_rm(ecb, mbW, mbH, 8, 2)
-    cr = _unshear_rm(ecr, mbW, mbH, 8, 2)
+    y = _unshear_tiles(ey, mbW, mbH, 16, shift=2)
+    cb = _unshear_tiles(ecb, mbW, mbH, 8, shift=2)
+    cr = _unshear_tiles(ecr, mbW, mbH, 8, shift=2)
     return y, cb, cr

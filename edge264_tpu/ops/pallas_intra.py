@@ -1,0 +1,369 @@
+"""Pallas TPU kernel for the intra-prediction wavefront.
+
+Mirrors ops/pallas_deblock.py's architecture: ONE Mosaic kernel runs the
+whole macroblock wavefront (sequential grid over waves w = mb_x + 2*mb_y)
+with the rolling neighbour tiles [waves w-1, w-2, w-3] in VMEM scratch.
+Per wave it reconstructs all intra macroblocks: 16 quad-order I4x4
+substeps, 4 Intra8x8 substeps (with the §8.3.2.2.1 reference lowpass),
+I16x16, I_PCM and chroma — exactly the schedule of
+jaxdec.intra_scan_sheared, which remains the XLA reference/CPU path.
+
+Directional prediction runs as small matmuls against the probe-derived
+weight matrices (jaxdec._mk_dir_w -> MXU), DC/plane modes as explicit
+arithmetic.  All mode/flag/residual inputs arrive pre-sheared per wave;
+tiles convert between [mbH, ts, ts] blocks and the kernel's working
+layouts via the Mosaic-supported sublane-merge + 2D-transpose pattern.
+
+Reference behavior: edge264_intra.c (mode kernels), edge264_slice.c
+(decode order).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import jaxdec as J
+from .jaxdec import (_shear_tiles, _unshear_tiles, _shear_plane,
+                     _W4, _W8, _W16, _WCH, _WF8, BLK4_X, BLK4_Y,
+                     _I16_HP, _I16_HM, _I16_VP, _I16_VM,
+                     _CH_HP, _CH_HM, _CH_VP, _CH_VM,
+                     MBF_INTRA, MBF_I16x16, MBF_IPCM, MBF_T8x8)
+
+I32 = jnp.int32
+F32 = jnp.float32
+
+
+def _dir_mm(nb, Wt, mode, nm, npx):
+    """nb [mbH, ntap] i32; Wt [ntap+1, nm*npx] f32 (pre-transposed,
+    passed as a kernel input -- Mosaic kernels cannot capture constants);
+    mode [mbH, 1] -> [mbH, npx] directional prediction (values exact in
+    f32; see jaxdec._mk_dir_w)."""
+    mbH = nb.shape[0]
+    nb1 = jnp.concatenate([nb, jnp.ones((mbH, 1), I32)],
+                          axis=1).astype(F32)
+    preds = jax.lax.dot_general(
+        nb1, Wt, (((1,), (0,)), ((), ())), preferred_element_type=F32)
+    preds = preds.reshape(mbH, nm, npx)
+    oh = (mode == lax.broadcasted_iota(I32, (1, nm), 1)).astype(F32)
+    sel = jax.lax.dot_general(
+        oh.reshape(mbH, 1, nm), preds, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=F32)
+    return sel.reshape(mbH, npx).astype(I32) >> 2
+
+
+def _plane_sum(nb, idx_p, idx_m, n):
+    s = 0
+    for i in range(n):
+        a, b = int(idx_p[i]), int(idx_m[i])
+        s = s + (i + 1) * (nb[:, a:a + 1] - nb[:, b:b + 1])
+    return s[:, 0]
+
+
+def _kernel(fl, i16m, chm, i4m, i8m, ry, rcb, rcr, xy, xcb, xcr,
+            pcy, pccb, pccr, val, w4, w8, w16, wch, wf8,
+            oy, ocb, ocr,
+            A, B, C, Ab, Bb, Cb_, Ar, Br, Cr_):
+    mbH = fl.shape[1]
+    w = pl.program_id(0)
+
+    @pl.when(w == 0)
+    def _init():
+        for s in (A, B, C, Ab, Bb, Cb_, Ar, Br, Cr_):
+            s[...] = jnp.zeros_like(s)
+
+    flags = fl[0]                              # [mbH, 1]
+    valv = val[0]
+    is_pcm = (flags & MBF_IPCM) > 0
+    is_i16 = (flags & MBF_I16x16) > 0
+    is_t8 = (flags & MBF_T8x8) > 0
+    is_intra = (flags & MBF_INTRA) > 0
+    is_i4 = is_intra & ~is_i16 & ~is_pcm & ~is_t8
+    is_i8 = is_intra & is_t8 & ~is_pcm
+
+    def shift_my(t):
+        """tile sublane shift: out[my] = t[my-1] (zero row in)."""
+        r = jnp.roll(t, 1, axis=0)
+        sub = lax.broadcasted_iota(I32, t.shape, 0)
+        return jnp.where(sub < 1, 0, r)
+
+    # working luma tile as [mbH, 16, 16] VALUES (ops use static slices
+    # over the trailing dims; rows/cols extracted as [mbH, n])
+    X = xy[0]
+    Av, Bs, Cs, As = A[...], shift_my(B[...]), shift_my(C[...]), \
+        shift_my(A[...])
+    ryv = ry[0]
+
+    # ---- I4x4: 16 quad-order substeps --------------------------------
+    for k in range(16):
+        bx, by = int(BLK4_X[k]), int(BLK4_Y[k])
+        r0, c0 = by * 4, bx * 4
+        m = i4m[0][:, by * 4 + bx][:, None]
+        mode = m & 15
+        aA, aB, aC = (m >> 4) & 1, (m >> 5) & 1, (m >> 6) & 1
+        if by == 0:
+            t4 = Bs[:, 15, c0:c0 + 4]
+            tr = As[:, 15, 0:4] if bx == 3 else Bs[:, 15, c0 + 4:c0 + 8]
+        else:
+            t4 = X[:, r0 - 1, c0:c0 + 4]
+            if bx == 3:
+                tr = jnp.broadcast_to(t4[:, 3:4], t4.shape)
+            else:
+                tr = X[:, r0 - 1, c0 + 4:c0 + 8]
+        t = jnp.concatenate([t4, jnp.where(aC > 0, tr, t4[:, 3:4])], 1)
+        l = Av[:, r0:r0 + 4, 15] if bx == 0 else X[:, r0:r0 + 4, c0 - 1]
+        if bx == 0 and by == 0:
+            tl = Cs[:, 15, 15:16]
+        elif by == 0:
+            tl = Bs[:, 15, c0 - 1:c0]
+        elif bx == 0:
+            tl = Av[:, r0 - 1, 15:16]
+        else:
+            tl = X[:, r0 - 1, c0 - 1:c0]
+        nb = jnp.concatenate([l[:, ::-1], tl, t], 1)
+        dirp = _dir_mm(nb, w4[...], mode, 9, 16)
+        sA = jnp.sum(l, axis=1, keepdims=True)
+        sB = jnp.sum(t[:, :4], axis=1, keepdims=True)
+        dc = jnp.where((aA & aB) > 0, (sA + sB + 4) >> 3,
+                       jnp.where(aA > 0, (sA + 2) >> 2,
+                                 jnp.where(aB > 0, (sB + 2) >> 2, 128)))
+        pred = jnp.where(mode == 2, dc, dirp)
+        res = ryv[:, r0:r0 + 4, c0:c0 + 4].reshape(mbH, 16)
+        recon = jnp.clip(pred + res, 0, 255).reshape(mbH, 4, 4)
+        act = (valv & is_i4)[:, :, None] > 0
+        X = jnp.concatenate(
+            [X[:, :r0],
+             jnp.concatenate(
+                 [X[:, r0:r0 + 4, :c0],
+                  jnp.where(act, recon, X[:, r0:r0 + 4, c0:c0 + 4]),
+                  X[:, r0:r0 + 4, c0 + 4:]], axis=2),
+             X[:, r0 + 4:]], axis=1)
+
+    # ---- Intra8x8: 4 quad-order substeps -----------------------------
+    for b in range(4):
+        bx8, by8 = b & 1, b >> 1
+        r0, c0 = by8 * 8, bx8 * 8
+        mm = i8m[0][:, by8 * 2 + bx8][:, None]
+        mode = mm & 15
+        aA, aB = (mm >> 4) & 1, (mm >> 5) & 1
+        aC, aD = (mm >> 6) & 1, (mm >> 7) & 1
+        if by8 == 0:
+            t8v = Bs[:, 15, c0:c0 + 8]
+            tr = As[:, 15, 0:8] if bx8 == 1 else Bs[:, 15, 8:16]
+        else:
+            t8v = X[:, 7, c0:c0 + 8]
+            if bx8 == 1:
+                tr = jnp.broadcast_to(t8v[:, 7:8], t8v.shape)
+            else:
+                tr = X[:, 7, 8:16]
+        t = jnp.concatenate([t8v, jnp.where(aC > 0, tr, t8v[:, 7:8])], 1)
+        l = Av[:, r0:r0 + 8, 15] if bx8 == 0 else X[:, r0:r0 + 8, 7]
+        if bx8 == 0 and by8 == 0:
+            tl = Cs[:, 15, 15:16]
+        elif by8 == 0:
+            tl = Bs[:, 15, 7:8]
+        elif bx8 == 0:
+            tl = Av[:, 7, 15:16]
+        else:
+            tl = X[:, 7, 7:8]
+        nb = jnp.concatenate([l[:, ::-1], tl, t], 1)
+        nb1 = jnp.concatenate([nb, jnp.ones((mbH, 1), I32)],
+                              axis=1).astype(F32)
+        nbf = jax.lax.dot_general(
+            nb1, wf8[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=F32).astype(I32) >> 2
+        l0, t0, t1, l1 = nb[:, 7:8], nb[:, 9:10], nb[:, 10:11], nb[:, 6:7]
+        tl0 = nb[:, 8:9]
+        t0f = jnp.where(aD > 0, (tl0 + 2 * t0 + t1 + 2) >> 2,
+                        (3 * t0 + t1 + 2) >> 2)
+        l0f = jnp.where(aD > 0, (tl0 + 2 * l0 + l1 + 2) >> 2,
+                        (3 * l0 + l1 + 2) >> 2)
+        tlf = jnp.where(
+            aD == 0, tl0,
+            jnp.where((aA & aB) > 0, (t0 + 2 * tl0 + l0 + 2) >> 2,
+                      jnp.where(aB > 0, (3 * tl0 + t0 + 2) >> 2,
+                                jnp.where(aA > 0,
+                                          (3 * tl0 + l0 + 2) >> 2,
+                                          tl0))))
+        nbf = jnp.concatenate(
+            [nbf[:, :7], l0f, tlf, t0f, nbf[:, 10:]], axis=1)
+        nbf = jnp.where(aB > 0, nbf,
+                        jnp.concatenate([nbf[:, :9], nb[:, 9:]], 1))
+        nbf = jnp.where(aA > 0, nbf,
+                        jnp.concatenate([nb[:, :8], nbf[:, 8:]], 1))
+        dirp = _dir_mm(nbf, w8[...], mode, 9, 64)
+        st = jnp.where(aB[:, 0] > 0, nbf[:, 9:17].sum(1), 0)[:, None]
+        sl = jnp.where(aA[:, 0] > 0, nbf[:, :8].sum(1), 0)[:, None]
+        dc = jnp.where((aA & aB) > 0, (st + sl + 8) >> 4,
+                       jnp.where(aA > 0, (sl + 4) >> 3,
+                                 jnp.where(aB > 0, (st + 4) >> 3, 128)))
+        pred = jnp.where(mode == 2, dc, dirp)
+        res = ryv[:, r0:r0 + 8, c0:c0 + 8].reshape(mbH, 64)
+        recon = jnp.clip(pred + res, 0, 255).reshape(mbH, 8, 8)
+        act = (valv & is_i8)[:, :, None] > 0
+        X = jnp.concatenate(
+            [X[:, :r0],
+             jnp.concatenate(
+                 [X[:, r0:r0 + 8, :c0],
+                  jnp.where(act, recon, X[:, r0:r0 + 8, c0:c0 + 8]),
+                  X[:, r0:r0 + 8, c0 + 8:]], axis=2),
+             X[:, r0 + 8:]], axis=1)
+
+    # ---- I16x16 ------------------------------------------------------
+    m = i16m[0]
+    mode = m & 3
+    aA, aB = (m >> 4) & 1, (m >> 5) & 1
+    t = jnp.where(aB > 0, Bs[:, 15, :], 0)
+    l = jnp.where(aA > 0, Av[:, :, 15], 0)
+    tl = Cs[:, 15, 15:16]
+    nb = jnp.concatenate([l[:, ::-1], tl, t], 1)
+    dirp = _dir_mm(nb, w16[...], jnp.clip(mode, 0, 1), 2, 256)
+    st = t.sum(1)[:, None]
+    sl = l.sum(1)[:, None]
+    dc = jnp.where((aA & aB) > 0, (st + sl + 16) >> 5,
+                   jnp.where(aA > 0, (sl + 8) >> 4,
+                             jnp.where(aB > 0, (st + 8) >> 4, 128)))
+    hs = _plane_sum(nb, _I16_HP, _I16_HM, 8)
+    vs = _plane_sum(nb, _I16_VP, _I16_VM, 8)
+    a_ = 16 * (nb[:, 0] + nb[:, 32])
+    b_ = (5 * hs + 32) >> 6
+    c_ = (5 * vs + 32) >> 6
+    pix = lax.broadcasted_iota(I32, (1, 256), 1)
+    xx = pix % 16
+    yy = pix // 16
+    plane = jnp.clip(
+        (a_[:, None] + b_[:, None] * (xx - 7)
+         + c_[:, None] * (yy - 7) + 16) >> 5, 0, 255)
+    pred = jnp.where(mode == 2, dc,
+                     jnp.where(mode == 3, plane, dirp))
+    recon = jnp.clip(pred + ryv.reshape(mbH, 256), 0,
+                     255).reshape(mbH, 16, 16)
+    X = jnp.where(((valv & is_i16) > 0)[:, :, None], recon, X)
+    X = jnp.where(((valv & is_pcm) > 0)[:, :, None], pcy[0], X)
+    oy[0] = X
+    C[...] = B[...]
+    B[...] = A[...]
+    A[...] = X
+
+    # ---- chroma ------------------------------------------------------
+    m = chm[0]
+    mode = m & 3
+    aA, aB = (m >> 4) & 1, (m >> 5) & 1
+    pix8 = lax.broadcasted_iota(I32, (1, 64), 1)
+    xx8 = pix8 % 8
+    yy8 = pix8 // 8
+    for Ac, Bc, Cc, xc, rc, pcc, oc in (
+            (Ab, Bb, Cb_, xcb, rcb, pccb, ocb),
+            (Ar, Br, Cr_, xcr, rcr, pccr, ocr)):
+        Acv, Bcs, Ccs = Ac[...], shift_my(Bc[...]), shift_my(Cc[...])
+        img = xc[0]
+        t = jnp.where(aB > 0, Bcs[:, 7, :], 0)
+        l = jnp.where(aA > 0, Acv[:, :, 7], 0)
+        tl = Ccs[:, 7, 7:8]
+        nb = jnp.concatenate([l[:, ::-1], tl, t], 1)
+        dirp = _dir_mm(nb, wch[...], jnp.clip(mode - 1, 0, 1), 2, 64)
+        ts0 = t[:, :4].sum(1)[:, None]
+        ts1 = t[:, 4:].sum(1)[:, None]
+        ls0 = l[:, :4].sum(1)[:, None]
+        ls1 = l[:, 4:].sum(1)[:, None]
+        both, onlyA, onlyB = (aA & aB) > 0, aA > 0, aB > 0
+        q00 = jnp.where(both, (ts0 + ls0 + 4) >> 3,
+                        jnp.where(onlyA, (ls0 + 2) >> 2,
+                                  jnp.where(onlyB, (ts0 + 2) >> 2, 128)))
+        q01 = jnp.where(onlyB, (ts1 + 2) >> 2,
+                        jnp.where(onlyA, (ls0 + 2) >> 2, 128))
+        q10 = jnp.where(onlyA, (ls1 + 2) >> 2,
+                        jnp.where(onlyB, (ts0 + 2) >> 2, 128))
+        q11 = jnp.where(both, (ts1 + ls1 + 4) >> 3,
+                        jnp.where(onlyA, (ls1 + 2) >> 2,
+                                  jnp.where(onlyB, (ts1 + 2) >> 2, 128)))
+        right = xx8 >= 4
+        bottom = yy8 >= 4
+        dcmap = jnp.where(bottom, jnp.where(right, q11, q10),
+                          jnp.where(right, q01, q00))
+        hs = _plane_sum(nb, _CH_HP, _CH_HM, 4)
+        vs = _plane_sum(nb, _CH_VP, _CH_VM, 4)
+        a_ = 16 * (nb[:, 0] + nb[:, 16])
+        b_ = (34 * hs + 32) >> 6
+        c_ = (34 * vs + 32) >> 6
+        plane = jnp.clip(
+            (a_[:, None] + b_[:, None] * (xx8 - 3)
+             + c_[:, None] * (yy8 - 3) + 16) >> 5, 0, 255)
+        pred = jnp.where(mode == 0, dcmap,
+                         jnp.where(mode == 3, plane, dirp))
+        recon = jnp.clip(pred + rc[0].reshape(mbH, 64), 0,
+                         255).reshape(mbH, 8, 8)
+        img = jnp.where(((valv & is_intra & ~is_pcm) > 0)[:, :, None],
+                        recon, img)
+        img = jnp.where(((valv & is_pcm) > 0)[:, :, None], pcc[0], img)
+        oc[0] = img
+        Cc[...] = Bc[...]
+        Bc[...] = Ac[...]
+        Ac[...] = img
+
+
+def intra_pallas(y, cb, cr, res_y, res_cb, res_cr, p, mbW, mbH,
+                 interpret=False):
+    """Drop-in for jaxdec.intra_scan_sheared as a single Mosaic kernel."""
+    NW = mbW + 2 * mbH - 2
+    valid = np.zeros((NW, mbH), np.int32)
+    for s in range(NW):
+        mx = s - 2 * np.arange(mbH)
+        valid[s] = ((0 <= mx) & (mx < mbW)).astype(np.int32)
+
+    # mb-level planes carry a trailing singleton so their BlockSpec
+    # satisfies Mosaic's (8,128)-divisible-or-full rule
+    ins = [
+        _shear_plane(p["mb_flags"], mbW, mbH, extra=0)[..., None],
+        _shear_plane(p["i16_modes"], mbW, mbH, extra=0)[..., None],
+        _shear_plane(p["ch_modes"], mbW, mbH, extra=0)[..., None],
+        # mode tiles flatten to [mbH, by*4+bx] / [mbH, by8*2+bx8]
+        _shear_tiles(p["i4_modes"], mbW, mbH, 4,
+                     extra=0).reshape(NW, mbH, 16),
+        _shear_tiles(p["i8_modes"], mbW, mbH, 2,
+                     extra=0).reshape(NW, mbH, 4),
+        _shear_tiles(res_y, mbW, mbH, 16, extra=0),
+        _shear_tiles(res_cb, mbW, mbH, 8, extra=0),
+        _shear_tiles(res_cr, mbW, mbH, 8, extra=0),
+        _shear_tiles(y, mbW, mbH, 16, extra=0),
+        _shear_tiles(cb, mbW, mbH, 8, extra=0),
+        _shear_tiles(cr, mbW, mbH, 8, extra=0),
+        _shear_tiles(p["pcm_y"], mbW, mbH, 16, extra=0),
+        _shear_tiles(p["pcm_c"][0], mbW, mbH, 8, extra=0),
+        _shear_tiles(p["pcm_c"][1], mbW, mbH, 8, extra=0),
+        jnp.asarray(valid)[..., None],
+    ]
+    wts = [jnp.asarray(W.T.copy(), jnp.float32)
+           for W in (_W4, _W8, _W16, _WCH, _WF8)]
+
+    def spec(shape):
+        blk = (1,) + tuple(shape[1:])
+        nd = len(shape)
+        return pl.BlockSpec(blk, lambda w, nd=nd: (w,) + (0,) * (nd - 1))
+
+    out_shapes = (jax.ShapeDtypeStruct((NW, mbH, 16, 16), I32),
+                  jax.ShapeDtypeStruct((NW, mbH, 8, 8), I32),
+                  jax.ShapeDtypeStruct((NW, mbH, 8, 8), I32))
+    scratch = [pltpu.VMEM((mbH, 16, 16), I32)] * 3 + \
+        [pltpu.VMEM((mbH, 8, 8), I32)] * 6
+    wspec = [pl.BlockSpec(wt.shape, lambda w: (0, 0)) for wt in wts]
+    ey, ecb, ecr = pl.pallas_call(
+        _kernel,
+        grid=(NW,),
+        in_specs=[spec(a.shape) for a in ins] + wspec,
+        out_specs=tuple(spec(s.shape) for s in out_shapes),
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(*ins, *wts)
+    return (_unshear_tiles(ey, mbW, mbH, 16, shift=0),
+            _unshear_tiles(ecb, mbW, mbH, 8, shift=0),
+            _unshear_tiles(ecr, mbW, mbH, 8, shift=0))
