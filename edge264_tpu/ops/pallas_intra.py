@@ -40,6 +40,44 @@ I32 = jnp.int32
 F32 = jnp.float32
 
 
+def _blk2flat(x, n):
+    """[mbH, n, n] -> [mbH, n*n] via sublane-side ops only (lane merges
+    are unsupported in Mosaic)."""
+    return x.transpose(1, 2, 0).reshape(n * n, x.shape[0]).T
+
+
+def _flat2blk(v, n):
+    """[mbH, n*n] -> [mbH, n, n] (inverse of _blk2flat)."""
+    return v.T.reshape(n, n, v.shape[0]).transpose(2, 0, 1)
+
+
+def _patch(X, r0, nr, c0, nc, new):
+    """X[:, r0:r0+nr, c0:c0+nc] = new, via concatenation of non-empty
+    pieces only (Mosaic rejects zero-size vectors)."""
+    mid_parts = []
+    if c0 > 0:
+        mid_parts.append(X[:, r0:r0 + nr, :c0])
+    mid_parts.append(new)
+    if c0 + nc < X.shape[2]:
+        mid_parts.append(X[:, r0:r0 + nr, c0 + nc:])
+    mid = jnp.concatenate(mid_parts, axis=2) if len(mid_parts) > 1 \
+        else mid_parts[0]
+    parts = []
+    if r0 > 0:
+        parts.append(X[:, :r0])
+    parts.append(mid)
+    if r0 + nr < X.shape[1]:
+        parts.append(X[:, r0 + nr:])
+    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+
+
+def _rev_cols(x):
+    """Static-slice column reversal (Mosaic has no `rev` primitive)."""
+    n = x.shape[1]
+    return jnp.concatenate([x[:, i:i + 1] for i in range(n - 1, -1, -1)],
+                           axis=1)
+
+
 def _dir_mm(nb, Wt, mode, nm, npx):
     """nb [mbH, ntap] i32; Wt [ntap+1, nm*npx] f32 (pre-transposed,
     passed as a kernel input -- Mosaic kernels cannot capture constants);
@@ -50,12 +88,13 @@ def _dir_mm(nb, Wt, mode, nm, npx):
                           axis=1).astype(F32)
     preds = jax.lax.dot_general(
         nb1, Wt, (((1,), (0,)), ((), ())), preferred_element_type=F32)
-    preds = preds.reshape(mbH, nm, npx)
-    oh = (mode == lax.broadcasted_iota(I32, (1, nm), 1)).astype(F32)
-    sel = jax.lax.dot_general(
-        oh.reshape(mbH, 1, nm), preds, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=F32)
-    return sel.reshape(mbH, npx).astype(I32) >> 2
+    # per-mode select via static lane slices (a [mbH,nm,npx] reshape is
+    # a lane-split, which Mosaic does not support)
+    sel = jnp.zeros((mbH, npx), F32)
+    for m in range(nm):
+        mask = (mode == m).astype(F32)
+        sel = sel + preds[:, m * npx:(m + 1) * npx] * mask
+    return sel.astype(I32) >> 2
 
 
 def _plane_sum(nb, idx_p, idx_m, n):
@@ -67,9 +106,9 @@ def _plane_sum(nb, idx_p, idx_m, n):
 
 
 def _kernel(fl, i16m, chm, i4m, i8m, ry, rcb, rcr, xy, xcb, xcr,
-            pcy, pccb, pccr, val, w4, w8, w16, wch, wf8,
+            val, w4, w8, w16, wch, wf8,
             oy, ocb, ocr,
-            A, B, C, Ab, Bb, Cb_, Ar, Br, Cr_):
+            A, B, C, Ab, Bb, Cb_, Ar, Br, Cr_, Xs, NBs):
     mbH = fl.shape[1]
     w = pl.program_id(0)
 
@@ -93,12 +132,27 @@ def _kernel(fl, i16m, chm, i4m, i8m, ry, rcb, rcr, xy, xcb, xcr,
         sub = lax.broadcasted_iota(I32, t.shape, 0)
         return jnp.where(sub < 1, 0, r)
 
-    # working luma tile as [mbH, 16, 16] VALUES (ops use static slices
-    # over the trailing dims; rows/cols extracted as [mbH, n])
-    X = xy[0]
+    # the working luma tile lives in a VMEM scratch ref (Xs): in-place
+    # block stores avoid the value-concat rebuilds whose layout offsets
+    # Mosaic's concat lowering rejects.  Neighbour vectors are likewise
+    # assembled by column stores into NBs then loaded back -- the
+    # store/load round-trip forces canonical layouts.
+    Xs[...] = xy[0]
     Av, Bs, Cs, As = A[...], shift_my(B[...]), shift_my(C[...]), \
         shift_my(A[...])
     ryv = ry[0]
+
+    def asm_nb(pieces, total):
+        """pieces: list of (col_offset, [mbH, n] value) -> [mbH, total]
+        loaded from the NBs scratch."""
+        for off, v in pieces:
+            NBs[:, off:off + v.shape[1]] = v
+        return NBs[...][:, :total]
+
+    def rev_store(l, n):
+        """store columns of l reversed at NBs[0:n]."""
+        for i in range(n):
+            NBs[:, i:i + 1] = l[:, n - 1 - i:n - i]
 
     # ---- I4x4: 16 quad-order substeps --------------------------------
     for k in range(16):
@@ -111,13 +165,12 @@ def _kernel(fl, i16m, chm, i4m, i8m, ry, rcb, rcr, xy, xcb, xcr,
             t4 = Bs[:, 15, c0:c0 + 4]
             tr = As[:, 15, 0:4] if bx == 3 else Bs[:, 15, c0 + 4:c0 + 8]
         else:
-            t4 = X[:, r0 - 1, c0:c0 + 4]
+            t4 = Xs[:, r0 - 1, c0:c0 + 4]
             if bx == 3:
                 tr = jnp.broadcast_to(t4[:, 3:4], t4.shape)
             else:
-                tr = X[:, r0 - 1, c0 + 4:c0 + 8]
-        t = jnp.concatenate([t4, jnp.where(aC > 0, tr, t4[:, 3:4])], 1)
-        l = Av[:, r0:r0 + 4, 15] if bx == 0 else X[:, r0:r0 + 4, c0 - 1]
+                tr = Xs[:, r0 - 1, c0 + 4:c0 + 8]
+        l = Av[:, r0:r0 + 4, 15] if bx == 0 else Xs[:, r0:r0 + 4, c0 - 1]
         if bx == 0 and by == 0:
             tl = Cs[:, 15, 15:16]
         elif by == 0:
@@ -125,25 +178,23 @@ def _kernel(fl, i16m, chm, i4m, i8m, ry, rcb, rcr, xy, xcb, xcr,
         elif bx == 0:
             tl = Av[:, r0 - 1, 15:16]
         else:
-            tl = X[:, r0 - 1, c0 - 1:c0]
-        nb = jnp.concatenate([l[:, ::-1], tl, t], 1)
+            tl = Xs[:, r0 - 1, c0 - 1:c0]
+        rev_store(l, 4)
+        nb = asm_nb([(4, tl), (5, t4),
+                     (9, jnp.where(aC > 0, tr, t4[:, 3:4]
+                                   * jnp.ones((1, 4), I32)))], 13)
         dirp = _dir_mm(nb, w4[...], mode, 9, 16)
         sA = jnp.sum(l, axis=1, keepdims=True)
-        sB = jnp.sum(t[:, :4], axis=1, keepdims=True)
+        sB = jnp.sum(t4, axis=1, keepdims=True)
         dc = jnp.where((aA & aB) > 0, (sA + sB + 4) >> 3,
                        jnp.where(aA > 0, (sA + 2) >> 2,
                                  jnp.where(aB > 0, (sB + 2) >> 2, 128)))
         pred = jnp.where(mode == 2, dc, dirp)
-        res = ryv[:, r0:r0 + 4, c0:c0 + 4].reshape(mbH, 16)
-        recon = jnp.clip(pred + res, 0, 255).reshape(mbH, 4, 4)
+        res = _blk2flat(ryv[:, r0:r0 + 4, c0:c0 + 4], 4)
+        recon = _flat2blk(jnp.clip(pred + res, 0, 255), 4)
         act = (valv & is_i4)[:, :, None] > 0
-        X = jnp.concatenate(
-            [X[:, :r0],
-             jnp.concatenate(
-                 [X[:, r0:r0 + 4, :c0],
-                  jnp.where(act, recon, X[:, r0:r0 + 4, c0:c0 + 4]),
-                  X[:, r0:r0 + 4, c0 + 4:]], axis=2),
-             X[:, r0 + 4:]], axis=1)
+        Xs[:, r0:r0 + 4, c0:c0 + 4] = jnp.where(
+            act, recon, Xs[:, r0:r0 + 4, c0:c0 + 4])
 
     # ---- Intra8x8: 4 quad-order substeps -----------------------------
     for b in range(4):
@@ -157,13 +208,12 @@ def _kernel(fl, i16m, chm, i4m, i8m, ry, rcb, rcr, xy, xcb, xcr,
             t8v = Bs[:, 15, c0:c0 + 8]
             tr = As[:, 15, 0:8] if bx8 == 1 else Bs[:, 15, 8:16]
         else:
-            t8v = X[:, 7, c0:c0 + 8]
+            t8v = Xs[:, 7, c0:c0 + 8]
             if bx8 == 1:
                 tr = jnp.broadcast_to(t8v[:, 7:8], t8v.shape)
             else:
-                tr = X[:, 7, 8:16]
-        t = jnp.concatenate([t8v, jnp.where(aC > 0, tr, t8v[:, 7:8])], 1)
-        l = Av[:, r0:r0 + 8, 15] if bx8 == 0 else X[:, r0:r0 + 8, 7]
+                tr = Xs[:, 7, 8:16]
+        l = Av[:, r0:r0 + 8, 15] if bx8 == 0 else Xs[:, r0:r0 + 8, 7]
         if bx8 == 0 and by8 == 0:
             tl = Cs[:, 15, 15:16]
         elif by8 == 0:
@@ -171,10 +221,13 @@ def _kernel(fl, i16m, chm, i4m, i8m, ry, rcb, rcr, xy, xcb, xcr,
         elif bx8 == 0:
             tl = Av[:, 7, 15:16]
         else:
-            tl = X[:, 7, 7:8]
-        nb = jnp.concatenate([l[:, ::-1], tl, t], 1)
-        nb1 = jnp.concatenate([nb, jnp.ones((mbH, 1), I32)],
-                              axis=1).astype(F32)
+            tl = Xs[:, 7, 7:8]
+        rev_store(l, 8)
+        nb = asm_nb([(8, tl), (9, t8v),
+                     (17, jnp.where(aC > 0, tr, t8v[:, 7:8]
+                                    * jnp.ones((1, 8), I32)))], 25)
+        NBs[:, 25:26] = jnp.ones((mbH, 1), I32)
+        nb1 = NBs[...][:, :26].astype(F32)
         nbf = jax.lax.dot_general(
             nb1, wf8[...], (((1,), (0,)), ((), ())),
             preferred_element_type=F32).astype(I32) >> 2
@@ -191,12 +244,12 @@ def _kernel(fl, i16m, chm, i4m, i8m, ry, rcb, rcr, xy, xcb, xcr,
                                 jnp.where(aA > 0,
                                           (3 * tl0 + l0 + 2) >> 2,
                                           tl0))))
-        nbf = jnp.concatenate(
-            [nbf[:, :7], l0f, tlf, t0f, nbf[:, 10:]], axis=1)
-        nbf = jnp.where(aB > 0, nbf,
-                        jnp.concatenate([nbf[:, :9], nb[:, 9:]], 1))
-        nbf = jnp.where(aA > 0, nbf,
-                        jnp.concatenate([nb[:, :8], nbf[:, 8:]], 1))
+        lane25 = lax.broadcasted_iota(I32, (1, 25), 1)
+        patch = jnp.where(lane25 == 7, l0f,
+                          jnp.where(lane25 == 8, tlf, t0f))
+        nbf = jnp.where((lane25 >= 7) & (lane25 <= 9), patch, nbf)
+        nbf = jnp.where((aB > 0) | (lane25 < 9), nbf, nb)
+        nbf = jnp.where((aA > 0) | (lane25 >= 8), nbf, nb)
         dirp = _dir_mm(nbf, w8[...], mode, 9, 64)
         st = jnp.where(aB[:, 0] > 0, nbf[:, 9:17].sum(1), 0)[:, None]
         sl = jnp.where(aA[:, 0] > 0, nbf[:, :8].sum(1), 0)[:, None]
@@ -204,16 +257,11 @@ def _kernel(fl, i16m, chm, i4m, i8m, ry, rcb, rcr, xy, xcb, xcr,
                        jnp.where(aA > 0, (sl + 4) >> 3,
                                  jnp.where(aB > 0, (st + 4) >> 3, 128)))
         pred = jnp.where(mode == 2, dc, dirp)
-        res = ryv[:, r0:r0 + 8, c0:c0 + 8].reshape(mbH, 64)
-        recon = jnp.clip(pred + res, 0, 255).reshape(mbH, 8, 8)
+        res = _blk2flat(ryv[:, r0:r0 + 8, c0:c0 + 8], 8)
+        recon = _flat2blk(jnp.clip(pred + res, 0, 255), 8)
         act = (valv & is_i8)[:, :, None] > 0
-        X = jnp.concatenate(
-            [X[:, :r0],
-             jnp.concatenate(
-                 [X[:, r0:r0 + 8, :c0],
-                  jnp.where(act, recon, X[:, r0:r0 + 8, c0:c0 + 8]),
-                  X[:, r0:r0 + 8, c0 + 8:]], axis=2),
-             X[:, r0 + 8:]], axis=1)
+        Xs[:, r0:r0 + 8, c0:c0 + 8] = jnp.where(
+            act, recon, Xs[:, r0:r0 + 8, c0:c0 + 8])
 
     # ---- I16x16 ------------------------------------------------------
     m = i16m[0]
@@ -222,7 +270,8 @@ def _kernel(fl, i16m, chm, i4m, i8m, ry, rcb, rcr, xy, xcb, xcr,
     t = jnp.where(aB > 0, Bs[:, 15, :], 0)
     l = jnp.where(aA > 0, Av[:, :, 15], 0)
     tl = Cs[:, 15, 15:16]
-    nb = jnp.concatenate([l[:, ::-1], tl, t], 1)
+    rev_store(l, 16)
+    nb = asm_nb([(16, tl), (17, t)], 33)
     dirp = _dir_mm(nb, w16[...], jnp.clip(mode, 0, 1), 2, 256)
     st = t.sum(1)[:, None]
     sl = l.sum(1)[:, None]
@@ -242,10 +291,9 @@ def _kernel(fl, i16m, chm, i4m, i8m, ry, rcb, rcr, xy, xcb, xcr,
          + c_[:, None] * (yy - 7) + 16) >> 5, 0, 255)
     pred = jnp.where(mode == 2, dc,
                      jnp.where(mode == 3, plane, dirp))
-    recon = jnp.clip(pred + ryv.reshape(mbH, 256), 0,
-                     255).reshape(mbH, 16, 16)
+    recon = _flat2blk(jnp.clip(pred + _blk2flat(ryv, 16), 0, 255), 16)
+    X = Xs[...]
     X = jnp.where(((valv & is_i16) > 0)[:, :, None], recon, X)
-    X = jnp.where(((valv & is_pcm) > 0)[:, :, None], pcy[0], X)
     oy[0] = X
     C[...] = B[...]
     B[...] = A[...]
@@ -258,15 +306,16 @@ def _kernel(fl, i16m, chm, i4m, i8m, ry, rcb, rcr, xy, xcb, xcr,
     pix8 = lax.broadcasted_iota(I32, (1, 64), 1)
     xx8 = pix8 % 8
     yy8 = pix8 // 8
-    for Ac, Bc, Cc, xc, rc, pcc, oc in (
-            (Ab, Bb, Cb_, xcb, rcb, pccb, ocb),
-            (Ar, Br, Cr_, xcr, rcr, pccr, ocr)):
+    for Ac, Bc, Cc, xc, rc, oc in (
+            (Ab, Bb, Cb_, xcb, rcb, ocb),
+            (Ar, Br, Cr_, xcr, rcr, ocr)):
         Acv, Bcs, Ccs = Ac[...], shift_my(Bc[...]), shift_my(Cc[...])
         img = xc[0]
         t = jnp.where(aB > 0, Bcs[:, 7, :], 0)
         l = jnp.where(aA > 0, Acv[:, :, 7], 0)
         tl = Ccs[:, 7, 7:8]
-        nb = jnp.concatenate([l[:, ::-1], tl, t], 1)
+        rev_store(l, 8)
+        nb = asm_nb([(8, tl), (9, t)], 17)
         dirp = _dir_mm(nb, wch[...], jnp.clip(mode - 1, 0, 1), 2, 64)
         ts0 = t[:, :4].sum(1)[:, None]
         ts1 = t[:, 4:].sum(1)[:, None]
@@ -297,11 +346,10 @@ def _kernel(fl, i16m, chm, i4m, i8m, ry, rcb, rcr, xy, xcb, xcr,
              + c_[:, None] * (yy8 - 3) + 16) >> 5, 0, 255)
         pred = jnp.where(mode == 0, dcmap,
                          jnp.where(mode == 3, plane, dirp))
-        recon = jnp.clip(pred + rc[0].reshape(mbH, 64), 0,
-                         255).reshape(mbH, 8, 8)
+        recon = _flat2blk(jnp.clip(pred + _blk2flat(rc[0], 8), 0,
+                                   255), 8)
         img = jnp.where(((valv & is_intra & ~is_pcm) > 0)[:, :, None],
                         recon, img)
-        img = jnp.where(((valv & is_pcm) > 0)[:, :, None], pcc[0], img)
         oc[0] = img
         Cc[...] = Bc[...]
         Bc[...] = Ac[...]
@@ -319,6 +367,16 @@ def intra_pallas(y, cb, cr, res_y, res_cb, res_cr, p, mbW, mbH,
 
     # mb-level planes carry a trailing singleton so their BlockSpec
     # satisfies Mosaic's (8,128)-divisible-or-full rule
+    # I_PCM pixels are terminal content: blend them into the input frame
+    # up front (the kernel preserves non-i4/i8/i16 tiles, so later mbs'
+    # neighbour reads see them) -- keeps 3 plane streams out of VMEM
+    pcm_mb = (p["mb_flags"] & MBF_IPCM) > 0
+    if True:
+        m16 = jnp.repeat(jnp.repeat(pcm_mb, 16, 0), 16, 1)
+        m8 = jnp.repeat(jnp.repeat(pcm_mb, 8, 0), 8, 1)
+        y = jnp.where(m16, p["pcm_y"], y)
+        cb = jnp.where(m8, p["pcm_c"][0], cb)
+        cr = jnp.where(m8, p["pcm_c"][1], cr)
     ins = [
         _shear_plane(p["mb_flags"], mbW, mbH, extra=0)[..., None],
         _shear_plane(p["i16_modes"], mbW, mbH, extra=0)[..., None],
@@ -334,9 +392,6 @@ def intra_pallas(y, cb, cr, res_y, res_cb, res_cr, p, mbW, mbH,
         _shear_tiles(y, mbW, mbH, 16, extra=0),
         _shear_tiles(cb, mbW, mbH, 8, extra=0),
         _shear_tiles(cr, mbW, mbH, 8, extra=0),
-        _shear_tiles(p["pcm_y"], mbW, mbH, 16, extra=0),
-        _shear_tiles(p["pcm_c"][0], mbW, mbH, 8, extra=0),
-        _shear_tiles(p["pcm_c"][1], mbW, mbH, 8, extra=0),
         jnp.asarray(valid)[..., None],
     ]
     wts = [jnp.asarray(W.T.copy(), jnp.float32)
@@ -351,7 +406,8 @@ def intra_pallas(y, cb, cr, res_y, res_cb, res_cr, p, mbW, mbH,
                   jax.ShapeDtypeStruct((NW, mbH, 8, 8), I32),
                   jax.ShapeDtypeStruct((NW, mbH, 8, 8), I32))
     scratch = [pltpu.VMEM((mbH, 16, 16), I32)] * 3 + \
-        [pltpu.VMEM((mbH, 8, 8), I32)] * 6
+        [pltpu.VMEM((mbH, 8, 8), I32)] * 6 + \
+        [pltpu.VMEM((mbH, 16, 16), I32), pltpu.VMEM((mbH, 40), I32)]
     wspec = [pl.BlockSpec(wt.shape, lambda w: (0, 0)) for wt in wts]
     ey, ecb, ecr = pl.pallas_call(
         _kernel,
