@@ -1,18 +1,21 @@
 // CABAC arithmetic decoding engine (ISO/IEC 14496-10 §9.3).
-// Plain bit-at-a-time renormalization over the BitReader; reads past the
-// RBSP feed zeros and set the deferred-error flag (same contract as the
-// Exp-Golomb readers).  The reference achieves the same semantics with
-// full-register caches and division-based bypass batching
-// (edge264_bitstream.c:256-347); that optimization can land later behind
-// this interface without touching the syntax layer.
+//
+// Fast formulation (see the struct comment in e264t.h): codIOffset lives
+// in a 64-bit register with `bits` lookahead bitstream bits appended
+// below it, so renormalization is a subtraction on `bits` and a batch of
+// n bypass bins is one hardware division.  The reference reaches the
+// same division insight with a different register layout
+// (edge264_bitstream.c:256-347); this design is our own.  The per-bin
+// hot methods (decode/bypass/bypass_n/refill) are inlined in e264t.h;
+// this file keeps the cold control paths.  All methods keep byte-exact
+// stream positions at the sync points that matter (terminating bins
+// before I_PCM / end-of-slice) by handing unused lookahead bits back to
+// the BitReader.
 #include "e264t.h"
 
 namespace e264t {
 
 extern const int8_t CTX_INIT[4][1024][2];
-extern const uint8_t RANGE_LPS[64][4];
-extern const uint8_t TRANS_MPS[64];
-extern const uint8_t TRANS_LPS[64];
 
 // §9.3.1.1: state[i] = pStateIdx << 1 | valMPS
 void Cabac::init_contexts(int idc, int qp) {
@@ -25,6 +28,15 @@ void Cabac::init_contexts(int idc, int qp) {
 	}
 }
 
+// hand the unused lookahead back: the BitReader lands exactly where a
+// bit-at-a-time engine would sit (required before raw reads like I_PCM
+// samples, and for the deferred-overrun verdict at slice end)
+void Cabac::sync() {
+	gb->seek_bits(gb->consumed() - bits);
+	off >>= bits;
+	bits = 0;
+}
+
 // §9.3.1.2: consume cabac_alignment_one_bit up to a byte boundary, then
 // initialize the arithmetic decoder.  Returns nonzero if alignment bits
 // were not all ones (corrupt stream).
@@ -34,58 +46,26 @@ int Cabac::start(BitReader *r) {
 	while (r->consumed() & 7)
 		bad |= r->u1() ^ 1;
 	codIRange = 510;
-	codIOffset = r->u(9);
+	off = r->u(9);
+	bits = 0;
+	refill();
 	return bad;
 }
 
-// §9.3.3.2.1
-int Cabac::decode(int ctxIdx) {
-	int s = state[ctxIdx];
-	int p = s >> 1, v = s & 1;
-	uint32_t rlps = RANGE_LPS[p][(codIRange >> 6) & 3];
-	codIRange -= rlps;
-	int bin;
-	if (codIOffset >= codIRange) {
-		codIOffset -= codIRange;
-		codIRange = rlps;
-		bin = v ^ 1;
-		state[ctxIdx] = (uint8_t)((TRANS_LPS[p] << 1) | (p == 0 ? v ^ 1 : v));
-	} else {
-		bin = v;
-		state[ctxIdx] = (uint8_t)((TRANS_MPS[p] << 1) | v);
-	}
-	while (codIRange < 256) {
-		codIRange <<= 1;
-		codIOffset = (codIOffset << 1) | (uint32_t)gb->u1();
-	}
-	return bin;
-}
-
-// §9.3.3.2.3
-int Cabac::bypass() {
-	codIOffset = (codIOffset << 1) | (uint32_t)gb->u1();
-	if (codIOffset >= codIRange) {
-		codIOffset -= codIRange;
-		return 1;
-	}
-	return 0;
-}
-
-uint32_t Cabac::bypass_n(int n) {
-	uint32_t v = 0;
-	while (n-- > 0)
-		v = (v << 1) | (uint32_t)bypass();
-	return v;
-}
-
-// §9.3.3.2.4 (end_of_slice_flag and I_PCM's terminating bin)
+// §9.3.3.2.4 (end_of_slice_flag and I_PCM's terminating bin).  On a
+// terminating bin the BitReader is synced so callers can switch to raw
+// bit/byte reads (pcm alignment + samples, rbsp verdict).
 int Cabac::terminate() {
 	codIRange -= 2;
-	if (codIOffset >= codIRange)
+	if (off >= (uint64_t)codIRange << bits) {
+		sync();
 		return 1;
-	while (codIRange < 256) {
+	}
+	if (codIRange < 256) {
 		codIRange <<= 1;
-		codIOffset = (codIOffset << 1) | (uint32_t)gb->u1();
+		bits -= 1;
+		if (bits <= 23)
+			refill();
 	}
 	return 0;
 }
@@ -93,7 +73,8 @@ int Cabac::terminate() {
 // §9.3.3.2.5: after a terminating bin of value 1 the engine reads 7 more
 // bits, leaving the bitstream byte-aligned (encoder's flush guarantees it).
 void Cabac::flush() {
-	codIOffset = (codIOffset << 7) | gb->u(7);
+	sync();
+	off = (off << 7) | gb->u(7);
 }
 
 } // namespace e264t

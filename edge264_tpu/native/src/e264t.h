@@ -48,6 +48,19 @@ struct BitReader {
 		refill();
 	}
 	void refill() {
+		if (cnt >= 0 && pos + 8 <= size) {   // bulk: one 8-byte load
+			uint64_t w;
+			memcpy(&w, buf + pos, 8);
+			w = __builtin_bswap64(w);
+			int take = (63 - cnt) >> 3;      // whole bytes that fit
+			if (take > 0) {
+				w = (w >> (64 - 8 * take)) << (64 - 8 * take);
+				cache |= w >> cnt;
+				cnt += 8 * take;
+				pos += (size_t)take;
+			}
+			return;
+		}
 		while (cnt <= 56) {
 			uint64_t byte = pos < size ? buf[pos] : 0;
 			if (pos >= size && cnt < 0) over = true;
@@ -117,6 +130,15 @@ struct BitReader {
 		int64_t last = total - 1;
 		while (last >= 0 && !(buf[last >> 3] >> (7 - (last & 7)) & 1)) last--;
 		return c == last;   // next unread bit is exactly the stop bit
+	}
+	// reposition to an absolute consumed-bit count (the CABAC engine uses
+	// this to hand unused lookahead bits back before raw-byte reads)
+	void seek_bits(int64_t c) {
+		pos = (size_t)(c >> 3);
+		cache = 0; cnt = 0;
+		over = c > (int64_t)size * 8;
+		refill();
+		if (c & 7) u((int)(c & 7));
 	}
 };
 
@@ -292,20 +314,102 @@ struct SliceHeader {
 
 struct Decoder;
 
+// CABAC tables (cabac_tables.cpp; ISO/IEC 14496-10 Tables 9-44/9-45)
+extern const uint8_t RANGE_LPS[64][4];
+extern const uint8_t TRANS_MPS[64];
+extern const uint8_t TRANS_LPS[64];
+
 // shared inter helpers (mb_inter.cpp), used by both entropy layers
 
-// CABAC engine state (ISO 9.3; layout of our own design)
+// CABAC engine state (ISO 9.3; layout of our own design).
+//
+// Throughput-oriented formulation: codIOffset is kept in a 64-bit
+// register `off` with `bits` lookahead bitstream bits appended below it
+// (off = codIOffset << bits | next_bits).  Renormalization then never
+// touches the bitstream — it just decrements `bits` — and a batch of n
+// bypass bins is ONE hardware division: the quotient of off by
+// (codIRange << (bits - n)) is exactly the n bin values and the
+// remainder the new offset.  (The reference reaches the same division
+// insight with a different register layout, edge264_bitstream.c:282.)
 struct Cabac {
-	uint32_t codIRange = 0, codIOffset = 0;
+	uint32_t codIRange = 0;   // 9-bit range, in [256, 511] after renorm
+	uint64_t off = 0;         // codIOffset << bits | lookahead bits
+	int bits = 0;             // lookahead bit count (0..55)
 	BitReader *gb = nullptr;
 	uint8_t state[1024];  // pStateIdx<<1 | valMPS
 	void init_contexts(int idc, int qp);
 	int start(BitReader *r);     // align + read 9 bits
-	int decode(int ctxIdx);
-	int bypass();
-	uint32_t bypass_n(int n);
+	void sync();                 // push unused lookahead back into gb
 	int terminate();
 	void flush();                // §9.3.3.2.5 DecodeFlush (7 bits)
+
+	// hot path inlined (~2M context bins per 1080p frame):
+	// keep bits in (23, 39] so any op (renorm <= 7, bypass chunk <= 24)
+	// stays non-negative and off < 2^10 << 39 never overflows
+	inline void refill() {
+		while (bits <= 23) {
+			off = (off << 16) | gb->u(16);
+			bits += 16;
+		}
+	}
+	// §9.3.3.2.1 with multi-bit renormalization
+	inline int decode(int ctxIdx) {
+		int s = state[ctxIdx];
+		int p = s >> 1, v = s & 1;
+		uint32_t rlps = RANGE_LPS[p][(codIRange >> 6) & 3];
+		codIRange -= rlps;
+		uint64_t rs = (uint64_t)codIRange << bits;
+		int bin;
+		if (off >= rs) {
+			off -= rs;
+			codIRange = rlps;
+			bin = v ^ 1;
+			state[ctxIdx] =
+				(uint8_t)((TRANS_LPS[p] << 1) | (p == 0 ? v ^ 1 : v));
+		} else {
+			bin = v;
+			state[ctxIdx] = (uint8_t)((TRANS_MPS[p] << 1) | v);
+		}
+		// renorm to [256, 512): range >= 2 always, so k in [0, 7]
+		int k = 8 - (31 - __builtin_clz(codIRange));
+		if (k > 0) {
+			codIRange <<= k;
+			bits -= k;
+			if (bits <= 23)
+				refill();
+		}
+		return bin;
+	}
+	// §9.3.3.2.3
+	inline int bypass() {
+		bits -= 1;
+		uint64_t rs = (uint64_t)codIRange << bits;
+		int bin = off >= rs;
+		if (bin)
+			off -= rs;
+		if (bits <= 23)
+			refill();
+		return bin;
+	}
+	// batch of n bypass bins by ONE hardware division per <=24 bits:
+	// off < codIRange << bits, so the quotient of off by
+	// (codIRange << (bits-k)) is exactly the next k bin values and the
+	// remainder the new offset
+	inline uint32_t bypass_n(int n) {
+		uint32_t v = 0;
+		while (n > 0) {
+			int k = n < 24 ? n : 24;  // bits >= 24 by the refill invariant
+			bits -= k;
+			uint64_t div = (uint64_t)codIRange << bits;
+			uint64_t q = off / div;
+			off -= q * div;
+			v = (v << k) | (uint32_t)q;
+			n -= k;
+			if (bits <= 23)
+				refill();
+		}
+		return v;
+	}
 };
 
 // ---------------------------------------------------------------------------
@@ -405,7 +509,13 @@ struct Decoder {
 	void finish_frame();         // currPic complete: emit events, marking
 	void bump_frames(bool all);  // C.4.5 output bumping
 	void conceal_frame();        // fill unparsed mbs (recover_slice analog)
-	void logf(const char *fmt, ...);
+	void logf_impl(const char *fmt, ...);
+	// inline gate: the mb layer calls logf per syntax element, so the
+	// disabled-logging path must not even pay the varargs call setup
+	template <typename... A> inline void logf(const char *fmt, A... a) {
+		if (__builtin_expect(log_cb != nullptr, 0))
+			logf_impl(fmt, a...);
+	}
 	int mb_qp_delta_nz = 0;      // CABAC ctx: previous mb had mb_qp_delta != 0
 
 	// per-slice mb-loop state

@@ -17,7 +17,7 @@ extern const uint8_t default_4x4_intra[16], default_4x4_inter[16];
 extern const uint8_t default_8x8_intra[64], default_8x8_inter[64];
 extern const uint8_t flat_16[16], flat_64[64];
 
-void Decoder::logf(const char *fmt, ...) {
+void Decoder::logf_impl(const char *fmt, ...) {
 	if (!log_cb) return;
 	char buf[4096];
 	va_list ap;

@@ -937,11 +937,6 @@ int Decoder::parse_B_mb_cabac(MbCtx &m) {
 					          refidx[l][q]);
 				}
 		logf("}\n");
-		// direct quads derive before mvd parsing (their cells are read-only
-		// neighbours of geometry-later quads; order is immaterial)
-		for (int q = 0; q < 4; q++)
-			if (sub[q] < 0)
-				Decoder_direct_mv_pred(*this, m, 1 << q);
 		logf("    mvds: [");
 		for (int l = 0; l < 2; l++)
 			for (int q = 0; q < 4; q++) {
@@ -963,9 +958,15 @@ int Decoder::parse_B_mb_cabac(MbCtx &m) {
 					}
 			}
 		logf("]\n");
+		// derive strictly in quadrant order, direct quads at their turn:
+		// a direct quad's cells must not be `written` when an EARLIER
+		// quad's mvp asks for its C/D neighbour (decode-order
+		// availability, §6.4.11.7 — probed against the reference)
 		for (int q = 0; q < 4; q++) {
-			if (sub[q] < 0)
+			if (sub[q] < 0) {
+				Decoder_direct_mv_pred(*this, m, 1 << q);
 				continue;
+			}
 			int bx = (q & 1) * 2, by = (q >> 1) * 2;
 			int w4 = b_sub_w_c[sub[q]], h4 = b_sub_h_c[sub[q]];
 			int k = 0;
@@ -1086,6 +1087,7 @@ int Decoder::parse_slice_data_cabac() {
 		if (cab.terminate())         // end_of_slice_flag
 			break;
 	}
+	cab.sync();    // idempotent: the overrun verdict must not count lookahead
 	if (gb.over && !err)
 		err = E264T_EBADMSG;
 	return err;

@@ -1464,6 +1464,9 @@ def _intra_arena(arena, y, cb, cr, res_y, res_cb, res_cr, itab=None, *,
     present = {k for k, _, _, off in layout if off >= 0}
     if itab is not None:
         return intra_scan(y, cb, cr, res_y, res_cb, res_cr, p, itab)
+    if use_pallas():
+        from .pallas_intra import intra_pallas
+        return intra_pallas(y, cb, cr, res_y, res_cb, res_cr, p, mbW, mbH)
     return intra_scan_sheared(y, cb, cr, res_y, res_cb, res_cr, p,
                               mbW, mbH, "coef_y8" in present,
                               "pcm_y" in present)
@@ -1482,7 +1485,11 @@ def _recon_arena(arena, sm4, sm8, itab=None, mc_in=None, *, layout,
 def _deblock_arena(arena, y, cb, cr, *, layout, mbW, mbH):
     p = _unpack_planes(arena, layout)
     bs_v, bs_h = deblock_bs(p)
-    y, cb, cr = deblock_scan(y, cb, cr, p, bs_v, bs_h, mbW, mbH)
+    if use_pallas():
+        from .pallas_deblock import deblock_pallas
+        y, cb, cr = deblock_pallas(y, cb, cr, p, bs_v, bs_h, mbW, mbH)
+    else:
+        y, cb, cr = deblock_scan(y, cb, cr, p, bs_v, bs_h, mbW, mbH)
     return y.astype(jnp.uint8), cb.astype(jnp.uint8), cr.astype(jnp.uint8)
 
 
@@ -1565,6 +1572,20 @@ def pack_planes(planes):
 
 _JDT = {"uint8": jnp.uint8, "int8": jnp.int8, "int16": jnp.int16,
         "uint16": jnp.uint16, "int32": jnp.int32}
+
+
+def use_pallas() -> bool:
+    """True when the default backend is a real TPU (Mosaic wavefront
+    kernels); the XLA sheared scans remain the CPU/interpret path.
+    Override with E264T_NO_PALLAS=1 / E264T_FORCE_PALLAS=1."""
+    if os.environ.get("E264T_NO_PALLAS"):
+        return False
+    if os.environ.get("E264T_FORCE_PALLAS"):
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 def _unpack_planes(arena, layout):

@@ -235,25 +235,34 @@ def _t_cm_rm(x, n, mbH):
             .reshape(mbH * n, n).T)
 
 
-def _shift_top(x, ts, L):
+def _shift_top(x, ts, L, Lf=None):
     """[1, L] lane shift by +ts with zero fill: out[l] = x[l-ts] (the
-    top-neighbour view Bts[my] = B[my-1])."""
+    top-neighbour view Bts[my] = B[my-1]).  When the lane axis holds
+    several frames' tiles back to back (batched lockstep decode), Lf is
+    one frame's extent and the zero fill applies at every frame start."""
     r = jnp.roll(x, ts, 1)
     lane = lax.broadcasted_iota(I32, (1, L), 1)
+    if Lf is not None and Lf != L:
+        lane = lane % Lf
     return jnp.where(lane < ts, 0, r)
 
 
-def _unshift_merge(bts_row, orig_row, ts, L):
+def _unshift_merge(bts_row, orig_row, ts, L, Lf=None):
     """Inverse lane shift of an updated [1, L] Bts row, keeping the last
     mb's original values (it has no below-neighbour in this wave)."""
     r = jnp.roll(bts_row, -ts, 1)
     lane = lax.broadcasted_iota(I32, (1, L), 1)
+    if Lf is not None and Lf != L:
+        lane = lane % Lf
+        L = Lf
     return jnp.where(lane >= L - ts, orig_row, r)
 
 
 def _kernel(xy, xcb, xcr, pv, ph, pcv, pch,
             oy, ocb, ocr,
-            A, Bm, Acb, Bcb, Acr, Bcr):
+            A, Bm, Acb, Bcb, Acr, Bcr, *, mbHf):
+    # mbHf: one frame's mb-row count; the tile axis may hold several
+    # lockstep frames back to back (batched GOP decode)
     # packed params: luma [1,20,L] = (bs, alpha, beta, tc0, act) x 4
     # edges; chroma [1,20,Lc] = cb(bs,al,be,tc,act)x2e + cr(...)x2e
     w = pl.program_id(0)
@@ -311,13 +320,13 @@ def _kernel(xy, xcb, xcr, pv, ph, pcv, pch,
 
     # ---- luma H ------------------------------------------------------
     Bv = Bm[...]
-    V = [_shift_top(Bv[12 + i:13 + i], 16, L) for i in range(4)] \
+    V = [_shift_top(Bv[12 + i:13 + i], 16, L, mbHf * 16) for i in range(4)] \
         + [xr[i:i + 1] for i in range(16)]
     for e in range(4):
         new = _filt_luma(V[4 * e:4 * e + 8], lum_h(1, e), lum_h(2, e),
                          lum_h(0, e), lum_h(3, e), lum_h(4, e))
         V[4 * e + 1:4 * e + 7] = new
-    b_tail = [_unshift_merge(V[1 + i], Bv[13 + i:14 + i], 16, L)
+    b_tail = [_unshift_merge(V[1 + i], Bv[13 + i:14 + i], 16, L, mbHf * 16)
               for i in range(3)]
     b_rm = jnp.concatenate([Bv[:13]] + b_tail, axis=0)    # [16, L]
     oy[0] = b_rm.T.reshape(L // 16, 16, 16).transpose(0, 2, 1)
@@ -330,14 +339,15 @@ def _kernel(xy, xcb, xcr, pv, ph, pcv, pch,
     for comp, (xc_r, Ac, Bc, oc) in enumerate(
             ((xcb_r, Acb, Bcb, ocb), (xcr_r, Acr, Bcr, ocr))):
         Bcv = Bc[...]
-        Vc = [_shift_top(Bcv[6 + i:7 + i], 8, Lc) for i in range(2)] \
+        Vc = [_shift_top(Bcv[6 + i:7 + i], 8, Lc, mbHf * 8)
+              for i in range(2)] \
             + [xc_r[i:i + 1] for i in range(8)]
         for i, e in enumerate((0, 2)):
             new = _filt_chroma(Vc[2 * e:2 * e + 4], chr_h(comp, 1, i),
                                chr_h(comp, 2, i), chr_h(comp, 0, i),
                                chr_h(comp, 3, i), chr_h(comp, 4, i))
             Vc[2 * e + 1:2 * e + 3] = new
-        c_tail = [_unshift_merge(Vc[i], Bcv[6 + i:7 + i], 8, Lc)
+        c_tail = [_unshift_merge(Vc[i], Bcv[6 + i:7 + i], 8, Lc, mbHf * 8)
                   for i in range(2)]
         c_rm = jnp.concatenate([Bcv[:6]] + c_tail, axis=0)
         oc[0] = c_rm.T.reshape(Lc // 8, 8, 8).transpose(0, 2, 1)
@@ -348,13 +358,40 @@ def _kernel(xy, xcb, xcr, pv, ph, pcv, pch,
 def deblock_pallas(y, cb, cr, p, bs_v, bs_h, mbW, mbH, interpret=False):
     """Drop-in for jaxdec.deblock_scan running the wavefront as one
     Mosaic kernel.  y/cb/cr int32 dense frames -> filtered int32."""
+    ys, cbs, crs = deblock_pallas_batch(
+        y[None], cb[None], cr[None],
+        {k: v[None] for k, v in p.items()}, bs_v[None], bs_h[None],
+        mbW, mbH, interpret=interpret)
+    return ys[0], cbs[0], crs[0]
+
+
+def deblock_pallas_batch(ys, cbs, crs, p, bs_v, bs_h, mbW, mbH,
+                         interpret=False):
+    """Deblock K independent same-geometry frames in LOCKSTEP: one
+    Mosaic kernel whose wave steps carry all K frames' diagonal tiles
+    back to back on the tile axis, amortizing the per-wave fixed cost
+    (the TPU analog of the reference's frame-level task parallelism,
+    edge264_headers.c:1275-1277).  ys [K,16mbH,16mbW] int32; p values
+    stacked [K,...]."""
+    K = ys.shape[0]
     T = mbW + 2 * mbH - 2 + 2
-    L = mbH * 16
-    Lc = mbH * 8
-    xy = _shear_tiles(y, mbW, mbH, 16, extra=2)
-    xcb = _shear_tiles(cb, mbW, mbH, 8, extra=2)
-    xcr = _shear_tiles(cr, mbW, mbH, 8, extra=2)
-    pv, ph, pcv, pch = _edge_params(p, bs_v, bs_h, mbW, mbH, 2)
+    L = K * mbH * 16
+    Lc = K * mbH * 8
+    cat = lambda parts, ax: (jnp.concatenate(parts, axis=ax)
+                             if K > 1 else parts[0])
+    xy = cat([_shear_tiles(ys[k], mbW, mbH, 16, extra=2)
+              for k in range(K)], 1)
+    xcb = cat([_shear_tiles(cbs[k], mbW, mbH, 8, extra=2)
+               for k in range(K)], 1)
+    xcr = cat([_shear_tiles(crs[k], mbW, mbH, 8, extra=2)
+               for k in range(K)], 1)
+    params = [_edge_params({kk: v[k] for kk, v in p.items()},
+                           bs_v[k], bs_h[k], mbW, mbH, 2)
+              for k in range(K)]
+    pv = cat([pr[0] for pr in params], 2)
+    ph = cat([pr[1] for pr in params], 2)
+    pcv = cat([pr[2] for pr in params], 2)
+    pch = cat([pr[3] for pr in params], 2)
     ins = [xy, xcb, xcr, pv, ph, pcv, pch]
 
     def spec(shape):
@@ -362,11 +399,11 @@ def deblock_pallas(y, cb, cr, p, bs_v, bs_h, mbW, mbH, interpret=False):
         nd = len(shape)
         return pl.BlockSpec(blk, lambda w, nd=nd: (w,) + (0,) * (nd - 1))
 
-    out_shapes = (jax.ShapeDtypeStruct((T, mbH, 16, 16), jnp.int32),
-                  jax.ShapeDtypeStruct((T, mbH, 8, 8), jnp.int32),
-                  jax.ShapeDtypeStruct((T, mbH, 8, 8), jnp.int32))
+    out_shapes = (jax.ShapeDtypeStruct((T, K * mbH, 16, 16), jnp.int32),
+                  jax.ShapeDtypeStruct((T, K * mbH, 8, 8), jnp.int32),
+                  jax.ShapeDtypeStruct((T, K * mbH, 8, 8), jnp.int32))
     ey, ecb, ecr = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, mbHf=mbH),
         grid=(T,),
         in_specs=[spec(a.shape) for a in ins],
         out_specs=tuple(spec(s.shape) for s in out_shapes),
@@ -381,7 +418,10 @@ def deblock_pallas(y, cb, cr, p, bs_v, bs_h, mbW, mbH, interpret=False):
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(*ins)
-    y = _unshear_tiles(ey, mbW, mbH, 16, shift=2)
-    cb = _unshear_tiles(ecb, mbW, mbH, 8, shift=2)
-    cr = _unshear_tiles(ecr, mbW, mbH, 8, shift=2)
+    y = jnp.stack([_unshear_tiles(ey[:, k * mbH:(k + 1) * mbH], mbW, mbH,
+                                  16, shift=2) for k in range(K)])
+    cb = jnp.stack([_unshear_tiles(ecb[:, k * mbH:(k + 1) * mbH], mbW, mbH,
+                                   8, shift=2) for k in range(K)])
+    cr = jnp.stack([_unshear_tiles(ecr[:, k * mbH:(k + 1) * mbH], mbW, mbH,
+                                   8, shift=2) for k in range(K)])
     return y, cb, cr

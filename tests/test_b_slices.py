@@ -41,3 +41,16 @@ def test_b_pixels_jax(ref_oracle):
     data = gen_random_ipb_stream(4, 3, n_gops=2, seed=21, wbi=2)
     assert_frames_match(_decode_ours(data, backend="jax"),
                         _ref_frames(ref_oracle, data), ctx="b-jax")
+
+
+@pytest.mark.parametrize("seed,density", [(11, 0.3), (5, 0.4)])
+def test_b8x8_direct_neighbor_order_cabac(ref_oracle, seed, density):
+    """Regression: a B_8x8 direct sub-block must NOT be `written` when an
+    earlier quadrant's 4x4 mvp asks for its C neighbour (decode-order
+    availability, §6.4.11.7) — the direct quad derives at its turn, not
+    up front.  Caught as a 26-pixel mismatch at 10x6 seed=11."""
+    from tools.avcgen import gen_random_cabac_ipb_stream
+    data = gen_random_cabac_ipb_stream(10, 6, n_gops=3, seed=seed,
+                                       density=density)
+    assert_frames_match(_decode_ours(data), _ref_frames(ref_oracle, data),
+                        ctx=f"b8x8-direct-order seed={seed}")
