@@ -413,6 +413,103 @@ struct Cabac {
 };
 
 // ---------------------------------------------------------------------------
+// Task: immutable snapshot of everything the slice-data (macroblock) parse
+// needs, decoupled from the Decoder so slices of DIFFERENT frames can parse
+// concurrently on worker threads (the reference's Edge264Task,
+// edge264_internal.h:219-261 + initialize_task edge264_headers.c:895-945).
+// Member names intentionally mirror Decoder's so the mb layer reads the
+// same either way.
+struct Decoder;
+
+struct Task {
+	std::vector<uint8_t> rbsp;   // owned unescaped slice NAL payload
+	BitReader gb;                // positioned after the slice header
+	Cabac cab;
+	SliceHeader sh;
+	PPS pps_storage;
+	const PPS *cpps = nullptr;
+	SPS sps;
+	int curr = -1;               // target DPB slot
+	int32_t Poc[2][32];          // POC snapshot (temporal direct scaling)
+	uint32_t curr_st = 0, curr_lt = 0;
+	Planes *planes = nullptr;    // decoder's slot array (slot-disjoint writes)
+	int32_t *remaining_mbs = nullptr;
+	int mb_qp_delta_nz = 0;
+	uint16_t slice_idx = 0;      // value written to the slice_id plane
+	Decoder *logdec = nullptr;   // non-null only in synchronous mode
+	bool log_mbs = false;
+	// async scheduling state
+	int dep_slot = -1;           // colocated slot this task waits on (B direct)
+	int err = 0;
+
+	int run();                   // dispatch by entropy mode; returns errno
+	int parse_slice_data_cavlc();
+	int parse_slice_data_cabac();
+	struct MbCtx;
+	int parse_I_mb(MbCtx &m, int mb_type);
+	int parse_P_mb(MbCtx &m, int &skip_run);
+	int parse_B_mb(MbCtx &m, int &skip_flag);
+	void parse_residuals(MbCtx &m, int cbp, bool is16);
+	void set_mb_qp(MbCtx &m);
+	int parse_I_mb_cabac(MbCtx &m, int ctx_base);
+	int parse_P_mb_cabac(MbCtx &m);
+	int parse_B_mb_cabac(MbCtx &m);
+	void parse_residuals_cabac(MbCtx &m, int cbp, bool is16);
+	int parse_chroma_mode_cabac(MbCtx &m);
+	template <typename... A> inline void logf(const char *fmt, A... a);
+};
+
+// Per-slice macroblock parse context (shared by the CAVLC/CABAC mb layers
+// and the inter parser).
+struct Task::MbCtx {
+	Task &d;
+	Planes &pl;
+	int mbW, mbH;
+	int mx = 0, my = 0;          // current mb coordinates
+	size_t mbi = 0;              // my*mbW + mx
+	uint16_t slice_id;
+	int qp;                      // running SliceQPY
+	bool availA = false, availB = false, availC = false, availD = false;
+	uint32_t written = 0;        // 4x4 cells of the current mb with final mvs
+
+	MbCtx(Task &t) : d(t), pl(t.planes[t.curr]),
+		mbW(t.sps.mb_width), mbH(t.sps.mb_height),
+		slice_id(t.slice_idx), qp(t.sh.qp) {}
+
+	void set_addr(int addr) {
+		mx = addr % mbW;
+		my = addr / mbW;
+		mbi = (size_t)my * mbW + mx;
+		written = 0;
+		availA = mx > 0 && pl.slice_id[mbi - 1] == slice_id;
+		availB = my > 0 && pl.slice_id[mbi - mbW] == slice_id;
+		availC = my > 0 && mx + 1 < mbW && pl.slice_id[mbi - mbW + 1] == slice_id;
+		availD = my > 0 && mx > 0 && pl.slice_id[mbi - mbW - 1] == slice_id;
+	}
+
+	// ---- luma 4x4 block helpers (block index 0..15, quad order) --------
+	int gbx(int i) const;
+	int gby(int i) const;
+	size_t gblk(int i) const;
+	bool blkA_avail(int i) const;
+	bool blkB_avail(int i) const;
+	bool blkC_avail(int i) const;
+	bool blkD_avail(int i) const;
+	int nC_luma(int i) const;
+	int nC_chroma(int comp, int cx, int cy) const;
+	int neighbor_mode_A(int i) const;
+	int neighbor_mode_B(int i) const;
+
+	// ---- inter helpers (mb_inter.cpp) ----------------------------------
+	struct NbMv { int avail; int ref; int mvx, mvy; };
+	NbMv fetch_mv(int gx, int gy, int list) const;
+	void mvp_median(int list, int refIdx, int x4, int y4, int w4, int h4,
+	                int shape, int *mvpx, int *mvpy) const;
+	void store_mv(int list, int x4, int y4, int w4, int h4, int refIdx,
+	              int slot, int mvx, int mvy);
+};
+
+// ---------------------------------------------------------------------------
 // Decoder: whole-stream state machine.
 struct Decoder {
 	SPS sps;                 // active sequence parameter set
@@ -420,7 +517,7 @@ struct Decoder {
 	PPS pps[4];              // reference keeps 4 slots (edge264_headers.c:1421)
 	std::vector<uint8_t> rbsp;   // unescape scratch
 	BitReader gb;
-	Cabac cab;
+	Task stask;              // synchronous-mode task storage
 
 	// DPB bookkeeping: bitmask-per-state SoA with the same state machine as
 	// the reference (design comment edge264_internal.h:355-386): committed_*
@@ -496,8 +593,7 @@ struct Decoder {
 	void parse_scaling_lists(uint8_t ws4[6][16], uint8_t ws8[6][64],
 	                         bool transform8x8, const uint8_t fb4[6][16],
 	                         const uint8_t fb8[6][64]);
-	int parse_slice_data_cavlc();
-	int parse_slice_data_cabac();
+	void init_task(Task &t);     // snapshot current slice state into a task
 	void compute_poc();
 	void init_ref_lists();
 	void parse_ref_pic_list_modification();
@@ -516,71 +612,15 @@ struct Decoder {
 		if (__builtin_expect(log_cb != nullptr, 0))
 			logf_impl(fmt, a...);
 	}
-	int mb_qp_delta_nz = 0;      // CABAC ctx: previous mb had mb_qp_delta != 0
-
-	// per-slice mb-loop state
-	struct MbCtx;
-	int parse_I_mb(MbCtx &m, int mb_type);
-	int parse_P_mb(MbCtx &m, int &skip_run);
-	int parse_B_mb(MbCtx &m, int &skip_flag);
-	void parse_residuals(MbCtx &m, int cbp, bool is16);
-	void set_mb_qp(MbCtx &m);
-	int parse_I_mb_cabac(MbCtx &m, int ctx_base);
-	int parse_P_mb_cabac(MbCtx &m);
-	int parse_B_mb_cabac(MbCtx &m);
-	void parse_residuals_cabac(MbCtx &m, int cbp, bool is16);
-	int parse_chroma_mode_cabac(MbCtx &m);
 };
 
-// Per-slice macroblock parse context (shared by the CAVLC/CABAC mb layers
-// and the inter parser).
-struct Decoder::MbCtx {
-	Decoder &d;
-	Planes &pl;
-	int mbW, mbH;
-	int mx = 0, my = 0;          // current mb coordinates
-	size_t mbi = 0;              // my*mbW + mx
-	uint16_t slice_id;
-	int qp;                      // running SliceQPY
-	bool availA = false, availB = false, availC = false, availD = false;
-	uint32_t written = 0;        // 4x4 cells of the current mb with final mvs
-
-	MbCtx(Decoder &dec) : d(dec), pl(dec.planes[dec.curr]),
-		mbW(dec.sps.mb_width), mbH(dec.sps.mb_height),
-		slice_id(dec.slice_count[dec.curr]), qp(dec.sh.qp) {}
-
-	void set_addr(int addr) {
-		mx = addr % mbW;
-		my = addr / mbW;
-		mbi = (size_t)my * mbW + mx;
-		written = 0;
-		availA = mx > 0 && pl.slice_id[mbi - 1] == slice_id;
-		availB = my > 0 && pl.slice_id[mbi - mbW] == slice_id;
-		availC = my > 0 && mx + 1 < mbW && pl.slice_id[mbi - mbW + 1] == slice_id;
-		availD = my > 0 && mx > 0 && pl.slice_id[mbi - mbW - 1] == slice_id;
-	}
-
-	// ---- luma 4x4 block helpers (block index 0..15, quad order) --------
-	int gbx(int i) const;
-	int gby(int i) const;
-	size_t gblk(int i) const;
-	bool blkA_avail(int i) const;
-	bool blkB_avail(int i) const;
-	bool blkC_avail(int i) const;
-	bool blkD_avail(int i) const;
-	int nC_luma(int i) const;
-	int nC_chroma(int comp, int cx, int cy) const;
-	int neighbor_mode_A(int i) const;
-	int neighbor_mode_B(int i) const;
-
-	// ---- inter helpers (mb_inter.cpp) ----------------------------------
-	struct NbMv { int avail; int ref; int mvx, mvy; };
-	NbMv fetch_mv(int gx, int gy, int list) const;
-	void mvp_median(int list, int refIdx, int x4, int y4, int w4, int h4,
-	                int shape, int *mvpx, int *mvpy) const;
-	void store_mv(int list, int x4, int y4, int w4, int h4, int refIdx,
-	              int slot, int mvx, int mvy);
-};
+// Task::logf forwards to the decoder's YAML logger; in asynchronous mode
+// logdec is null and the call folds to nothing (threaded parsing is a
+// non-logging configuration, like the reference's non-logs variants).
+template <typename... A> inline void Task::logf(const char *fmt, A... a) {
+	if (__builtin_expect(logdec != nullptr, 0))
+		logdec->logf(fmt, a...);
+}
 
 // scan tables (ISO §8.5.6): zigzag for 4x4 and 8x8, raster destinations
 extern const uint8_t zigzag4x4[16];

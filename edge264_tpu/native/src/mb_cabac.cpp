@@ -10,10 +10,10 @@ namespace e264t {
 extern const uint8_t me_cbp_intra[48], me_cbp_inter[48];
 extern const uint8_t blk4_x[16], blk4_y[16];
 int chroma_qp(int qpy, int offset);
-void Decoder_direct_mv_pred(Decoder &d, Decoder::MbCtx &m, int quad_mask);
-void Decoder_P_skip(Decoder &d, Decoder::MbCtx &m);
-void Decoder_fill_wp(Decoder &d, Decoder::MbCtx &m);
-void Decoder_clear_inter_cells(Decoder::MbCtx &m);
+void Decoder_direct_mv_pred(Task &d, Task::MbCtx &m, int quad_mask);
+void Decoder_P_skip(Task &d, Task::MbCtx &m);
+void Decoder_fill_wp(Task &d, Task::MbCtx &m);
+void Decoder_clear_inter_cells(Task::MbCtx &m);
 
 // ---------------------------------------------------------------------------
 // Residual block categories (§9.3.3.1.3, frame coding): ctxIdx bases for
@@ -49,13 +49,13 @@ static const uint8_t LAST_INC_8x8[64] = {
 
 // condTermFlag for coded_block_flag neighbours (§9.3.3.1.1.9): unavailable
 // neighbour counts 1 for intra mbs and 0 for inter; PCM counts 1.
-static int cbf_nbr(Decoder::MbCtx &m, bool avail, bool nbr_pcm, int nbr_cbf) {
+static int cbf_nbr(Task::MbCtx &m, bool avail, bool nbr_pcm, int nbr_cbf) {
 	if (!avail)
 		return (m.pl.mb_flags[m.mbi] & MBF_INTRA) ? 1 : 0;
 	return nbr_pcm ? 1 : nbr_cbf;
 }
 
-static int cbf_inc_luma4(Decoder::MbCtx &m, int i) {
+static int cbf_inc_luma4(Task::MbCtx &m, int i) {
 	Planes &pl = m.pl;
 	int a, b;
 	if (m.blkA_avail(i)) {
@@ -75,7 +75,7 @@ static int cbf_inc_luma4(Decoder::MbCtx &m, int i) {
 	return a + 2 * b;
 }
 
-static int cbf_inc_chroma(Decoder::MbCtx &m, int comp, int cx, int cy) {
+static int cbf_inc_chroma(Task::MbCtx &m, int comp, int cx, int cy) {
 	Planes &pl = m.pl;
 	int W2 = m.mbW * 2;
 	int gx = m.mx * 2 + cx, gy = m.my * 2 + cy;
@@ -100,7 +100,7 @@ static int cbf_inc_chroma(Decoder::MbCtx &m, int comp, int cx, int cy) {
 }
 
 // mb-level DC cbf of a neighbour (luma: comp<0; chroma: comp 0/1)
-static int dc_cbf_of(Decoder::MbCtx &m, size_t nmb, int comp) {
+static int dc_cbf_of(Task::MbCtx &m, size_t nmb, int comp) {
 	Planes &pl = m.pl;
 	if (pl.mb_flags[nmb] & MBF_IPCM)
 		return 1;
@@ -118,7 +118,7 @@ static int dc_cbf_of(Decoder::MbCtx &m, size_t nmb, int comp) {
 	return 0;
 }
 
-static int cbf_inc_dc(Decoder::MbCtx &m, int comp) {
+static int cbf_inc_dc(Task::MbCtx &m, int comp) {
 	int a = m.availA ? dc_cbf_of(m, m.mbi - 1, comp)
 	                 : cbf_nbr(m, false, false, 0);
 	int b = m.availB ? dc_cbf_of(m, m.mbi - m.mbW, comp)
@@ -129,7 +129,7 @@ static int cbf_inc_dc(Decoder::MbCtx &m, int comp) {
 // ---------------------------------------------------------------------------
 // Residual block decoding (§9.3.2.3 + 9.3.3.1.3): significance map then
 // levels in reverse scan order, un-zigzagged into `out`.
-static void parse_block_cabac(Decoder &d, int cat, int startIdx, int endIdx,
+static void parse_block_cabac(Task &d, int cat, int startIdx, int endIdx,
                               const uint8_t *scan, int16_t *out,
                               const uint8_t *sig_inc, const uint8_t *last_inc) {
 	Cabac &c = d.cab;
@@ -176,7 +176,7 @@ static void parse_block_cabac(Decoder &d, int cat, int startIdx, int endIdx,
 }
 
 // §9.3.3.1.1.5 mb_qp_delta
-static int parse_mb_qp_delta_cabac(Decoder &d) {
+static int parse_mb_qp_delta_cabac(Task &d) {
 	Cabac &c = d.cab;
 	int nz = c.decode(60 + d.mb_qp_delta_nz);
 	d.mb_qp_delta_nz = nz;
@@ -191,8 +191,8 @@ static int parse_mb_qp_delta_cabac(Decoder &d) {
 }
 
 // ---------------------------------------------------------------------------
-// Residuals for a whole macroblock (mirrors Decoder::parse_residuals)
-void Decoder::parse_residuals_cabac(MbCtx &m, int cbp, bool is16) {
+// Residuals for a whole macroblock (mirrors Task::parse_residuals)
+void Task::parse_residuals_cabac(MbCtx &m, int cbp, bool is16) {
 	Planes &pl = m.pl;
 	static const uint8_t scan2x2[4] = {0, 1, 2, 3};
 	if (is16) {
@@ -270,7 +270,7 @@ void Decoder::parse_residuals_cabac(MbCtx &m, int cbp, bool is16) {
 // ---------------------------------------------------------------------------
 // coded_block_pattern (§9.3.3.1.1.4).  Luma bins use the neighbouring 8x8
 // blocks' cbp bits (condTerm = bit == 0); chroma bins compare cbpChroma.
-static int parse_cbp_cabac(Decoder &d, Decoder::MbCtx &m) {
+static int parse_cbp_cabac(Task &d, Task::MbCtx &m) {
 	Planes &pl = m.pl;
 	Cabac &c = d.cab;
 	int cbp = 0;
@@ -303,7 +303,7 @@ static int parse_cbp_cabac(Decoder &d, Decoder::MbCtx &m) {
 
 // ---------------------------------------------------------------------------
 // Intra macroblocks (ctx_base: 3+inc for I slices, 17 in P, 32 in B)
-int Decoder::parse_I_mb_cabac(MbCtx &m, int ctx_base) {
+int Task::parse_I_mb_cabac(MbCtx &m, int ctx_base) {
 	Planes &pl = m.pl;
 	int in_p = ctx_base == 17, in_b = ctx_base == 32;
 
@@ -355,7 +355,7 @@ int Decoder::parse_I_mb_cabac(MbCtx &m, int ctx_base) {
 				pl.i8_modes[b8] = (uint8_t)(mode | aA << 4 | aB << 5 |
 				                            aC8[b] << 6 | aD8[b] << 7);
 			}
-			if (log_cb && log_mbs) {
+			if (logdec && log_mbs) {
 				logf("    rem_intra8x8_pred_modes: [");
 				for (int b = 0; b < 4; b++)
 					logf(b ? ",%d" : "%d", rems8[b]);
@@ -415,7 +415,7 @@ int Decoder::parse_I_mb_cabac(MbCtx &m, int ctx_base) {
 				(m.blkD_avail(i) << 7);
 			pl.i4_modes[m.gblk(i)] = (uint8_t)(mode | bits);
 		}
-		if (log_cb && log_mbs) {
+		if (logdec && log_mbs) {
 			logf("    rem_intra4x4_pred_modes: [");
 			for (int i = 0; i < 16; i++)
 				logf(i ? ",%d" : "%d", rems[i]);
@@ -510,7 +510,7 @@ int Decoder::parse_I_mb_cabac(MbCtx &m, int ctx_base) {
 }
 
 // intra_chroma_pred_mode (§9.3.3.1.1.8), shared by I_NxN and I16x16
-int Decoder::parse_chroma_mode_cabac(MbCtx &m) {
+int Task::parse_chroma_mode_cabac(MbCtx &m) {
 	Planes &pl = m.pl;
 	auto nz = [&](size_t nmb) {
 		uint8_t v = pl.ch_modes[nmb];
@@ -532,7 +532,7 @@ int Decoder::parse_chroma_mode_cabac(MbCtx &m) {
 
 // ref_idx (§9.3.3.1.1.6): unary with ctx 54+inc, 58, 59; condTerm uses the
 // per-8x8 "refIdx parsed nonzero" markers (direct/skip/intra count 0).
-static int parse_ref_idx_cabac(Decoder &d, Decoder::MbCtx &m, int list,
+static int parse_ref_idx_cabac(Task &d, Task::MbCtx &m, int list,
                                int x4, int y4, int nrefs) {
 	Planes &pl = m.pl;
 	int W2 = m.mbW * 2;
@@ -563,7 +563,7 @@ static int parse_ref_idx_cabac(Decoder &d, Decoder::MbCtx &m, int list,
 	return ref < nrefs ? ref : nrefs - 1;
 }
 
-static void set_refnz(Decoder::MbCtx &m, int list, int x4, int y4,
+static void set_refnz(Task::MbCtx &m, int list, int x4, int y4,
                       int w4, int h4, int ref) {
 	if (ref <= 0)
 		return;
@@ -576,7 +576,7 @@ static void set_refnz(Decoder::MbCtx &m, int list, int x4, int y4,
 
 // mvd (§9.3.3.1.1.7): ctx base 40 (x) / 47 (y); inc from the sum of
 // neighbouring cells' |mvd| of the same component and list.
-static int parse_mvd_comp_cabac(Decoder &d, Decoder::MbCtx &m, int list,
+static int parse_mvd_comp_cabac(Task &d, Task::MbCtx &m, int list,
                                 int comp, int x4, int y4) {
 	Planes &pl = m.pl;
 	int BW = m.mbW * 4;
@@ -602,7 +602,7 @@ static int parse_mvd_comp_cabac(Decoder &d, Decoder::MbCtx &m, int list,
 	return d.cab.bypass() ? -v : v;
 }
 
-static void store_absmvd(Decoder::MbCtx &m, int list, int x4, int y4,
+static void store_absmvd(Task::MbCtx &m, int list, int x4, int y4,
                          int w4, int h4, int mvdx, int mvdy) {
 	int BW = m.mbW * 4;
 	int ax = mvdx < 0 ? -mvdx : mvdx;
@@ -619,7 +619,7 @@ static void store_absmvd(Decoder::MbCtx &m, int list, int x4, int y4,
 }
 
 // mb_skip_flag ctx (§9.3.3.1.1.1): base 11 (P) / 24 (B)
-static int skip_inc(Decoder::MbCtx &m) {
+static int skip_inc(Task::MbCtx &m) {
 	Planes &pl = m.pl;
 	int a = m.availA && !(pl.mb_flags[m.mbi - 1] & MBF_SKIP);
 	int b = m.availB && !(pl.mb_flags[m.mbi - m.mbW] & MBF_SKIP);
@@ -627,7 +627,7 @@ static int skip_inc(Decoder::MbCtx &m) {
 }
 
 // ---------------------------------------------------------------------------
-int Decoder::parse_P_mb_cabac(MbCtx &m) {
+int Task::parse_P_mb_cabac(MbCtx &m) {
 	Planes &pl = m.pl;
 	int skip = cab.decode(11 + skip_inc(m));
 	logf("    mb_skip_flag: %u\n", skip);
@@ -764,7 +764,7 @@ static const uint8_t b_sub_use_c[13] = {0, 1, 2, 3, 1, 1, 2, 2, 3, 3, 1, 2, 3};
 static const uint8_t b_sub_w_c[13] = {2, 2, 2, 2, 2, 1, 2, 1, 2, 1, 1, 1, 1};
 static const uint8_t b_sub_h_c[13] = {2, 2, 2, 2, 1, 2, 1, 2, 1, 2, 1, 1, 1};
 
-int Decoder::parse_B_mb_cabac(MbCtx &m) {
+int Task::parse_B_mb_cabac(MbCtx &m) {
 	Planes &pl = m.pl;
 	int skip = cab.decode(24 + skip_inc(m));
 	logf("    mb_skip_flag: %u\n", skip);
@@ -1031,7 +1031,7 @@ int Decoder::parse_B_mb_cabac(MbCtx &m) {
 }
 
 // ---------------------------------------------------------------------------
-int Decoder::parse_slice_data_cabac() {
+int Task::parse_slice_data_cabac() {
 	MbCtx m(*this);
 	// I slices use init table 0; P/B use 1 + cabac_init_idc (slice.cpp
 	// stores sh.cabac_init_idc = 1 + idc for P/B, 0 for I)

@@ -14,20 +14,20 @@ int parse_residual_cavlc(BitReader &gb, int nC, int max_coeff,
                          const uint8_t *scan, int16_t *out);
 
 // Out-of-line MbCtx helpers (declared in e264t.h).
-int Decoder::MbCtx::gbx(int i) const { return mx * 4 + blk4_x[i]; }
-int Decoder::MbCtx::gby(int i) const { return my * 4 + blk4_y[i]; }
-size_t Decoder::MbCtx::gblk(int i) const {
+int Task::MbCtx::gbx(int i) const { return mx * 4 + blk4_x[i]; }
+int Task::MbCtx::gby(int i) const { return my * 4 + blk4_y[i]; }
+size_t Task::MbCtx::gblk(int i) const {
 	return (size_t)gby(i) * (mbW * 4) + gbx(i);
 }
 
 // availability of neighbour 4x4 blocks for intra prediction / nC
-bool Decoder::MbCtx::blkA_avail(int i) const {
+bool Task::MbCtx::blkA_avail(int i) const {
 	return blk4_x[i] > 0 ? true : availA;
 }
-bool Decoder::MbCtx::blkB_avail(int i) const {
+bool Task::MbCtx::blkB_avail(int i) const {
 	return blk4_y[i] > 0 ? true : availB;
 }
-bool Decoder::MbCtx::blkC_avail(int i) const {
+bool Task::MbCtx::blkC_avail(int i) const {
 	int bx = blk4_x[i], by = blk4_y[i];
 	if (by == 0) return bx < 3 ? availB : availC;
 	if (bx == 3) return false;          // right column: decoded later
@@ -36,7 +36,7 @@ bool Decoder::MbCtx::blkC_avail(int i) const {
 		{0, 1, 4, 5}, {2, 3, 6, 7}, {8, 9, 12, 13}, {10, 11, 14, 15}};
 	return ord[by - 1][bx + 1] < i;
 }
-bool Decoder::MbCtx::blkD_avail(int i) const {
+bool Task::MbCtx::blkD_avail(int i) const {
 	int bx = blk4_x[i], by = blk4_y[i];
 	if (bx == 0 && by == 0) return availD;
 	if (by == 0) return availB;
@@ -45,7 +45,7 @@ bool Decoder::MbCtx::blkD_avail(int i) const {
 }
 
 // nC of neighbour luma blocks (total_coeff; PCM mbs carry 16)
-int Decoder::MbCtx::nC_luma(int i) const {
+int Task::MbCtx::nC_luma(int i) const {
 	int sum = 0, have = 0;
 	if (blkA_avail(i)) {
 		size_t n = (size_t)gby(i) * (mbW * 4) + gbx(i) - 1;
@@ -58,7 +58,7 @@ int Decoder::MbCtx::nC_luma(int i) const {
 	return have == 3 ? (sum + 1) >> 1 : sum;
 }
 // chroma 4x4 block (cx,cy in 0..1 within mb), comp 0=cb 1=cr
-int Decoder::MbCtx::nC_chroma(int comp, int cx, int cy) const {
+int Task::MbCtx::nC_chroma(int comp, int cx, int cy) const {
 	int W2 = mbW * 2;
 	int gx = mx * 2 + cx, gy = my * 2 + cy;
 	int sum = 0, have = 0;
@@ -70,12 +70,12 @@ int Decoder::MbCtx::nC_chroma(int comp, int cx, int cy) const {
 }
 
 // parsed intra mode of a neighbour block, or -1 if not intra NxN
-int Decoder::MbCtx::neighbor_mode_A(int i) const {
+int Task::MbCtx::neighbor_mode_A(int i) const {
 	if (!blkA_avail(i)) return -1;
 	uint8_t v = pl.i4_modes[(size_t)gby(i) * (mbW * 4) + gbx(i) - 1];
 	return v == 0xFF ? -1 : v & 15;
 }
-int Decoder::MbCtx::neighbor_mode_B(int i) const {
+int Task::MbCtx::neighbor_mode_B(int i) const {
 	if (!blkB_avail(i)) return -1;
 	uint8_t v = pl.i4_modes[(size_t)(gby(i) - 1) * (mbW * 4) + gbx(i)];
 	return v == 0xFF ? -1 : v & 15;
@@ -86,9 +86,9 @@ int Decoder::MbCtx::neighbor_mode_B(int i) const {
 // signalling them then)
 // trace line per residual block, matching the reference's
 // "- {nC: %u, c: [...]}" schema (edge264_slice.c:265-297)
-static void log_block(Decoder &d, int nC, int tc, const uint8_t *scan, int n,
+static void log_block(Task &d, int nC, int tc, const uint8_t *scan, int n,
                       const int16_t *out) {
-	if (!d.log_cb || !d.log_mbs)
+	if (!d.logdec || !d.log_mbs)
 		return;
 	if (!tc) {
 		d.logf("    - {nC: %d}\n", nC);
@@ -105,7 +105,7 @@ static const uint16_t mode_needs_A =
 static const uint16_t mode_needs_B =
 	1 << 0 | 1 << 3 | 1 << 4 | 1 << 5 | 1 << 6 | 1 << 7;
 
-int Decoder::parse_I_mb(MbCtx &m, int mb_type) {
+int Task::parse_I_mb(MbCtx &m, int mb_type) {
 	Planes &pl = m.pl;
 
 	if (mb_type == 25) {   // ---- I_PCM -------------------------------------
@@ -184,7 +184,7 @@ int Decoder::parse_I_mb(MbCtx &m, int mb_type) {
 				pl.i8_modes[b8] = (uint8_t)(mode | aA << 4 | aB << 5 |
 				                            aC8[b] << 6 | aD8[b] << 7);
 			}
-			if (log_cb && log_mbs) {
+			if (logdec && log_mbs) {
 				logf("    rem_intra8x8_pred_modes: [");
 				for (int b = 0; b < 4; b++)
 					logf(b ? ",%d" : "%d", rems[b]);
@@ -242,7 +242,7 @@ int Decoder::parse_I_mb(MbCtx &m, int mb_type) {
 				(m.blkD_avail(i) << 7);
 			pl.i4_modes[m.gblk(i)] = (uint8_t)(mode | bits);
 		}
-		if (log_cb && log_mbs) {
+		if (logdec && log_mbs) {
 			logf("    rem_intra4x4_pred_modes: [");
 			for (int i = 0; i < 16; i++)
 				logf(i ? ",%d" : "%d", rems[i]);
@@ -285,7 +285,7 @@ int Decoder::parse_I_mb(MbCtx &m, int mb_type) {
 	return 0;
 }
 
-void Decoder::set_mb_qp(MbCtx &m) {
+void Task::set_mb_qp(MbCtx &m) {
 	Planes &pl = m.pl;
 	pl.qp[m.mbi * 4 + 0] = (int8_t)m.qp;
 	pl.qp[m.mbi * 4 + 1] = (int8_t)chroma_qp(m.qp, cpps->chroma_qp_index_offset);
@@ -295,7 +295,7 @@ void Decoder::set_mb_qp(MbCtx &m) {
 
 // Shared residual syntax for I and P/B macroblocks (§7.3.5.3, CAVLC):
 // Intra16x16 luma DC, luma 4x4 AC/full blocks per CBP, chroma DC + AC.
-void Decoder::parse_residuals(MbCtx &m, int cbp, bool is16) {
+void Task::parse_residuals(MbCtx &m, int cbp, bool is16) {
 	Planes &pl = m.pl;
 	if (is16) {
 		int nC = m.nC_luma(0);
@@ -382,7 +382,7 @@ void Decoder::parse_residuals(MbCtx &m, int cbp, bool is16) {
 
 // ---------------------------------------------------------------------------
 // Slice data loop (§7.3.4), CAVLC.
-int Decoder::parse_slice_data_cavlc() {
+int Task::parse_slice_data_cavlc() {
 	MbCtx m(*this);
 	int mb_addr = sh.first_mb;
 	int n_mbs = m.mbW * m.mbH;

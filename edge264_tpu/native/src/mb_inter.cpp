@@ -15,7 +15,7 @@ extern const uint8_t blk4_x[16], blk4_y[16];
 // ---------------------------------------------------------------------------
 // Neighbour fetch for MVP (§8.4.1.3.2 + decode-order availability 6.4.11.7)
 
-Decoder::MbCtx::NbMv Decoder::MbCtx::fetch_mv(int gx, int gy, int list) const {
+Task::MbCtx::NbMv Task::MbCtx::fetch_mv(int gx, int gy, int list) const {
 	NbMv n{0, -1, 0, 0};
 	int BW = mbW * 4;
 	if (gx < 0 || gy < 0 || gx >= BW)
@@ -49,7 +49,7 @@ static int median3(int a, int b, int c) {
 
 // shape: 0 = square/other, 1 = 16x8 top, 2 = 16x8 bottom, 3 = 8x16 left,
 // 4 = 8x16 right (the directional overrides of §8.4.1.3)
-void Decoder::MbCtx::mvp_median(int list, int refIdx, int x4, int y4,
+void Task::MbCtx::mvp_median(int list, int refIdx, int x4, int y4,
                                 int w4, int h4, int shape,
                                 int *mvpx, int *mvpy) const {
 	int gx = mx * 4 + x4, gy = my * 4 + y4;
@@ -86,7 +86,7 @@ void Decoder::MbCtx::mvp_median(int list, int refIdx, int x4, int y4,
 	*mvpy = median3(A.mvy, B.mvy, C.mvy);
 }
 
-void Decoder::MbCtx::store_mv(int list, int x4, int y4, int w4, int h4,
+void Task::MbCtx::store_mv(int list, int x4, int y4, int w4, int h4,
                               int refIdx, int slot, int mvx, int mvy) {
 	int BW = mbW * 4;
 	for (int dy = 0; dy < h4; dy++) {
@@ -103,7 +103,7 @@ void Decoder::MbCtx::store_mv(int list, int x4, int y4, int w4, int h4,
 }
 
 // mark an intra (or missing) mb's cells in the mv planes
-void Decoder_clear_inter_cells(Decoder::MbCtx &m) {
+void Decoder_clear_inter_cells(Task::MbCtx &m) {
 	int BW = m.mbW * 4;
 	for (int dy = 0; dy < 4; dy++) {
 		for (int dx = 0; dx < 4; dx++) {
@@ -122,7 +122,7 @@ void Decoder_clear_inter_cells(Decoder::MbCtx &m) {
 // Resolve explicit prediction weights per 8x8 quadrant into the wp planes
 // (§8.4.2.3.2 resolved at parse time so the device kernel needs no
 // per-refIdx lookups).
-void Decoder_fill_wp(Decoder &d, Decoder::MbCtx &m) {
+void Decoder_fill_wp(Task &d, Task::MbCtx &m) {
 	Planes &pl = m.pl;
 	int8_t *wp = &pl.wp[m.mbi * 24];
 	wp[0] = (int8_t)d.sh.weighted_bipred_idc;
@@ -193,7 +193,7 @@ int parse_ref_idx_te(BitReader &gb, int max) {
 }
 
 // P_Skip motion inference (§8.4.1.1)
-void Decoder_P_skip(Decoder &d, Decoder::MbCtx &m) {
+void Decoder_P_skip(Task &d, Task::MbCtx &m) {
 	int gx = m.mx * 4, gy = m.my * 4;
 	auto A = m.fetch_mv(gx - 1, gy, 0);
 	auto B = m.fetch_mv(gx, gy - 1, 0);
@@ -210,7 +210,7 @@ void Decoder_P_skip(Decoder &d, Decoder::MbCtx &m) {
 }
 
 // ---------------------------------------------------------------------------
-int Decoder::parse_P_mb(MbCtx &m, int &skip_run) {
+int Task::parse_P_mb(MbCtx &m, int &skip_run) {
 	Planes &pl = m.pl;
 
 	if (skip_run < 0) {
@@ -343,14 +343,14 @@ int Decoder::parse_P_mb(MbCtx &m, int &skip_run) {
 static int clip3(int lo, int hi, int v) { return v < lo ? lo : v > hi ? hi : v; }
 
 // PicOrderCnt of a frame (progressive: min of the two field counts)
-static int poc_of(const Decoder &d, int slot) {
+static int poc_of(const Task &d, int slot) {
 	int a = d.Poc[0][slot], b = d.Poc[1][slot];
 	return a < b ? a : b;
 }
 
 // §8.4.1.2.2 spatial + §8.4.1.2.3 temporal direct prediction for the 8x8
 // quadrants in quad_mask of the current mb.
-void Decoder_direct_mv_pred(Decoder &d, Decoder::MbCtx &m, int quad_mask) {
+void Decoder_direct_mv_pred(Task &d, Task::MbCtx &m, int quad_mask) {
 	int colslot = d.sh.RefPicList[1][0];
 	Planes &cp = d.planes[colslot < 0 ? 0 : colslot];
 	int BW = m.mbW * 4;
@@ -490,7 +490,7 @@ static const uint8_t b_sub_use[13] = {0, 1, 2, 3, 1, 1, 2, 2, 3, 3, 1, 2, 3};
 static const uint8_t b_sub_w[13] = {2, 2, 2, 2, 2, 1, 2, 1, 2, 1, 1, 1, 1};
 static const uint8_t b_sub_h[13] = {2, 2, 2, 2, 1, 2, 1, 2, 1, 2, 1, 1, 1};
 
-int Decoder::parse_B_mb(MbCtx &m, int &skip_run) {
+int Task::parse_B_mb(MbCtx &m, int &skip_run) {
 	Planes &pl = m.pl;
 
 	if (skip_run < 0) {

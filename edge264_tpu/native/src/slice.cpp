@@ -521,21 +521,49 @@ int Decoder::parse_slice() {
 		}
 	}
 
-	// parse the slice data into the syntax planes
+	// parse the slice data into the syntax planes (via a Task snapshot,
+	// the reference's initialize_task analog, edge264_headers.c:895-945)
 	slice_count[curr]++;
-	int err;
 	logf(cpps->entropy_coding_mode ? "  macroblocks_cabac:\n"
 	                               : "  macroblocks_cavlc:\n");
-	if (cpps->entropy_coding_mode)
-		err = parse_slice_data_cabac();
-	else
-		err = parse_slice_data_cavlc();
+	init_task(stask);
+	int err = stask.run();
+	rbsp.swap(stask.rbsp);       // reclaim the buffer for the next NAL
 	events.push_back({EV_SLICE_DONE, curr, sh.first_mb, 0, sh.slice_type, err});
 	if (remaining_mbs[curr] <= 0 && !complete[curr]) {
 		complete[curr] = 1;
 		events.push_back({EV_FRAME_DONE, curr, FrameIds[curr], 0, 0, 0});
 	}
 	return 0;
+}
+
+// Snapshot everything the slice-data parse needs.  The bitstream buffer
+// moves into the task (swap — the heap block keeps its address, so the
+// copied BitReader's pointers stay valid).
+void Decoder::init_task(Task &t) {
+	t.sh = sh;
+	t.pps_storage = *cpps;
+	t.cpps = &t.pps_storage;
+	t.sps = sps;
+	t.curr = curr;
+	memcpy(t.Poc, Poc, sizeof(Poc));
+	t.curr_st = curr_st;
+	t.curr_lt = curr_lt;
+	t.planes = planes;
+	t.remaining_mbs = remaining_mbs;
+	t.mb_qp_delta_nz = 0;
+	t.slice_idx = slice_count[curr];
+	t.logdec = log_cb ? this : nullptr;
+	t.log_mbs = log_mbs;
+	t.dep_slot = sh.slice_type == 1 ? sh.RefPicList[1][0] : -1;
+	t.err = 0;
+	t.rbsp.swap(rbsp);
+	t.gb = gb;
+}
+
+int Task::run() {
+	return cpps->entropy_coding_mode ? parse_slice_data_cabac()
+	                                 : parse_slice_data_cavlc();
 }
 
 

@@ -415,7 +415,8 @@ def deblock_pallas_batch(ys, cbs, crs, p, bs_v, bs_h, mbW, mbH,
                         pltpu.VMEM((8, Lc), jnp.int32),
                         pltpu.VMEM((8, Lc), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*ins)
     y = jnp.stack([_unshear_tiles(ey[:, k * mbH:(k + 1) * mbH], mbW, mbH,

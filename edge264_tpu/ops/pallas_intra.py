@@ -108,7 +108,9 @@ def _plane_sum(nb, idx_p, idx_m, n):
 def _kernel(fl, i16m, chm, i4m, i8m, ry, rcb, rcr, xy, xcb, xcr,
             val, w4, w8, w16, wch, wf8,
             oy, ocb, ocr,
-            A, B, C, Ab, Bb, Cb_, Ar, Br, Cr_, Xs, NBs):
+            A, B, C, Ab, Bb, Cb_, Ar, Br, Cr_, Xs, NBs, *, mbHf):
+    # mbHf: one frame's mb-row count; the tile axis may hold several
+    # lockstep frames back to back (batched GOP decode)
     mbH = fl.shape[1]
     w = pl.program_id(0)
 
@@ -127,9 +129,12 @@ def _kernel(fl, i16m, chm, i4m, i8m, ry, rcb, rcr, xy, xcb, xcr,
     is_i8 = is_intra & is_t8 & ~is_pcm
 
     def shift_my(t):
-        """tile sublane shift: out[my] = t[my-1] (zero row in)."""
+        """tile sublane shift: out[my] = t[my-1], zero row in at every
+        FRAME start (the tile axis holds mbHf-row frames back to back)."""
         r = jnp.roll(t, 1, axis=0)
         sub = lax.broadcasted_iota(I32, t.shape, 0)
+        if mbHf != t.shape[0]:
+            sub = sub % mbHf
         return jnp.where(sub < 1, 0, r)
 
     # the working luma tile lives in a VMEM scratch ref (Xs): in-place
@@ -359,39 +364,58 @@ def _kernel(fl, i16m, chm, i4m, i8m, ry, rcb, rcr, xy, xcb, xcr,
 def intra_pallas(y, cb, cr, res_y, res_cb, res_cr, p, mbW, mbH,
                  interpret=False):
     """Drop-in for jaxdec.intra_scan_sheared as a single Mosaic kernel."""
+    ys, cbs, crs = intra_pallas_batch(
+        y[None], cb[None], cr[None], res_y[None], res_cb[None],
+        res_cr[None], {k: v[None] for k, v in p.items()}, mbW, mbH,
+        interpret=interpret)
+    return ys[0], cbs[0], crs[0]
+
+
+def intra_pallas_batch(ys, cbs, crs, res_ys, res_cbs, res_crs, p, mbW,
+                       mbH, interpret=False):
+    """Intra-reconstruct K independent same-geometry frames in LOCKSTEP:
+    one Mosaic kernel whose wave steps carry all K frames' diagonal tiles
+    back to back on the tile axis (amortizes the per-wave fixed cost;
+    see deblock_pallas_batch).  ys [K,16mbH,16mbW] int32, p stacked."""
+    K = ys.shape[0]
     NW = mbW + 2 * mbH - 2
     valid = np.zeros((NW, mbH), np.int32)
     for s in range(NW):
         mx = s - 2 * np.arange(mbH)
         valid[s] = ((0 <= mx) & (mx < mbW)).astype(np.int32)
+    valid = np.tile(valid, (1, K))
 
-    # mb-level planes carry a trailing singleton so their BlockSpec
-    # satisfies Mosaic's (8,128)-divisible-or-full rule
     # I_PCM pixels are terminal content: blend them into the input frame
     # up front (the kernel preserves non-i4/i8/i16 tiles, so later mbs'
     # neighbour reads see them) -- keeps 3 plane streams out of VMEM
     pcm_mb = (p["mb_flags"] & MBF_IPCM) > 0
-    if True:
-        m16 = jnp.repeat(jnp.repeat(pcm_mb, 16, 0), 16, 1)
-        m8 = jnp.repeat(jnp.repeat(pcm_mb, 8, 0), 8, 1)
-        y = jnp.where(m16, p["pcm_y"], y)
-        cb = jnp.where(m8, p["pcm_c"][0], cb)
-        cr = jnp.where(m8, p["pcm_c"][1], cr)
+    m16 = jnp.repeat(jnp.repeat(pcm_mb, 16, 1), 16, 2)
+    m8 = jnp.repeat(jnp.repeat(pcm_mb, 8, 1), 8, 2)
+    ys = jnp.where(m16, p["pcm_y"], ys)
+    cbs = jnp.where(m8, p["pcm_c"][:, 0], cbs)
+    crs = jnp.where(m8, p["pcm_c"][:, 1], crs)
+
+    cat = lambda parts, ax=1: (jnp.concatenate(parts, axis=ax)
+                               if K > 1 else parts[0])
+    shp = lambda pk: cat([_shear_plane(p[pk][k], mbW, mbH, extra=0)
+                          for k in range(K)])
+    sht = lambda a, ts: cat([_shear_tiles(a[k], mbW, mbH, ts, extra=0)
+                             for k in range(K)])
     ins = [
-        _shear_plane(p["mb_flags"], mbW, mbH, extra=0)[..., None],
-        _shear_plane(p["i16_modes"], mbW, mbH, extra=0)[..., None],
-        _shear_plane(p["ch_modes"], mbW, mbH, extra=0)[..., None],
+        # mb-level planes carry a trailing singleton so their BlockSpec
+        # satisfies Mosaic's (8,128)-divisible-or-full rule
+        shp("mb_flags")[..., None],
+        shp("i16_modes")[..., None],
+        shp("ch_modes")[..., None],
         # mode tiles flatten to [mbH, by*4+bx] / [mbH, by8*2+bx8]
-        _shear_tiles(p["i4_modes"], mbW, mbH, 4,
-                     extra=0).reshape(NW, mbH, 16),
-        _shear_tiles(p["i8_modes"], mbW, mbH, 2,
-                     extra=0).reshape(NW, mbH, 4),
-        _shear_tiles(res_y, mbW, mbH, 16, extra=0),
-        _shear_tiles(res_cb, mbW, mbH, 8, extra=0),
-        _shear_tiles(res_cr, mbW, mbH, 8, extra=0),
-        _shear_tiles(y, mbW, mbH, 16, extra=0),
-        _shear_tiles(cb, mbW, mbH, 8, extra=0),
-        _shear_tiles(cr, mbW, mbH, 8, extra=0),
+        cat([_shear_tiles(p["i4_modes"][k], mbW, mbH, 4,
+                          extra=0).reshape(NW, mbH, 16)
+             for k in range(K)]),
+        cat([_shear_tiles(p["i8_modes"][k], mbW, mbH, 2,
+                          extra=0).reshape(NW, mbH, 4)
+             for k in range(K)]),
+        sht(res_ys, 16), sht(res_cbs, 8), sht(res_crs, 8),
+        sht(ys, 16), sht(cbs, 8), sht(crs, 8),
         jnp.asarray(valid)[..., None],
     ]
     wts = [jnp.asarray(W.T.copy(), jnp.float32)
@@ -402,24 +426,32 @@ def intra_pallas(y, cb, cr, res_y, res_cb, res_cr, p, mbW, mbH,
         nd = len(shape)
         return pl.BlockSpec(blk, lambda w, nd=nd: (w,) + (0,) * (nd - 1))
 
-    out_shapes = (jax.ShapeDtypeStruct((NW, mbH, 16, 16), I32),
-                  jax.ShapeDtypeStruct((NW, mbH, 8, 8), I32),
-                  jax.ShapeDtypeStruct((NW, mbH, 8, 8), I32))
-    scratch = [pltpu.VMEM((mbH, 16, 16), I32)] * 3 + \
-        [pltpu.VMEM((mbH, 8, 8), I32)] * 6 + \
-        [pltpu.VMEM((mbH, 16, 16), I32), pltpu.VMEM((mbH, 40), I32)]
+    KH = K * mbH
+    out_shapes = (jax.ShapeDtypeStruct((NW, KH, 16, 16), I32),
+                  jax.ShapeDtypeStruct((NW, KH, 8, 8), I32),
+                  jax.ShapeDtypeStruct((NW, KH, 8, 8), I32))
+    scratch = [pltpu.VMEM((KH, 16, 16), I32)] * 3 + \
+        [pltpu.VMEM((KH, 8, 8), I32)] * 6 + \
+        [pltpu.VMEM((KH, 16, 16), I32), pltpu.VMEM((KH, 40), I32)]
     wspec = [pl.BlockSpec(wt.shape, lambda w: (0, 0)) for wt in wts]
     ey, ecb, ecr = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, mbHf=mbH),
         grid=(NW,),
         in_specs=[spec(a.shape) for a in ins] + wspec,
         out_specs=tuple(spec(s.shape) for s in out_shapes),
         out_shape=out_shapes,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            # the unrolled substeps' temporaries exceed the default 16M
+            # scoped-vmem budget for K > 1 (v5e has 128M physical)
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*ins, *wts)
-    return (_unshear_tiles(ey, mbW, mbH, 16, shift=0),
-            _unshear_tiles(ecb, mbW, mbH, 8, shift=0),
-            _unshear_tiles(ecr, mbW, mbH, 8, shift=0))
+    y = jnp.stack([_unshear_tiles(ey[:, k * mbH:(k + 1) * mbH], mbW, mbH,
+                                  16, shift=0) for k in range(K)])
+    cb = jnp.stack([_unshear_tiles(ecb[:, k * mbH:(k + 1) * mbH], mbW,
+                                   mbH, 8, shift=0) for k in range(K)])
+    cr = jnp.stack([_unshear_tiles(ecr[:, k * mbH:(k + 1) * mbH], mbW,
+                                   mbH, 8, shift=0) for k in range(K)])
+    return y, cb, cr
