@@ -60,7 +60,7 @@ class Decoder:
                  device=None, backend: str = "numpy"):
         from .core import DecoderCore
         self._core = DecoderCore(log_cb=log_cb, log_mbs=log_mbs, device=device,
-                                 backend=backend)
+                                 backend=backend, n_tasks=n_tasks)
 
     # -- streaming ---------------------------------------------------------
     def decode_nal(self, buf: bytes | memoryview | None) -> int:
@@ -104,5 +104,10 @@ def decode_annexb(stream: bytes, **kw):
                 stall = 0
             if res != errno.ENOBUFS:
                 pos = end + 3
-            elif stall > 64:      # incomplete frames can never complete
-                break
+            elif stall > 0:
+                # frame-task mode: the head frame may still be parsing on
+                # a worker; block for it instead of spinning
+                if dec._core.wait_frame() == 0:
+                    continue
+                if stall > 64:    # incomplete frames can never complete
+                    break

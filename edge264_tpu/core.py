@@ -71,8 +71,12 @@ class NumpyBackend:
 
 class DecoderCore:
     def __init__(self, log_cb=None, log_mbs=False, device=None,
-                 backend: str = "numpy"):
-        self._nd = NativeDecoder(log=log_cb is not None, log_mbs=log_mbs)
+                 backend: str = "numpy", n_tasks: int = 0):
+        # frame-task workers and YAML logging are mutually exclusive (the
+        # native layer falls back to synchronous when logging is on, like
+        # the reference's separate logs build variant)
+        self._nd = NativeDecoder(log=log_cb is not None, log_mbs=log_mbs,
+                                 n_tasks=n_tasks)
         self._log_cb = log_cb
         self._store = FrameStore()
         self._errors = {}         # slot -> mb_errors plane (or None)
@@ -116,7 +120,17 @@ class DecoderCore:
         self._handle(events)
         return ret
 
+    def wait_frame(self) -> int:
+        """Block until the oldest queued output frame completes (frame-task
+        mode); then drain the retirement events so its planes reconstruct."""
+        r = self._nd.wait_frame()
+        self._handle(self._nd.poll())
+        return r
+
     def get_frame(self, borrow: bool = False) -> Frame | None:
+        # worker tasks may have retired frames since the last decode_nal:
+        # drain their events first so the store holds the planes
+        self._handle(self._nd.poll())
         info = self._nd.get_frame(borrow=False)
         if info is None:
             return None

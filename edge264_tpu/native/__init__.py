@@ -18,9 +18,9 @@ _SRC = os.path.join(_DIR, "src")
 _LIB = os.path.join(_DIR, "libe264t.so")
 
 SOURCES = ["tables.cpp", "cabac_tables.cpp", "cavlc.cpp", "cabac.cpp", "headers.cpp", "slice.cpp",
-           "mb_cavlc.cpp", "mb_inter.cpp", "mb_cabac.cpp", "api.cpp"]
+           "mb_cavlc.cpp", "mb_inter.cpp", "mb_cabac.cpp", "tasks.cpp", "api.cpp"]
 CXXFLAGS = ["-std=c++17", "-O3", "-march=native", "-fno-plt", "-fPIC",
-            "-shared", "-Wall", "-Wno-unused-function"]
+            "-shared", "-pthread", "-Wall", "-Wno-unused-function"]
 
 
 def _needs_build() -> bool:
@@ -98,6 +98,9 @@ def load():
         lib.e264t_set_logging.argtypes = [C.c_void_p, C.c_int, C.c_int]
         lib.e264t_slot_info.argtypes = [C.c_void_p, C.c_int,
                                         C.POINTER(C.c_int32)]
+        lib.e264t_set_threads.argtypes = [C.c_void_p, C.c_int]
+        lib.e264t_wait_frame.argtypes = [C.c_void_p]
+        lib.e264t_wait_frame.restype = C.c_int
         _lib = lib
     return _lib
 
@@ -164,11 +167,14 @@ class SyntaxPlanes:
 class NativeDecoder:
     """Thin pythonic wrapper over the C ABI."""
 
-    def __init__(self, log: bool = False, log_mbs: bool = False):
+    def __init__(self, log: bool = False, log_mbs: bool = False,
+                 n_tasks: int = 0):
         self._lib = load()
         self._h = self._lib.e264t_alloc()
         if log or log_mbs:
             self._lib.e264t_set_logging(self._h, 1, 1 if log_mbs else 0)
+        if n_tasks:
+            self._lib.e264t_set_threads(self._h, n_tasks)
         self._logbuf = C.create_string_buffer(1 << 22)
 
     def close(self):
@@ -186,6 +192,20 @@ class NativeDecoder:
         while self._lib.e264t_poll(self._h, C.byref(ev)):
             evs.append((ev.kind, ev.slot, ev.a, ev.b, ev.c, ev.d))
         return ret, evs
+
+    def poll(self) -> list:
+        """Drain pending events (frames retired by worker tasks since the
+        last decode_nal surface here)."""
+        evs = []
+        ev = Event()
+        while self._lib.e264t_poll(self._h, C.byref(ev)):
+            evs.append((ev.kind, ev.slot, ev.a, ev.b, ev.c, ev.d))
+        return evs
+
+    def wait_frame(self) -> int:
+        """Block until the oldest queued output frame completes; 0 when a
+        frame should be gettable, -1 if no tasks are in flight."""
+        return self._lib.e264t_wait_frame(self._h)
 
     def get_log(self) -> str:
         n = self._lib.e264t_get_log(self._h, self._logbuf,

@@ -36,9 +36,26 @@ int e264t_decode_nal(void *h, const uint8_t *buf, size_t len) {
 	return ((Decoder *)h)->decode_nal(buf, len);
 }
 
+// configure the frame-task worker pool (before the first decode_nal):
+// 0 synchronous, n>1 = n worker threads, <0 = one per hw thread (cap 16)
+void e264t_set_threads(void *h, int n) {
+	((Decoder *)h)->set_threads(n);
+}
+
+// block until the oldest queued output frame is complete (ENOBUFS retry
+// path with the task pool); 0 = a frame should be gettable, -1 = no tasks
+// in flight (the stall is not task-related)
+int e264t_wait_frame(void *h) {
+	return ((Decoder *)h)->wait_frame();
+}
+
 // drain one pending event; returns 1 if an event was written
 int e264t_poll(void *h, E264tEvent *ev) {
 	Decoder *d = (Decoder *)h;
+	if (d->async()) {
+		std::unique_lock<std::mutex> lk(d->mu);
+		d->retire_frames();
+	}
 	if (d->events.empty())
 		return 0;
 	Event e = d->events.front();

@@ -18,6 +18,10 @@
 #include <cstring>
 #include <cstdlib>
 #include <cstdio>
+#include <condition_variable>
+#include <deque>
+#include <mutex>
+#include <thread>
 #include <vector>
 
 namespace e264t {
@@ -566,6 +570,44 @@ struct Decoder {
 	bool log_mbs = false;
 	std::vector<char> logbuf;
 
+	// ---- frame-task worker pool (the reference's thread pool analog:
+	// worker_loop edge264_headers.c:450-603; slices of DIFFERENT frames
+	// parse concurrently, B tasks gated on their colocated frame like
+	// task_dependencies vs ready_frames, edge264_internal.h:1211-1226) ----
+	// Bookkeeping for one in-flight frame (slot occupancy generation).
+	struct FrameInflight {
+		int slot = -1;
+		int32_t frame_id = -1;
+		int tasks_pending = 0;   // queued + running tasks
+		bool sealed = false;     // finish_frame ran; no more slices coming
+		bool finalized = false;  // all tasks done (+ concealment applied)
+		// seal-time snapshot for deferred concealment
+		int conceal_qp = 26, conceal_cqpo = 0, conceal_cqpo2 = 0;
+		int conceal_ref = -1;
+		std::vector<Event> done_events;   // SLICE_DONE in slice order
+	};
+	int n_threads = 0;           // 0 = synchronous (deterministic reference)
+	std::vector<std::thread> workers;
+	std::mutex mu;
+	std::condition_variable cv_ready;   // a task may have become runnable
+	std::condition_variable cv_done;    // a frame finalized / retired
+	std::deque<Task *> task_queue;      // not yet claimed by a worker
+	std::vector<Task *> task_free;      // recycled task objects
+	std::deque<FrameInflight> inflight; // frame instances in start order
+	uint32_t running_slots = 0;         // slots with a task running now
+	uint32_t entropy_done = 0;          // slots fully parsed + concealed
+	bool stop_pool = false;
+	bool async() const { return n_threads > 0 && log_cb == nullptr; }
+	void set_threads(int n);            // 0 sync; <0 = hw concurrency, cap 16
+	void worker_loop();
+	void enqueue_task();                // snapshot current slice + queue it
+	void task_finished(Task *t);        // under mu
+	void maybe_finalize(FrameInflight &fi);  // under mu
+	void retire_frames();               // under mu: emit events in order
+	void drain_tasks();                 // block until all inflight finalized
+	int wait_frame();                   // block until a frame is gettable
+	~Decoder();
+
 	// ---- entry points ----
 	int decode_nal(const uint8_t *buf, size_t len);
 	void flush();
@@ -605,6 +647,7 @@ struct Decoder {
 	void finish_frame();         // currPic complete: emit events, marking
 	void bump_frames(bool all);  // C.4.5 output bumping
 	void conceal_frame();        // fill unparsed mbs (recover_slice analog)
+	void conceal_frame_at(int slot, int qp, int cqpo, int cqpo2, int refslot);
 	void logf_impl(const char *fmt, ...);
 	// inline gate: the mb layer calls logf per syntax element, so the
 	// disabled-logging path must not even pay the varargs call setup

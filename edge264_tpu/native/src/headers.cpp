@@ -73,6 +73,57 @@ void Decoder::bump_frames(bool all) {
 // unset_currPic: commit the staged reference state (edge264_headers.c:61-76)
 void Decoder::finish_frame() {
 	if (curr < 0) return;
+	if (async()) {
+		// Seal the frame: no more slices will arrive.  Task completions
+		// finalize it (concealing holes from the seal snapshot) and
+		// retirement emits its events in start order.
+		std::unique_lock<std::mutex> lk(mu);
+		for (auto it = inflight.begin(); it != inflight.end(); ++it) {
+			if (it->slot != curr || it->finalized)
+				continue;
+			if (slice_count[curr] == 0) {
+				// no slice data at all: discard (sync path below does
+				// the DPB bookkeeping; drop the inflight entry here)
+				entropy_done |= 1u << curr;
+				inflight.erase(it);
+				lk.unlock();
+				goto discard_check;
+			}
+			it->sealed = true;
+			// concealment reference snapshot (conceal_frame()'s scan,
+			// evaluated with the state current at seal time)
+			{
+				uint32_t sv = same_views(non_base >> curr & 1);
+				uint32_t refs = (curr_st | curr_lt) & sv & ~(1u << curr);
+				int refslot = -1, best = INT32_MIN;
+				for (uint32_t r = refs; r; r &= r - 1) {
+					int i = __builtin_ctz(r);
+					if (FrameNums[i] > best) {
+						best = FrameNums[i];
+						refslot = i;
+					}
+				}
+				it->conceal_ref = refslot;
+			}
+			maybe_finalize(*it);
+			retire_frames();
+			break;
+		}
+		int nbv_a = non_base >> curr & 1;
+		if ((curr_st | curr_lt) & (1u << curr)) {
+			uint32_t sv = same_views(nbv_a);
+			PrevRefFrameNum[nbv_a] = FrameNums[curr];
+			prevPicOrderCnt[nbv_a] = Poc[0][curr];
+			committed_st = (committed_st & ~sv) | curr_st;
+			committed_lt = (committed_lt & ~sv) | curr_lt;
+			memcpy(committed_lti, curr_lti, sizeof(committed_lti));
+		}
+		if (!nbv_a)
+			base_slot = curr;
+		curr = -1;
+		return;
+	}
+discard_check:
 	if (!complete[curr] && remaining_mbs[curr] > 0) {
 		int total = sps.mb_width * sps.mb_height;
 		if (remaining_mbs[curr] >= total) {
@@ -116,6 +167,7 @@ void Decoder::finish_frame() {
 
 void Decoder::end_of_stream() {
 	finish_frame();
+	drain_tasks();
 	bump_frames(true);
 }
 
@@ -123,6 +175,8 @@ void Decoder::flush() {
 	// keep allocations, reset all decode state (clear_decoder,
 	// edge264_headers.c:135-141: parameter sets are cleared too)
 	finish_frame();
+	drain_tasks();
+	entropy_done = 0xFFFFFFFFu;
 	sps = SPS();
 	ssps = SPS();
 	for (auto &p : pps) p = PPS();
@@ -614,7 +668,10 @@ int Decoder::parse_pps() {
 // ---------------------------------------------------------------------------
 // NAL entry: unescape + dispatch
 int Decoder::decode_nal(const uint8_t *buf, size_t len) {
-	events.clear();
+	// async mode: events retired between calls (wait_frame/poll) are
+	// still queued for the consumer -- only sync mode may reset here
+	if (!async())
+		events.clear();
 	logbuf.clear();
 	if (len == 0) {   // end-of-buffer: drain (edge264.c:328-333)
 		end_of_stream();

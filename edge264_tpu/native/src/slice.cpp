@@ -381,6 +381,14 @@ int Decoder::parse_slice() {
 		slice_count[curr] = 0;
 		events.push_back({EV_FRAME_START, curr, FrameIds[curr], TopFOC,
 		                  IdrPicFlag, 0});
+		if (async()) {
+			std::unique_lock<std::mutex> lk(mu);
+			FrameInflight fi;
+			fi.slot = curr;
+			fi.frame_id = FrameIds[curr];
+			inflight.push_back(std::move(fi));
+			entropy_done &= ~(1u << curr);
+		}
 		logf("  FrameId: %u\n", FrameIds[curr]);
 	}
 
@@ -526,6 +534,10 @@ int Decoder::parse_slice() {
 	slice_count[curr]++;
 	logf(cpps->entropy_coding_mode ? "  macroblocks_cabac:\n"
 	                               : "  macroblocks_cavlc:\n");
+	if (async()) {
+		enqueue_task();          // worker threads parse; events at retirement
+		return 0;
+	}
 	init_task(stask);
 	int err = stask.run();
 	rbsp.swap(stask.rbsp);       // reclaim the buffer for the next NAL
@@ -573,10 +585,6 @@ int Task::run() {
 // temporal copies (Skip with zero motion from the closest reference) or
 // intra DC when no reference exists, and flagged in the mb_errors plane.
 void Decoder::conceal_frame() {
-	Planes &pl = planes[curr];
-	pl.dirty_all = true;   // concealment writes planes wholesale
-	int W = pl.mb_w, H = pl.mb_h;
-	int BW = W * 4;
 	uint32_t sv = same_views(non_base >> curr & 1);
 	uint32_t refs = (curr_st | curr_lt) & sv & ~(1u << curr);
 	int refslot = -1, best = INT32_MIN;
@@ -584,7 +592,18 @@ void Decoder::conceal_frame() {
 		int i = __builtin_ctz(r);
 		if (FrameNums[i] > best) { best = FrameNums[i]; refslot = i; }
 	}
-	int qp = sh.qp;
+	conceal_frame_at(curr, sh.qp, cpps ? cpps->chroma_qp_index_offset : 0,
+	                 cpps ? cpps->second_chroma_qp_index_offset : 0, refslot);
+}
+
+// Parameterized body, callable after the fact from the task pool (the
+// seal-time snapshot supplies what sh/cpps held when the frame was current).
+void Decoder::conceal_frame_at(int slot, int qp, int cqpo, int cqpo2,
+                               int refslot) {
+	Planes &pl = planes[slot];
+	pl.dirty_all = true;   // concealment writes planes wholesale
+	int W = pl.mb_w, H = pl.mb_h;
+	int BW = W * 4;
 	for (int my = 0; my < H; my++) {
 		for (int mx = 0; mx < W; mx++) {
 			size_t mbi = (size_t)my * W + mx;
@@ -592,10 +611,8 @@ void Decoder::conceal_frame() {
 				continue;
 			pl.mb_errors[mbi] = 100;
 			pl.qp[mbi * 4] = (int8_t)qp;
-			pl.qp[mbi * 4 + 1] =
-				(int8_t)chroma_qp(qp, cpps ? cpps->chroma_qp_index_offset : 0);
-			pl.qp[mbi * 4 + 2] = (int8_t)chroma_qp(
-				qp, cpps ? cpps->second_chroma_qp_index_offset : 0);
+			pl.qp[mbi * 4 + 1] = (int8_t)chroma_qp(qp, cqpo);
+			pl.qp[mbi * 4 + 2] = (int8_t)chroma_qp(qp, cqpo2);
 			pl.deblock[mbi] = 0;
 			pl.slice_id[mbi] = 0xFFFE;     // concealment pseudo-slice
 			if (refslot >= 0) {
@@ -615,11 +632,11 @@ void Decoder::conceal_frame() {
 				pl.i16_modes[mbi] = (uint8_t)(2 | aA << 4 | aB << 5);
 				pl.ch_modes[mbi] = (uint8_t)(0 | aA << 4 | aB << 5);
 			}
-			remaining_mbs[curr]--;
+			remaining_mbs[slot]--;
 		}
 	}
-	if (remaining_mbs[curr] < 0)
-		remaining_mbs[curr] = 0;
+	if (remaining_mbs[slot] < 0)
+		remaining_mbs[slot] = 0;
 }
 
 } // namespace e264t

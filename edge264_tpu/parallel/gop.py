@@ -34,21 +34,44 @@ def split_gops(stream: bytes):
     ps = b""
     gops = []
     cur = b""
+    in_idr = False       # currently appending slices of an IDR frame
     for nal in nals:
         t = nal[3] & 31
         if t in (7, 8, 15):                 # SPS / PPS / subset SPS
             ps += nal
             continue
-        if t == 5 and cur:                  # IDR starts a new GOP
-            # (first slice only: later IDR slices of the same frame have
-            # first_mb != 0, but our generator/refs emit 1 slice/frame;
-            # a same-frame continuation never follows a non-IDR NAL)
-            gops.append(ps + cur)
-            cur = b""
+        if t == 5:
+            # Only the FIRST slice of an IDR frame opens a new GOP: later
+            # slices have first_mb_in_slice != 0 (ue(v) right after the
+            # NAL header, §7.3.3) and must stay with their frame.
+            first_mb = _read_ue(nal, 4)
+            if cur and not (in_idr and first_mb != 0):
+                gops.append(ps + cur)
+                cur = b""
+            in_idr = True
+        else:
+            in_idr = in_idr and t == 14     # MVC prefix NAL may interleave
         cur += nal
     if cur:
         gops.append(ps + cur)
     return gops
+
+
+def _read_ue(nal: bytes, byte_off: int) -> int:
+    """First Exp-Golomb value starting at byte_off (enough bits for
+    first_mb_in_slice; emulation-prevention can't occur this early in a
+    slice header with first_mb reasonable)."""
+    bits = 0
+    n = 0
+    for b in nal[byte_off:byte_off + 8]:
+        bits = bits << 8 | b
+        n += 8
+    lead = 0
+    while lead < n and not (bits >> (n - 1 - lead)) & 1:
+        lead += 1
+    if 2 * lead + 1 > n:
+        return 0
+    return (bits >> (n - 2 * lead - 1) & ((1 << (lead + 1)) - 1)) - 1
 
 
 def decode_annexb_parallel(stream: bytes, backend: str = "jax",

@@ -559,7 +559,7 @@ def resolve_random_modes(rng, enc: IntraEncoder, mx, my, spec: MbSpec):
 def gen_random_intra_stream(mb_w, mb_h, n_frames=1, seed=0, *, qp=26,
                             kinds=('i4', 'i16', 'pcm'), max_level=8,
                             density=0.3, slices_per_frame=1,
-                            deblock=True) -> bytes:
+                            deblock=True, all_idr=False) -> bytes:
     rng = random.Random(seed)
     out = make_sps(mb_w, mb_h) + make_pps(deblock_control=not deblock)
     deblock_idc = None if deblock else 1
@@ -582,8 +582,8 @@ def gen_random_intra_stream(mb_w, mb_h, n_frames=1, seed=0, *, qp=26,
                 specs.append(spec)
             out += make_idr_slice(
                 mb_w, mb_h, specs,
-                slice_qp=qp, frame_num=0 if f == 0 else f % 16,
-                idr_pic_id=f, poc_lsb=(2 * f) % 16, idr=(f == 0),
+                slice_qp=qp, frame_num=0 if (f == 0 or all_idr) else f % 16,
+                idr_pic_id=f, poc_lsb=(2 * f) % 16, idr=(f == 0 or all_idr),
                 first_mb=bounds[s], deblock_idc=deblock_idc)
     return out
 
