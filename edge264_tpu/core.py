@@ -66,6 +66,7 @@ class NumpyBackend:
                                          ws8=ws8)
         y, cb, cr = self.oracle.reconstruct_frame(planes, sm, store.frames)
         self.deblock.deblock_frame(planes, y, cb, cr)
+        self.deblock.blend_recovered_frame(planes, y, cb, cr)
         return y, cb, cr
 
 

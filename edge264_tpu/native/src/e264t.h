@@ -24,7 +24,21 @@
 #include <thread>
 #include <vector>
 
+#include <time.h>
+
 namespace e264t {
+
+// Process-CPU-relative microsecond clock for per-slice timing logs
+// (the reference's get_relative_time_us, edge264_internal.h:1241-1252).
+inline int64_t relative_time_us() {
+	struct timespec t;
+#ifdef CLOCK_PROCESS_CPUTIME_ID
+	clock_gettime(CLOCK_PROCESS_CPUTIME_ID, &t);
+#else
+	clock_gettime(CLOCK_MONOTONIC, &t);
+#endif
+	return (int64_t)t.tv_sec * 1000000 + t.tv_nsec / 1000;
+}
 
 // ---------------------------------------------------------------------------
 // errno-style results (match reference contract, README.md:188-196)
@@ -178,6 +192,15 @@ struct SPS {
 	uint8_t weightScale8x8[6][64];
 	uint8_t mvc = 0;                     // is subset-SPS with 2 views
 	int DpbMaxFrames = 16;               // from level MaxDpbMbs
+	// VUI/HRD fields retained for SEI interpretation (reference analog:
+	// Edge264SeqParameterSet HRD members used by edge264_sei.c:1-84)
+	uint8_t nal_hrd_cpb_cnt = 0, vcl_hrd_cpb_cnt = 0;
+	uint8_t initial_cpb_removal_delay_length = 24;
+	uint8_t cpb_removal_delay_length = 24;
+	uint8_t dpb_output_delay_length = 24;
+	uint8_t time_offset_length = 24;
+	uint8_t pic_struct_present = 0;
+	uint32_t num_units_in_tick = 0, time_scale = 0;
 };
 
 struct PPS {
@@ -267,6 +290,9 @@ enum {
 	MBF_PARSED   = 1 << 5,   // availability marker during parse
 	MBF_INTER    = 1 << 6,
 	MBF_DIRECT   = 1 << 7,   // B_Skip / B_Direct_16x16 (CABAC mb_type ctx)
+	MBF_BLEND    = 1 << 8,   // erroneous I mb: blend toward neighbour DC
+	                         // with weight mb_errors*128/100 (recover_slice
+	                         // I path, edge264_headers.c:316-396)
 };
 // deblock plane bits
 enum {
@@ -460,6 +486,7 @@ struct Task {
 	int parse_B_mb_cabac(MbCtx &m);
 	void parse_residuals_cabac(MbCtx &m, int cbp, bool is16);
 	int parse_chroma_mode_cabac(MbCtx &m);
+	void recover_slice(MbCtx &m, int end_mb);
 	template <typename... A> inline void logf(const char *fmt, A... a);
 };
 

@@ -282,7 +282,7 @@ void Decoder::parse_scaling_lists(uint8_t ws4[6][16], uint8_t ws8[6][64],
 // ---------------------------------------------------------------------------
 // VUI (§E.1.1) — parsed fully to keep bitstream position; only the DPB
 // restriction fields are retained.
-static void parse_hrd(Decoder &d) {
+static int parse_hrd(Decoder &d, SPS &s) {
 	int cpb_cnt = d.gb.ue(31) + 1;
 	d.gb.u(8);                       // bit_rate_scale + cpb_size_scale
 	for (int i = 0; i < cpb_cnt; i++) {
@@ -290,7 +290,12 @@ static void parse_hrd(Decoder &d) {
 		d.gb.ue(4294967294u);
 		d.gb.u1();
 	}
-	d.gb.u(20);                      // the four delay lengths
+	// the four delay lengths feed SEI parsing (E.1.2)
+	s.initial_cpb_removal_delay_length = (uint8_t)(d.gb.u(5) + 1);
+	s.cpb_removal_delay_length = (uint8_t)(d.gb.u(5) + 1);
+	s.dpb_output_delay_length = (uint8_t)(d.gb.u(5) + 1);
+	s.time_offset_length = (uint8_t)d.gb.u(5);
+	return cpb_cnt;
 }
 
 // SEI messages (§7.3.2.3 / D.1) — log-variant parity with the
@@ -303,6 +308,87 @@ int Decoder::parse_sei() {
 		do { b = gb.u(8); size += b; } while (b == 255);
 		int64_t end = gb.consumed() + (int64_t)size * 8;
 		switch (type) {
+		case 0: {                // buffering_period (D.1.2)
+			gb.ue(31);           // seq_parameter_set_id
+			if (!sps.valid)
+				return E264T_EBADMSG;   // reference: edge264_sei.c:4-5
+			logf("  buffering_period: {delay_bits: %u",
+			     sps.initial_cpb_removal_delay_length);
+			const char *names[2] = {", nal_hrd", ", vcl_hrd"};
+			int cnts[2] = {sps.nal_hrd_cpb_cnt, sps.vcl_hrd_cpb_cnt};
+			for (int h = 0; h < 2; h++) {
+				if (!cnts[h])
+					continue;
+				logf("%s: [", names[h]);
+				for (int i = 0; i < cnts[h]; i++) {
+					unsigned delay =
+						gb.u(sps.initial_cpb_removal_delay_length);
+					unsigned offset =
+						gb.u(sps.initial_cpb_removal_delay_length);
+					logf(i ? ", {delay: %u, offset: %u}"
+					       : "{delay: %u, offset: %u}", delay, offset);
+				}
+				logf("]");
+			}
+			logf("}\n");
+			break;
+		}
+		case 1: {                // pic_timing (D.1.3)
+			static const char *const pic_struct_names[9] = {
+				"progressive frame", "top field", "bottom field",
+				"top then bottom", "bottom then top",
+				"top then bottom then top",
+				"bottom then top then bottom", "frame doubling",
+				"frame tripling"};
+			if (!sps.valid)
+				return E264T_EBADMSG;
+			logf("  pic_timing:\n");
+			if (sps.nal_hrd_cpb_cnt | sps.vcl_hrd_cpb_cnt) {
+				unsigned crd = gb.u(sps.cpb_removal_delay_length);
+				unsigned dod = gb.u(sps.dpb_output_delay_length);
+				logf("    cpb_removal_delay: %u\n"
+				     "    dpb_output_delay: %u\n", crd, dod);
+			}
+			if (sps.pic_struct_present) {
+				unsigned ps = gb.u(4);
+				// NumClockTS per pic_struct (Table D-1)
+				int nts = 0x3be95 >> (ps * 2) & 3;
+				logf("    pic_struct: %s (%u)\n",
+				     ps < 9 ? pic_struct_names[ps] : "unknown", ps);
+				logf("    clock_timestamps:\n");
+				int hh = 0, mm = 0, ss = 0;
+				while (nts--) {
+					if (!gb.u1())    // clock_timestamp_flag
+						continue;
+					unsigned u = gb.u(19);  // ct_type..n_frames packed
+					if (u & 1 << 10) {      // full_timestamp_flag
+						unsigned v = gb.u(17);
+						ss = v >> 11;
+						mm = v >> 5 & 0x3f;
+						hh = v & 0x1f;
+					} else if (gb.u1()) {   // seconds_flag
+						unsigned w = gb.u(7);
+						ss = w >> 1;
+						if (w & 1) {        // minutes_flag
+							unsigned x = gb.u(7);
+							mm = x >> 1;
+							if (x & 1)      // hours_flag
+								hh = (int)gb.u(5);
+						}
+					}
+					int toff = 0;
+					if (sps.time_offset_length)
+						toff = (int)gb.u(sps.time_offset_length);
+					logf("      - {scan_type: %u, discontinuity: %u, "
+					     "clockTimestamp: \"%02u:%02u:%02u+%u/%u\"}\n",
+					     u >> 17, u >> 9 & 1, hh, mm, ss,
+					     (u & 0xff) * (sps.num_units_in_tick *
+					                   (1 + (u >> 16 & 1))) + toff,
+					     sps.time_scale);
+				}
+			}
+			break;
+		}
 		case 2: {                // pan_scan_rect (D.1.4)
 			unsigned id = gb.ue(255);
 			int cancel = gb.u1();
@@ -361,17 +447,17 @@ static void parse_vui(Decoder &d, SPS &s) {
 		d.gb.ue(5);
 	}
 	if (d.gb.u1()) {                 // timing_info_present
-		d.gb.u(32);
-		d.gb.u(32);
+		s.num_units_in_tick = d.gb.u(32);
+		s.time_scale = d.gb.u(32);
 		d.gb.u1();
 	}
 	int nal_hrd = d.gb.u1();
-	if (nal_hrd) parse_hrd(d);
+	if (nal_hrd) s.nal_hrd_cpb_cnt = (uint8_t)parse_hrd(d, s);
 	int vcl_hrd = d.gb.u1();
-	if (vcl_hrd) parse_hrd(d);
+	if (vcl_hrd) s.vcl_hrd_cpb_cnt = (uint8_t)parse_hrd(d, s);
 	if (nal_hrd || vcl_hrd)
 		d.gb.u1();                   // low_delay_hrd
-	d.gb.u1();                       // pic_struct_present
+	s.pic_struct_present = (uint8_t)d.gb.u1();
 	if (d.gb.u1()) {                 // bitstream_restriction
 		d.gb.u1();                   // motion_vectors_over_pic_boundaries
 		d.gb.ue(16); d.gb.ue(16);    // max_bytes/bits denom

@@ -1090,6 +1090,8 @@ int Task::parse_slice_data_cabac() {
 	cab.sync();    // idempotent: the overrun verdict must not count lookahead
 	if (gb.over && !err)
 		err = E264T_EBADMSG;
+	if (err)
+		recover_slice(m, mb_addr);
 	return err;
 }
 

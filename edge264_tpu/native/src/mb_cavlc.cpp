@@ -428,6 +428,8 @@ int Task::parse_slice_data_cavlc() {
 	}
 	if (!gb.rbsp_finished() && !err)
 		err = E264T_EBADMSG;
+	if (err)
+		recover_slice(m, mb_addr);
 	return err;
 }
 

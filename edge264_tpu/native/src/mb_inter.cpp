@@ -673,4 +673,59 @@ int Task::parse_B_mb(MbCtx &m, int &skip_run) {
 	return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Error recovery of an erroneous slice (recover_slice analog,
+// edge264_headers.c:295-430): every mb already decoded by the slice gets a
+// graded error probability -- CAVLC errors are equiprobable over the slice
+// (uniform ramp); a CABAC error could have exited early at any
+// end_of_slice_flag with p=2/383, giving the geometric model computed in
+// the same 16-bit fixed point as the reference (ppow, :266-275).  P/B mbs
+// above the 25% threshold are re-predicted as P_Skip / B_Direct with their
+// residuals dropped (:399-428); I mbs are flagged for a device-side blend
+// toward neighbour DC weighted by the probability (:316-396; the blend
+// reads pre-blend neighbour pixels so it batches, a documented divergence
+// from the reference's in-place raster blend).
+static unsigned ppow16(unsigned p65536, unsigned k) {
+	unsigned r = 65536;
+	while (k) {
+		if (k & 1)
+			r = (r * p65536) >> 16;
+		p65536 = (p65536 * p65536) >> 16;
+		k >>= 1;
+	}
+	return r;
+}
+
+void Task::recover_slice(MbCtx &m, int end_mb) {
+	unsigned first = sh.first_mb;
+	if (end_mb <= (int)first)
+		return;
+	unsigned num = end_mb - first;
+	bool cabac_mode = cpps->entropy_coding_mode;
+	unsigned div = 65536 - ppow16(65194, num);
+	for (unsigned i = 0; i < num; i++) {
+		unsigned p12800 = !cabac_mode
+			? ((i + 1) * 12800 + num - 1) / num
+			: ((div - (65536 - ppow16(65194, num - 1 - i))) * 12800
+			   + div - 1) / div;
+		m.set_addr(first + i);
+		m.pl.mb_errors[m.mbi] = (uint8_t)(p12800 >> 7);
+		unsigned p128 = p12800 / 100;
+		if (sh.slice_type == 2) {
+			m.pl.mb_flags[m.mbi] |= MBF_BLEND;
+		} else if (i > 0 && p128 >= 32) {   // 25% threshold (:398)
+			m.pl.clear_mb_range(first + i, first + i + 1);
+			if (sh.slice_type == 0) {
+				Decoder_P_skip(*this, m);
+			} else {
+				m.pl.mb_flags[m.mbi] =
+					MBF_INTER | MBF_SKIP | MBF_DIRECT | MBF_PARSED;
+				Decoder_direct_mv_pred(*this, m, 0xF);
+				Decoder_fill_wp(*this, m);
+				set_mb_qp(m);
+			}
+		}
+	}
+}
+
 } // namespace e264t

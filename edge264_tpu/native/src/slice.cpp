@@ -539,8 +539,19 @@ int Decoder::parse_slice() {
 		return 0;
 	}
 	init_task(stask);
+	int64_t t_start = relative_time_us();
 	int err = stask.run();
+	int64_t t_end = relative_time_us();
 	rbsp.swap(stask.rbsp);       // reclaim the buffer for the next NAL
+	// per-slice timing block, reference log parity
+	// (edge264_headers.c:571-583; consumed by tools/analysis/to_trace_event.py)
+	logf("  slice_timing:\n    thread_id: 0\n    frame_id: %u\n"
+	     "    slice_type: %u\n    first_mb_in_slice: %u\n"
+	     "    approx_byte_size: %u\n    decoding_start_us: %lld\n"
+	     "    decoding_end_us: %lld\n",
+	     FrameIds[curr], sh.slice_type, sh.first_mb,
+	     (unsigned)((stask.gb.consumed() + 7) / 8),
+	     (long long)t_start, (long long)t_end);
 	events.push_back({EV_SLICE_DONE, curr, sh.first_mb, 0, sh.slice_type, err});
 	if (remaining_mbs[curr] <= 0 && !complete[curr]) {
 		complete[curr] = 1;

@@ -184,9 +184,32 @@ void Planes::clear_frame() {
 	dirty.clear();
 }
 
+// Zero one mb's residual data (recover_slice discards the residuals of
+// re-predicted macroblocks, edge264_headers.c:399-404).
 void Planes::clear_mb_range(int mb0, int mb1) {
-	// (used for error recovery; full implementation later)
-	(void)mb0; (void)mb1;
+	int W = mb_w;
+	for (int mbi = mb0; mbi < mb1; mbi++) {
+		int mx = mbi % W, my = mbi / W;
+		for (int by = 0; by < 4; by++)
+			for (int bx = 0; bx < 4; bx++) {
+				size_t c = (size_t)(my * 4 + by) * (W * 4) + mx * 4 + bx;
+				nz_y[c] = 0;
+				memset(&coef_y[c * 16], 0, 16 * sizeof(int16_t));
+			}
+		for (int by = 0; by < 2; by++)
+			for (int bx = 0; bx < 2; bx++) {
+				size_t c8 = (size_t)(my * 2 + by) * (W * 2) + mx * 2 + bx;
+				nz_c[c8 * 2] = nz_c[c8 * 2 + 1] = 0;
+				memset(&coef_y8[c8 * 64], 0, 64 * sizeof(int16_t));
+				memset(&coef_cb[c8 * 16], 0, 16 * sizeof(int16_t));
+				memset(&coef_cr[c8 * 16], 0, 16 * sizeof(int16_t));
+			}
+		size_t i = (size_t)my * W + mx;
+		memset(&coef_y_dc[i * 16], 0, 16 * sizeof(int16_t));
+		memset(&coef_c_dc[i * 8], 0, 8 * sizeof(int16_t));
+		cbp[i] = 0;
+	}
+	dirty_all = true;
 }
 
 } // namespace e264t

@@ -248,3 +248,44 @@ def deblock_frame(pl, y, cb, cr):
         for mx in range(pl.mb_w):
             if int(pl.mb_flags[my, mx]) & MBF_PARSED:
                 deblock_mb(pl, y, cb, cr, mx, my)
+
+
+def blend_recovered_frame(planes, y, cb, cr):
+    """Numpy mirror of jaxdec.blend_recovered (recover_slice I path,
+    edge264_headers.c:316-396): erroneous I mbs blend toward neighbour-edge
+    DC with weight mb_errors*128/100, neighbours read pre-blend."""
+    MBF_BLEND = 256
+    flags = np.asarray(planes.mb_flags)
+    bl = (flags & MBF_BLEND) > 0
+    if not bl.any():
+        return
+    sid = np.asarray(planes.slice_id).astype(np.int32)
+    w = np.clip(np.asarray(planes.mb_errors).astype(np.int32) * 128 // 100,
+                0, 128)
+    shl = lambda a, fill: np.concatenate(
+        [np.full_like(a[:, :1], fill), a[:, :-1]], 1)
+    shu = lambda a, fill: np.concatenate(
+        [np.full_like(a[:1], fill), a[:-1]], 0)
+    availA = bl & shl(bl, False) & (sid == shl(sid, -1))
+    availB = bl & shu(bl, False) & (sid == shu(sid, -1))
+
+    def one(img, ts):
+        im = img.astype(np.int32)
+        H, W = im.shape
+        mh, mw = H // ts, W // ts
+        cols = np.clip(np.arange(mw) * ts - 1, 0, W - 1)
+        lsum = im[:, cols].reshape(mh, ts, mw).sum(1)
+        rows = np.clip(np.arange(mh) * ts - 1, 0, H - 1)
+        tsum = im[rows].reshape(mh, mw, ts).sum(2)
+        none_sum = np.full_like(lsum, ts * 128)
+        l = np.where(availA, lsum, np.where(availB, tsum, none_sum))
+        t = np.where(availB, tsum, np.where(availA, lsum, none_sum))
+        dc = (l + t + ts) >> ts.bit_length()
+        rep = lambda a: np.repeat(np.repeat(a, ts, 0), ts, 1)
+        wm, dcm, blm = rep(w), rep(dc), rep(bl)
+        mixed = np.where(wm >= 128, dcm, (im * (128 - wm) + dcm * wm) >> 7)
+        img[...] = np.where(blm, mixed, im).astype(img.dtype)
+
+    one(y, 16)
+    one(cb, 8)
+    one(cr, 8)

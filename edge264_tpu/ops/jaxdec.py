@@ -49,6 +49,7 @@ from .deblock_oracle import ALPHA as _ALPHA, BETA as _BETA, TC0 as _TC0
 
 MBF_INTRA, MBF_I16x16, MBF_IPCM, MBF_T8x8 = 1, 2, 4, 8
 MBF_SKIP, MBF_PARSED, MBF_INTER = 16, 32, 64
+MBF_BLEND = 256
 DBF_LEFT, DBF_TOP, DBF_INNER = 1, 2, 4
 
 I32 = jnp.int32
@@ -1080,36 +1081,41 @@ def _filter_chroma_lines(S, alpha, beta, bs, tc0, active, axis=-1):
 
 def _shear_tiles(img, mbW, mbH, ts, extra=2):
     """Dense [ts*mbH, ts*mbW] -> sheared [NW+extra, mbH, ts, ts]; the tile
-    of mb (mx,my) lands at wave index mx + 2*my."""
+    of mb (mx,my) lands at wave index mx + 2*my.
+
+    Formulated as ONE gather (advanced indexing over the mb-x axis): the
+    per-row pad/stack version emitted O(mbH) HLO ops, which at 1080p
+    (mbH=68, many planes) pushed XLA compile times into minutes."""
     NW = mbW + 2 * mbH - 2
     T = NW + extra
-    strips = []
-    for my in range(mbH):
-        s = img[my * ts:(my + 1) * ts, :]
-        off = 2 * my * ts
-        strips.append(jnp.pad(s, ((0, 0), (off, (T - mbW) * ts - off))))
-    sh = jnp.stack(strips)                       # [mbH, ts, T*ts]
-    return sh.reshape(mbH, ts, T, ts).transpose(2, 0, 1, 3)
+    tiles = img.reshape(mbH, ts, mbW, ts).transpose(0, 2, 1, 3)
+    w = jnp.arange(T)[:, None]                   # [T, 1]
+    my = jnp.arange(mbH)[None, :]                # [1, mbH]
+    mx = w - 2 * my                              # [T, mbH]
+    valid = (mx >= 0) & (mx < mbW)
+    out = tiles[my, jnp.clip(mx, 0, mbW - 1)]    # [T, mbH, ts, ts]
+    return jnp.where(valid[..., None, None], out, 0)
 
 
 def _unshear_tiles(t, mbW, mbH, ts, shift=2):
     """Inverse of _shear_tiles for tiles emitted with a wave delay."""
-    S = t.shape[0]
-    d = t.transpose(1, 2, 0, 3).reshape(mbH, ts, S * ts)
-    rows = []
-    for my in range(mbH):
-        off = (2 * my + shift) * ts
-        rows.append(d[my, :, off:off + mbW * ts])
-    return jnp.concatenate(rows, axis=0)
+    my = jnp.arange(mbH)[:, None]                # [mbH, 1]
+    mx = jnp.arange(mbW)[None, :]                # [1, mbW]
+    w = mx + 2 * my + shift                      # [mbH, mbW]
+    d = t[w, my]                                 # [mbH, mbW, ts, ts]
+    return d.transpose(0, 2, 1, 3).reshape(mbH * ts, mbW * ts)
 
 
 def _shear_plane(pl, mbW, mbH, extra=2):
-    """[mbH, mbW, ...] per-mb data -> [NW+extra, mbH, ...]."""
+    """[mbH, mbW, ...] per-mb data -> [NW+extra, mbH, ...] (one gather)."""
     T = mbW + 2 * mbH - 2 + extra
-    pad = [(0, 0)] * (pl.ndim - 2)
-    rows = [jnp.pad(pl[my], [(2 * my, T - mbW - 2 * my)] + pad)
-            for my in range(pl.shape[0])]
-    return jnp.stack(rows, 1)
+    w = jnp.arange(T)[:, None]
+    my = jnp.arange(mbH)[None, :]
+    mx = w - 2 * my
+    valid = (mx >= 0) & (mx < mbW)
+    out = pl[my, jnp.clip(mx, 0, mbW - 1)]       # [T, mbH, ...]
+    vshape = valid.shape + (1,) * (out.ndim - 2)
+    return jnp.where(valid.reshape(vshape), out, 0)
 
 
 def deblock_scan(y, cb, cr, p, bs_v, bs_h, mbW, mbH):
@@ -1392,7 +1398,50 @@ PLANE_KEYS = ["mb_flags", "qp", "i4_modes", "i16_modes", "i8_modes",
               "ch_modes",
               "coef_y", "coef_y8", "coef_y_dc", "coef_c_dc", "coef_cb",
               "coef_cr", "pcm_y", "pcm_c", "nz_y", "refslot", "mvs",
-              "deblock", "deblock_ab", "wp", "wp8"]
+              "deblock", "deblock_ab", "wp", "wp8", "mb_errors",
+              "slice_id"]
+
+
+def blend_recovered(y, cb, cr, p):
+    """Post-deblock blend of erroneous I mbs toward neighbour-edge DC,
+    weighted by the graded error probability (recover_slice I path,
+    edge264_headers.c:316-396).  Divergence from the reference: neighbour
+    pixels are read PRE-blend so all mbs batch in one pass (the reference
+    blends in raster order reading already-blended neighbours)."""
+    bl = (p["mb_flags"] & MBF_BLEND) > 0          # [mbH, mbW]
+    sid = p["slice_id"]
+    w = jnp.clip(p["mb_errors"] * 128 // 100, 0, 128)
+    shl = lambda a, fill: jnp.concatenate(
+        [jnp.full_like(a[:, :1], fill), a[:, :-1]], 1)
+    shu = lambda a, fill: jnp.concatenate(
+        [jnp.full_like(a[:1], fill), a[:-1]], 0)
+    # a neighbour supplies DC only if it was recovered by the same slice
+    # (reference: i==0 / i<pic_width exclusions, :326-329)
+    availA = bl & shl(bl, False) & (sid == shl(sid, -1))
+    availB = bl & shu(bl, False) & (sid == shu(sid, -1))
+
+    def one(img, ts):
+        H, W = img.shape
+        mh, mw = H // ts, W // ts
+        cols = jnp.clip(jnp.arange(mw) * ts - 1, 0, W - 1)
+        lsum = img[:, cols].reshape(mh, ts, mw).sum(1)      # [mh, mw]
+        rows = jnp.clip(jnp.arange(mh) * ts - 1, 0, H - 1)
+        tsum = img[rows].reshape(mh, mw, ts).sum(2)         # [mh, mw]
+        none_sum = jnp.full_like(lsum, ts * 128)
+        l = jnp.where(availA, lsum, jnp.where(availB, tsum, none_sum))
+        t = jnp.where(availB, tsum,
+                      jnp.where(availA, lsum, none_sum))
+        # rounded mean of the 2*ts edge pixels
+        sh_bits = ts.bit_length()                           # 16->5, 8->4
+        dc = (l + t + ts) >> sh_bits                        # [mh, mw]
+        wm = jnp.repeat(jnp.repeat(w, ts, 0), ts, 1)
+        dcm = jnp.repeat(jnp.repeat(dc, ts, 0), ts, 1)
+        blm = jnp.repeat(jnp.repeat(bl, ts, 0), ts, 1)
+        mixed = jnp.where(wm >= 128, dcm,
+                          (img * (128 - wm) + dcm * wm) >> 7)
+        return jnp.where(blm, mixed, img)
+
+    return one(y, 16), one(cb, 8), one(cr, 8)
 
 
 def _decode_frame_impl(p, sm4, sm8, mbW, mbH, itab, mc=None,
@@ -1490,6 +1539,9 @@ def _deblock_arena(arena, y, cb, cr, *, layout, mbW, mbH):
         y, cb, cr = deblock_pallas(y, cb, cr, p, bs_v, bs_h, mbW, mbH)
     else:
         y, cb, cr = deblock_scan(y, cb, cr, p, bs_v, bs_h, mbW, mbH)
+    present = {k for k, _, _, off in layout if off >= 0}
+    if "mb_errors" in present:
+        y, cb, cr = blend_recovered(y, cb, cr, p)
     return y.astype(jnp.uint8), cb.astype(jnp.uint8), cr.astype(jnp.uint8)
 
 
@@ -1535,19 +1587,24 @@ def planes_to_jax(planes):
     return p
 
 
-def pack_planes(planes):
+def pack_planes(planes, keep=frozenset()):
     """Pack all syntax planes into ONE host buffer -> (arena uint8 jnp
     array, static layout).  A single large H2D transfer replaces ~20
     per-plane transfers whose fixed dispatch cost dominated; planes a
     frame provably doesn't use (no T8x8 mb -> coef_y8/i8_modes, no PCM mb
     -> pcm planes) are dropped from the transfer and recreated as device
-    zeros (or their compute statically skipped)."""
+    zeros (or their compute statically skipped).  `keep` pins planes into
+    the layout regardless (callers use it to keep layouts — and thus jit
+    program counts — stable across a stream)."""
     flags = np.asarray(planes.mb_flags)
     skip = set()
     if not (flags & MBF_T8x8).any():
         skip |= {"coef_y8", "i8_modes"}
     if not (flags & MBF_IPCM).any():
         skip |= {"pcm_y", "pcm_c"}
+    if not (flags & MBF_BLEND).any():
+        skip |= {"mb_errors", "slice_id"}
+    skip -= set(keep)
     bufs = []
     layout = []
     off = 0
@@ -1612,63 +1669,113 @@ def _cast_planes(p):
     return {k: v.astype(jnp.int32) for k, v in p.items()}
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _ring_set(ringL, ringC, idx, l4, ch):
+    """Write one frame's MC phase planes into its ring slot in place
+    (donation keeps the ring resident; idx is traced, so one program
+    serves every slot)."""
+    return ringL.at[idx].set(l4), ringC.at[idx].set(ch)
+
+
 class JaxBackend:
-    """Device pixel backend (XLA; CPU or TPU).  Keeps the DPB's half-pel
-    reference plane sets resident on device (ARCHITECTURE.md)."""
+    """Device pixel backend (XLA; CPU or TPU).  The DPB's quarter-pel
+    reference phase planes live in a persistent device RING [S, ...]
+    written in place via donation — no per-frame restacking — and the
+    ring size S is pinned per geometry so the MC program compiles ONCE
+    (program-count discipline: XLA compile time dominates cold starts).
+
+    Reference analog: the DPB sample buffers edge264_internal.h:343-386,
+    HBM-resident as planned in SURVEY.md §2 (DPB row)."""
+
+    RING_START = 4            # grows by doubling (recompiles, rare)
 
     def __init__(self, device=None):
         self.device = device
         self.sm4 = jnp.asarray(np.full((6, 16), 16, np.int32))
         self.sm8 = jnp.asarray(np.full((6, 64), 16, np.int32))
-        self.refplanes = {}       # DPB slot -> (luma4, chroma) device arrays
+        self.ringL = None         # [S, 16, ph, pw] uint8
+        self.ringC = None         # [S, 2, phc, pwc] uint8
+        self.ring_map = {}        # DPB slot -> ring index
+        self.ring_free = []
+        self._keep = set()        # sticky plane keep-set (layout stability)
+        self._geom = None
+
+    def _ring_reserve(self, slot, mbW, mbH):
+        ph = 16 * mbH + 2 * PADL
+        pw = 16 * mbW + 2 * PADL
+        phc = 8 * mbH + 2 * PADC
+        pwc = 8 * mbW + 2 * PADC
+        geom = (mbW, mbH)
+        if self._geom != geom:
+            self._geom = geom
+            self.ring_map.clear()
+            S = self.RING_START
+            self.ringL = jnp.zeros((S, 16, ph, pw), jnp.uint8)
+            self.ringC = jnp.zeros((S, 2, phc, pwc), jnp.uint8)
+            self.ring_free = list(range(S))
+        if not self.ring_free:
+            S = self.ringL.shape[0]
+            self.ringL = jnp.concatenate(
+                [self.ringL, jnp.zeros_like(self.ringL)])
+            self.ringC = jnp.concatenate(
+                [self.ringC, jnp.zeros_like(self.ringC)])
+            self.ring_free = list(range(S, 2 * S))
+        i = self.ring_free.pop()
+        self.ring_map[slot] = i
+        return i
 
     def reconstruct(self, planes, slot, store):
-        arena, layout = pack_planes(planes)
-        # level compression only pays off for small buckets; the sheared
-        # scan's flat cost beats big gather/scatter level steps
-        itab = intra_level_tables(np.asarray(planes.mb_flags),
-                                  planes.mb_w, planes.mb_h)
-        if itab is not None and itab[0].shape[1] > 128:
-            itab = None
-        if itab is not None:
-            itab = tuple(jnp.asarray(t) for t in itab)
+        # sticky layout: once a plane class appears in the stream it stays
+        # in the arena (zero-filled when unused) so the program set is
+        # bounded per stream, not per frame
+        flags = np.asarray(planes.mb_flags)
+        if (flags & MBF_T8x8).any():
+            self._keep |= {"coef_y8", "i8_modes"}
+        if (flags & MBF_IPCM).any():
+            self._keep |= {"pcm_y", "pcm_c"}
+        arena, layout = pack_planes(planes, keep=self._keep)
+        # the Pallas wavefront kernel covers intra on TPU with one fixed
+        # program; the level-compressed gather scan stays a CPU-path
+        # option (its bucketed shapes would multiply program counts)
+        itab = None
+        if not use_pallas():
+            itab = intra_level_tables(np.asarray(planes.mb_flags),
+                                      planes.mb_w, planes.mb_h)
+            if itab is not None and itab[0].shape[1] > 128:
+                itab = None
+            if itab is not None:
+                itab = tuple(jnp.asarray(t) for t in itab)
         self.sm4 = jnp.asarray(np.asarray(planes.sm4).astype(np.int32))
         ws8 = np.full((6, 64), 16, np.int32)
         ws8[0] = planes.sm8[0]
         ws8[1] = planes.sm8[1]
         self.sm8 = jnp.asarray(ws8)
-        slots = sorted(self.refplanes.keys())
-        if slots:
-            S = 1
-            while S < len(slots):
-                S *= 2
-            stackL = jnp.stack(
-                [self.refplanes[s][0] for s in slots]
-                + [self.refplanes[slots[0]][0]] * (S - len(slots)))
-            stackC = jnp.stack(
-                [self.refplanes[s][1] for s in slots]
-                + [self.refplanes[slots[0]][1]] * (S - len(slots)))
+        have_refs = bool(self.ring_map)
+        if have_refs:
             smap = np.zeros(32, np.int32)
-            for i, s in enumerate(slots):
+            for s, i in self.ring_map.items():
                 smap[s] = i
             y, cb, cr = decode_frame_inter_arena(
-                arena, self.sm4, self.sm8, stackL, stackC,
+                arena, self.sm4, self.sm8, self.ringL, self.ringC,
                 jnp.asarray(smap), itab, layout=layout,
-                mbW=planes.mb_w, mbH=planes.mb_h,
-                has_b=bool((np.asarray(planes.refslot)[..., 1] >= 0)
-                           .any()))
+                mbW=planes.mb_w, mbH=planes.mb_h, has_b=True)
         else:
             y, cb, cr = decode_frame_arena(arena, self.sm4, self.sm8,
                                            itab, layout=layout,
                                            mbW=planes.mb_w,
                                            mbH=planes.mb_h)
-        self.refplanes[slot] = make_ref_planes(y, cb, cr)
+        i = self._ring_reserve(slot, planes.mb_w, planes.mb_h)
+        l4, ch = make_ref_planes(y, cb, cr)
+        self.ringL, self.ringC = _ring_set(self.ringL, self.ringC,
+                                           jnp.int32(i), l4, ch)
         # device arrays are returned as-is: dispatch stays asynchronous and
         # the host parses the next slice while the chip reconstructs
         return (y, cb, cr)
 
     def unpin(self, slot):
-        self.refplanes.pop(slot, None)
+        i = self.ring_map.pop(slot, None)
+        if i is not None:
+            self.ring_free.append(i)
 
 
 # ---------------------------------------------------------------------------

@@ -73,12 +73,16 @@ def _unshear_rm(t, mbW, mbH, ts, shift):
 
 
 def _shear_mb(pl_, mbW, mbH, extra):
-    """[mbH, mbW, ...] -> [T, mbH, ...]."""
+    """[mbH, mbW, ...] -> [T, mbH, ...] (one gather; the per-row pad
+    version emitted O(mbH) HLO ops and blew up XLA compile time)."""
     T = mbW + 2 * mbH - 2 + extra
-    pad = [(0, 0)] * (pl_.ndim - 2)
-    rows = [jnp.pad(pl_[my], [(2 * my, T - mbW - 2 * my)] + pad)
-            for my in range(pl_.shape[0])]
-    return jnp.stack(rows, 1)
+    w = jnp.arange(T)[:, None]
+    my = jnp.arange(mbH)[None, :]
+    mx = w - 2 * my
+    valid = (mx >= 0) & (mx < mbW)
+    out = pl_[my, jnp.clip(mx, 0, mbW - 1)]
+    vshape = valid.shape + (1,) * (out.ndim - 2)
+    return jnp.where(valid.reshape(vshape), out, 0)
 
 
 def _edge_params(p, bs_v, bs_h, mbW, mbH, extra=2):
