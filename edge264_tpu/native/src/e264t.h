@@ -611,6 +611,7 @@ struct Decoder {
 		// seal-time snapshot for deferred concealment
 		int conceal_qp = 26, conceal_cqpo = 0, conceal_cqpo2 = 0;
 		int conceal_ref = -1;
+		int32_t is_ref = 0;       // captured at seal time
 		std::vector<Event> done_events;   // SLICE_DONE in slice order
 	};
 	int n_threads = 0;           // 0 = synchronous (deterministic reference)

@@ -90,6 +90,7 @@ void Decoder::finish_frame() {
 				goto discard_check;
 			}
 			it->sealed = true;
+			it->is_ref = (int32_t)((curr_st | curr_lt) >> curr & 1);
 			// concealment reference snapshot (conceal_frame()'s scan,
 			// evaluated with the state current at seal time)
 			{
@@ -149,7 +150,8 @@ discard_check:
 	}
 	if (!complete[curr] && remaining_mbs[curr] <= 0) {
 		complete[curr] = 1;
-		events.push_back({EV_FRAME_DONE, curr, FrameIds[curr], 0, 0, 0});
+		events.push_back({EV_FRAME_DONE, curr, FrameIds[curr],
+		                  (int32_t)((curr_st | curr_lt) >> curr & 1), 0, 0});
 	}
 	int nbv = non_base >> curr & 1;
 	if ((curr_st | curr_lt) & (1u << curr)) {

@@ -37,6 +37,8 @@ Task::MbCtx::NbMv Task::MbCtx::fetch_mv(int gx, int gy, int list) const {
 	n.avail = 1;
 	size_t c = (size_t)gy * BW + gx;
 	n.ref = pl.refpoc_idx[c * 2 + list];
+	if (n.ref < 0)        // no list-X motion: mvLXN = 0 (§8.4.1.3.2) --
+		return n;         // the plane cell may hold a stale vector
 	n.mvx = pl.mvs[(c * 2 + list) * 2];
 	n.mvy = pl.mvs[(c * 2 + list) * 2 + 1];
 	return n;

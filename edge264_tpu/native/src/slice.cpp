@@ -555,7 +555,9 @@ int Decoder::parse_slice() {
 	events.push_back({EV_SLICE_DONE, curr, sh.first_mb, 0, sh.slice_type, err});
 	if (remaining_mbs[curr] <= 0 && !complete[curr]) {
 		complete[curr] = 1;
-		events.push_back({EV_FRAME_DONE, curr, FrameIds[curr], 0, 0, 0});
+		// b = is-reference (consumers size their device ref stores by it)
+		events.push_back({EV_FRAME_DONE, curr, FrameIds[curr],
+		                  (int32_t)((curr_st | curr_lt) >> curr & 1), 0, 0});
 	}
 	return 0;
 }

@@ -167,9 +167,13 @@ void Planes::clear_frame() {
 	memset(mb_errors.data(), 0, n);
 	memset(sm4, 16, sizeof(sm4));
 	memset(sm8, 16, sizeof(sm8));
-	// mvs/refslot/refpoc_idx need no clear: every parsed macroblock
-	// either stores its cells (store_mv) or clears them
-	// (Decoder_clear_inter_cells); concealment sets dirty_all.
+	// refslot/refpoc_idx MUST reset to -1: a B partition predicted from
+	// one list only never writes the other list's cells, and a stale
+	// slot index from the slot's previous occupant would leak into
+	// direct-mode/deblock reads (found via 8-GOP slot-reuse streams).
+	// mvs need no clear (reads are gated on refslot >= 0).
+	memset(refslot.data(), 0xFF, n * 32);
+	memset(refpoc_idx.data(), 0xFF, n * 32);
 	for (uint64_t e : dirty) {
 		size_t off = e & ((1ULL << 48) - 1);
 		switch ((int)(e >> 48)) {

@@ -123,7 +123,8 @@ void Decoder::retire_frames() {
 		for (const Event &e : fi.done_events)
 			events.push_back(e);
 		complete[fi.slot] = 1;
-		events.push_back({EV_FRAME_DONE, fi.slot, fi.frame_id, 0, 0, 0});
+		events.push_back({EV_FRAME_DONE, fi.slot, fi.frame_id,
+		                  fi.is_ref, 0, 0});
 		inflight.pop_front();
 	}
 }

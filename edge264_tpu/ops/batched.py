@@ -19,6 +19,7 @@ import functools
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from . import jaxdec as J
 from . import oracle as _o
@@ -30,12 +31,8 @@ def _stage_norms():
     return norm4, norm8
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("layout", "mbW", "mbH", "has_b", "make_refs",
-                     "intra_mode"))
-def decode_batch_step(arenas, sm4, sm8, mc_in, itabs, *, layout, mbW, mbH,
-                      has_b, make_refs, intra_mode):
+def _decode_batch_step_impl(arenas, sm4, sm8, mc_in, itabs, *, layout,
+                            mbW, mbH, has_b, make_refs, intra_mode):
     """One lockstep step over K frames.
 
     arenas   [K, L] uint8 packed syntax planes (shared `layout`)
@@ -110,11 +107,49 @@ def decode_batch_step(arenas, sm4, sm8, mc_in, itabs, *, layout, mbW, mbH,
     return y8, cb8, cr8, None, None
 
 
+decode_batch_step = functools.partial(
+    jax.jit,
+    static_argnames=("layout", "mbW", "mbH", "has_b", "make_refs",
+                     "intra_mode"))(_decode_batch_step_impl)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("layout", "mbW", "mbH", "has_b", "make_refs",
+                     "intra_mode", "mesh", "axis"))
+def decode_batch_step_sharded(arenas, sm4, sm8, mc_in, itabs, *, layout,
+                              mbW, mbH, has_b, make_refs, intra_mode,
+                              mesh, axis="gop"):
+    """Multi-chip lockstep step: the lane axis is sharded over `mesh`'s
+    `axis`; shard_map runs the full per-step program on each device's
+    LOCAL lanes (the Mosaic lockstep kernels batch the local lanes on
+    their tile axis, which must stay device-local).  GOP lanes are
+    reference-closed, so the step needs NO cross-chip collectives — chips
+    scale like the reference's worker threads (edge264_headers.c:450) but
+    each carries whole GOPs.  Cross-host distribution composes on top via
+    disjoint GOP ranges per process."""
+    assert make_refs, "sharded lockstep always maintains the ref rings"
+    spec = P(axis)
+
+    def local(arenas, sm4, sm8, mc_in, itabs):
+        return _decode_batch_step_impl(
+            arenas, sm4, sm8, mc_in, itabs, layout=layout, mbW=mbW,
+            mbH=mbH, has_b=has_b, make_refs=make_refs,
+            intra_mode=intra_mode)
+
+    fn = jax.shard_map(local, mesh=mesh,
+                       in_specs=(spec, spec, spec, spec, spec),
+                       out_specs=(spec, spec, spec, spec, spec),
+                       check_vma=False)
+    return fn(arenas, sm4, sm8, mc_in, itabs)
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1))
 def update_refs(refL, refC, newL, newC, ring_slots):
     """Write each lane's new phase planes into its ring slot, in place
     (donation).  ring_slots [K] int32; lanes whose frame is not a
-    reference carry slot index S (the write-off slot)."""
+    reference carry slot index S (the write-off slot).  Lane-parallel, so
+    it shards over the lane axis without communication."""
     lanes = jnp.arange(refL.shape[0])
     refL = refL.at[lanes, ring_slots].set(newL)
     refC = refC.at[lanes, ring_slots].set(newC)

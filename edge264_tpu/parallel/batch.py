@@ -1,0 +1,282 @@
+"""K-lane lockstep GOP decoding — the TPU-native scaling unit.
+
+A stream splits into closed GOPs (independent by construction); K of them
+decode in LOCKSTEP: every device step processes one frame from each lane
+as a single batched program (ops/batched.decode_batch_step), so the
+wavefront kernels' per-wave fixed cost and every dense op's dispatch
+overhead amortize over K.  Host entropy for the K lanes runs on worker
+threads (the C++ front end releases the GIL).
+
+The same lane axis is the MULTI-CHIP axis: passing a jax Mesh shards the
+[K, ...] batch over its "gop" axis with NamedSharding — each device
+decodes its lanes' frames, keeping its lane-local reference rings in HBM;
+no cross-chip traffic is needed because GOP lanes are reference-closed
+(the reference's frame-task dependency graph, edge264_headers.c:1275-1277,
+never crosses an IDR).  Cross-host GOP distribution composes on top by
+giving each host a disjoint GOP range (see BASELINE.md scaling row).
+
+Within a lane, frames still decode in order (P/B need their references'
+pixels), matching the reference's dependency gating; lanes that exhaust
+their GOP early idle out with masked (zero-arena) steps until the batch
+drains.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..api import Frame, find_start_code
+from ..core import FrameStore
+from ..native import (NativeDecoder, EV_FORMAT, EV_FRAME_DONE, EV_OUTPUT,
+                      EV_UNPIN)
+from ..ops import jaxdec as J
+from ..ops import batched as B
+from .gop import split_gops
+
+
+class _Lane:
+    """One GOP's native front end, pumped frame-by-frame.
+
+    Drives decode_nal until EV_FRAME_DONE, then exposes the completed
+    slot's planes for the batched device step; get_frame drains output
+    order."""
+
+    def __init__(self, stream: bytes):
+        self.nd = NativeDecoder()
+        self.stream = stream
+        self.pos = find_start_code(stream, 0) + 3
+        self.done_slots = []      # slots parsed, awaiting device step
+        self.out_frames = []      # (slot, frame_id) in output order
+        self.ring_map = {}        # DPB slot -> ring index
+        self.ring_free = None     # assigned by the driver
+        self.slot_ring = np.zeros(32, np.int32)
+        self.finished = False
+        self.fmt = None
+        self.store = {}           # frame_id -> decoded (y, cb, cr)
+
+    def _pump_events(self, events):
+        for kind, slot, a, b, c, d in events:
+            if kind == EV_FORMAT:
+                self.fmt = self.nd.format()
+            elif kind == EV_FRAME_DONE:
+                # a = frame_id, b = is_ref
+                self.done_slots.append((slot, a, b))
+            elif kind == EV_UNPIN:
+                i = self.ring_map.pop(slot, None)
+                if i is not None and i != self.S:   # S = write-off lane
+                    self.ring_free.append(i)
+
+    def parse_next_frame(self):
+        """Advance the bitstream until one more frame completes (appends
+        to done_slots) or the stream ends."""
+        want = len(self.done_slots) + 1
+        stall = 0
+        while len(self.done_slots) < want:
+            if self.pos >= len(self.stream):
+                if self.finished:
+                    return False
+                ret, events = self.nd.decode_nal(b"")
+                self._pump_events(events)
+                while True:
+                    info = self.nd.get_frame()
+                    if info is None:
+                        break
+                    self.out_frames.append((info["slot"], info["frame_id"]))
+                if ret != 105:          # != ENOBUFS: fully drained
+                    self.finished = True
+                continue
+            end = find_start_code(self.stream, self.pos)
+            ret, events = self.nd.decode_nal(self.stream[self.pos:end])
+            self._pump_events(events)
+            while True:
+                info = self.nd.get_frame()
+                if info is None:
+                    break
+                self.out_frames.append((info["slot"], info["frame_id"]))
+            if ret == 105:
+                stall += 1
+                if stall > 64:
+                    return False
+            else:
+                stall = 0
+                self.pos = end + 3
+        return True
+
+
+def _stack_arenas(lanes_planes, keep):
+    """Pack each lane's planes with a SHARED layout; returns (arenas
+    [K, L] uint8, layout)."""
+    packed = [J.pack_planes(p, keep=keep) for p in lanes_planes]
+    layouts = {layout for _, layout in packed}
+    assert len(layouts) == 1, "lanes disagree on plane layout"
+    arenas = jnp.stack([a for a, _ in packed])
+    return arenas, packed[0][1]
+
+
+def decode_gops_batched(stream: bytes, *, lanes: int = 4, mesh: Mesh = None,
+                        axis: str = "gop"):
+    """Decode a whole Annex-B stream with GOPs in K-lane lockstep; yields
+    Frames in stream order.  With `mesh`, the lane axis is sharded over
+    the mesh devices (lanes must be a multiple of the mesh size)."""
+    gops = split_gops(stream)
+    results = [[] for _ in gops]
+    S = 8                       # per-lane reference ring slots
+
+    sharding = None
+    if mesh is not None:
+        assert lanes % mesh.devices.size == 0, \
+            "lanes must be a multiple of the mesh size"
+        sharding = NamedSharding(mesh, P(axis))
+
+    for base in range(0, len(gops), lanes):
+        group = gops[base:base + lanes]
+        _decode_group(group, results, base, S, lanes, sharding)
+    for frames in results:
+        yield from frames
+
+
+def _decode_group(group, results, base, S, lanes, sharding):
+    if sharding is not None:
+        # shardings need the full lane count; missing GOPs become dead
+        # lanes (empty streams decode to nothing)
+        group = list(group) + [b""] * (lanes - len(group))
+    K = len(group)
+    lane_objs = [_Lane(g) for g in group]
+    for ln in lane_objs:
+        ln.S = S
+        ln.ring_free = list(range(S))
+
+    refL = refC = None
+    keep = set()
+    step = 0
+    while True:
+        # --- host entropy: one frame per active lane, in parallel -------
+        active = [ln for ln in lane_objs if not ln.finished or
+                  len(ln.done_slots) > step]
+        threads = []
+        for ln in lane_objs:
+            if len(ln.done_slots) <= step and not ln.finished:
+                t = threading.Thread(target=ln.parse_next_frame)
+                t.start()
+                threads.append(t)
+        for t in threads:
+            t.join()
+        live = [i for i, ln in enumerate(lane_objs)
+                if len(ln.done_slots) > step]
+        if not live:
+            break
+
+        # --- form the lockstep batch -----------------------------------
+        mbW = lane_objs[live[0]].fmt["mb_w"]
+        mbH = lane_objs[live[0]].fmt["mb_h"]
+        planes_list = []
+        sm4s, sm8s, ring_slots, slot_maps = [], [], [], []
+        for i, ln in enumerate(lane_objs):
+            if len(ln.done_slots) > step:
+                slot, _fid, is_ref = ln.done_slots[step]
+                pl = ln.nd.planes(slot)
+                flags = np.asarray(pl.mb_flags)
+                if (flags & 8).any():          # MBF_T8x8
+                    keep |= {"coef_y8", "i8_modes"}
+                if (flags & 4).any():          # MBF_IPCM
+                    keep |= {"pcm_y", "pcm_c"}
+                if (flags & 256).any():        # MBF_BLEND
+                    keep |= {"mb_errors", "slice_id"}
+                planes_list.append(pl)
+                sm4 = np.asarray(pl.sm4).astype(np.int32)
+                ws8 = np.full((6, 64), 16, np.int32)
+                ws8[0] = pl.sm8[0]
+                ws8[1] = pl.sm8[1]
+                sm4s.append(sm4)
+                sm8s.append(ws8)
+                # reference bookkeeping: reserve a ring slot (or the
+                # write-off lane S for non-reference frames)
+                # only REFERENCE frames occupy ring slots (non-refs are
+                # never read back; they go to the write-off lane S) --
+                # bounded by max_num_ref_frames like the reference DPB
+                if is_ref and ln.ring_free:
+                    ri = ln.ring_free.pop()
+                    ln.ring_map[slot] = ri
+                else:
+                    ri = S
+                ln.slot_ring[slot] = ri
+                ring_slots.append(ln.slot_ring[slot])
+                smap = np.zeros(32, np.int32)
+                for s_, r_ in ln.ring_map.items():
+                    smap[s_] = min(r_, S - 1)
+                slot_maps.append(smap)
+            else:
+                planes_list.append(None)
+                sm4s.append(np.full((6, 16), 16, np.int32))
+                sm8s.append(np.full((6, 64), 16, np.int32))
+                ring_slots.append(S)
+                slot_maps.append(np.zeros(32, np.int32))
+
+        # dead lanes contribute an all-zero arena of the shared layout
+        ref_pl = next(p for p in planes_list if p is not None)
+        packed = []
+        layout = None
+        for pl in planes_list:
+            a, layout = J.pack_planes(pl if pl is not None else ref_pl,
+                                      keep=keep)
+            packed.append(a if pl is not None else jnp.zeros_like(a))
+        arenas = jnp.stack(packed)
+        sm4b = jnp.asarray(np.stack(sm4s))
+        sm8b = jnp.asarray(np.stack(sm8s))
+        if refL is None:
+            refL, refC = B.alloc_ref_rings(K, S, mbW, mbH)
+            if sharding is not None:
+                refL = jax.device_put(refL, sharding)
+                refC = jax.device_put(refC, sharding)
+        if sharding is not None:
+            arenas = jax.device_put(arenas, sharding)
+
+        mc_in = None
+        if step > 0:
+            mc_in = (refL, refC, jnp.asarray(np.stack(slot_maps)))
+        intra_mode = "pallas" if J.use_pallas() else "sheared"
+        if sharding is not None:
+            y, cb, cr, newL, newC = B.decode_batch_step_sharded(
+                arenas, sm4b, sm8b, mc_in, None, layout=layout, mbW=mbW,
+                mbH=mbH, has_b=True, make_refs=True,
+                intra_mode=intra_mode, mesh=sharding.mesh)
+        else:
+            y, cb, cr, newL, newC = B.decode_batch_step(
+                arenas, sm4b, sm8b, mc_in, None, layout=layout, mbW=mbW,
+                mbH=mbH, has_b=True, make_refs=True,
+                intra_mode=intra_mode)
+        refL, refC = B.update_refs(refL, refC, newL, newC,
+                                   jnp.asarray(np.array(ring_slots)))
+
+        # --- hand decoded frames back to their lanes (keyed by frame_id:
+        # DPB slots are reused within a lane) ----------------------------
+        for i, ln in enumerate(lane_objs):
+            if planes_list[i] is not None:
+                ln.store[ln.done_slots[step][1]] = (y[i], cb[i], cr[i])
+        step += 1
+
+    # --- output in stream order ------------------------------------------
+    for i, ln in enumerate(lane_objs):
+        fmt = ln.fmt
+        ct, cr_, cb_, cl = (fmt["crop_top"], fmt["crop_right"],
+                            fmt["crop_bottom"], fmt["crop_left"])
+        wY, hY = fmt["mb_w"] * 16, fmt["mb_h"] * 16
+        for slot, frame_id in ln.out_frames:
+            ys, cbs, crs = ln.store[frame_id]
+            ya = np.asarray(ys)
+            cba = np.asarray(cbs)
+            cra = np.asarray(crs)
+            results[base + i].append(Frame(
+                y=ya[ct:hY - cb_, cl:wY - cr_],
+                cb=cba[ct // 2:(hY - cb_) // 2, cl // 2:(wY - cr_) // 2],
+                cr=cra[ct // 2:(hY - cb_) // 2, cl // 2:(wY - cr_) // 2],
+                frame_id=frame_id,
+                crop_offsets=(ct, cr_, cb_, cl),
+                return_arg=slot,
+            ))
+        ln.nd.close()

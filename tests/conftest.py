@@ -3,12 +3,23 @@ import os
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
 # exercised without TPU hardware (the driver separately dry-runs the
 # multi-chip path).  Must be set before jax is imported.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU even when the shell exports JAX_PLATFORMS (e.g. axon): the
+# suite must not contend for -- or depend on -- the one real TPU chip.
+# Opt in to TPU runs explicitly with E264T_TEST_TPU=1.
+if not os.environ.get("E264T_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+if not os.environ.get("E264T_TEST_TPU"):
+    # the axon sitecustomize registers its TPU backend via a programmatic
+    # config update, which outranks the JAX_PLATFORMS env var -- override
+    # it the same way
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

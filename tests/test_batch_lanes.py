@@ -1,0 +1,64 @@
+"""K-lane lockstep GOP decoding (parallel/batch.py): bit-exact against the
+serial decoder, on one device and sharded over the 8-device CPU mesh
+(conftest sets XLA_FLAGS=--xla_force_host_platform_device_count=8)."""
+
+import numpy as np
+import pytest
+import jax
+
+from edge264_tpu.api import decode_annexb
+from edge264_tpu.parallel.batch import decode_gops_batched
+from edge264_tpu.parallel.mesh import make_decode_mesh
+from tools.avcgen import gen_random_ipp_stream, gen_random_ipb_stream
+
+
+def _multi_gop_ipb(n_gops=4, seed=5):
+    return gen_random_ipb_stream(6, 4, n_gops=n_gops, seed=seed)
+
+
+def _serial(data):
+    return [(f.frame_id, np.asarray(f.y), np.asarray(f.cb),
+             np.asarray(f.cr)) for f in decode_annexb(data, backend="numpy")]
+
+
+def _check(serial, got, label):
+    got = [(f.frame_id, np.asarray(f.y), np.asarray(f.cb), np.asarray(f.cr))
+           for f in got]
+    assert len(got) == len(serial) > 0, (label, len(got), len(serial))
+    # frame_id is a per-decoder counter; lanes renumber per GOP (like
+    # decode_annexb_parallel), so only pixel content and order compare
+    for (ia, ya, ca, ra), (ib, yb, cb_, rb) in zip(serial, got):
+        assert np.array_equal(ya, yb), (label, ia, "y")
+        assert np.array_equal(ca, cb_), (label, ia, "cb")
+        assert np.array_equal(ra, rb), (label, ia, "cr")
+
+
+def test_lockstep_lanes_single_device():
+    data = _multi_gop_ipb(n_gops=4)
+    _check(_serial(data), decode_gops_batched(data, lanes=4), "K=4")
+
+
+def test_lockstep_uneven_group():
+    """5 GOPs with 4 lanes: a second partially-filled group."""
+    data = _multi_gop_ipb(n_gops=5, seed=9)
+    _check(_serial(data), decode_gops_batched(data, lanes=4), "5/4")
+
+
+def test_lockstep_lanes_sharded_mesh():
+    """Lane axis sharded over all 8 virtual devices via shard_map (8
+    truly independent GOPs, one per device)."""
+    assert len(jax.devices()) == 8
+    data = b"".join(gen_random_ipb_stream(6, 4, n_gops=1, seed=s)
+                    for s in range(8))
+    mesh = make_decode_mesh()
+    _check(_serial(data), decode_gops_batched(data, lanes=8, mesh=mesh),
+           "mesh8")
+
+
+def test_lockstep_ipp_streams():
+    parts = [gen_random_ipp_stream(5, 4, n_frames=4, seed=s, density=0.25,
+                                   skip_prob=0.3, intra_prob=0.1,
+                                   mv_range=8, nrefs=2)
+             for s in (11, 22, 33, 44)]
+    data = b"".join(parts)
+    _check(_serial(data), decode_gops_batched(data, lanes=4), "ipp")
