@@ -1,16 +1,20 @@
 #!/usr/bin/env python3
-"""Benchmark against BASELINE.md: edge264 decodes 1080p Big Buck Bunny at
-~77 fps on one CPU thread (300 frames / 3.9 s).
+"""Benchmark against BASELINE.md config #3: B slices + CABAC at 1080p
+(the reference decodes the 10-s 1080p Big Buck Bunny clip at ~77 fps on
+one CPU thread — 300 frames / 3.9 s, README-benchmark.svg).
 
-Primary metric: end-to-end 1080p decode throughput (Annex-B in, YUV out)
-through the full stack — C++ entropy front end on the host + the JAX/XLA
-pixel path on the device — on a generated IPP stream (all-intra worst case
-measured separately).  Prints one JSON line.
+Workload: a generated 1080p (1920x1088) CABAC IPB stream decoded through
+the FULL stack — C++ entropy front end with frame-task workers on the
+host, JAX/XLA/Pallas pixel path on the device — with the output verified
+BIT-EXACT against the reference decoder binary inside the bench.
+
+Prints ONE JSON line with fps and vs_baseline; per-stage numbers go to
+stderr (host-entropy-only pass, end-to-end wall).
 """
 
+import hashlib
 import json
 import os
-import pickle
 import sys
 import time
 
@@ -20,45 +24,108 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 MBW, MBH = 120, 68          # 1920x1088
 BASELINE_FPS = 77.0
-N_FRAMES = 8
-CACHE = f"/tmp/e264t_bench_ipp_{MBW}x{MBH}_{N_FRAMES}_v1.264"
+CACHE = f"/tmp/e264t_bench_cabac_ipb_{MBW}x{MBH}_61f_v1.264"
+N_TASKS = -1                # frame-task workers: one per hw thread
 
 
 def build_stream() -> bytes:
     if os.path.exists(CACHE):
         return open(CACHE, "rb").read()
-    from tools.avcgen import gen_random_ipp_stream
-    data = gen_random_ipp_stream(MBW, MBH, n_frames=N_FRAMES, seed=42,
-                                 density=0.15, skip_prob=0.35,
-                                 intra_prob=0.05, mv_range=32, nrefs=1)
+    from tools.avcgen import gen_random_cabac_ipb_stream
+    sys.stderr.write("generating 1080p CABAC IPB stream (slow, cached)...\n")
+    data = gen_random_cabac_ipb_stream(MBW, MBH, n_gops=30, seed=42)
     with open(CACHE, "wb") as f:
         f.write(data)
     return data
 
 
-def main():
+def golden_digest(data: bytes) -> tuple[str, int]:
+    """YUV digest of the stream decoded by the reference binary (cached
+    beside the stream)."""
+    cache = CACHE + ".golden"
+    if os.path.exists(cache):
+        d, n = open(cache).read().split()
+        return d, int(n)
+    from tools.ref_oracle import RefOracle
+    o = RefOracle.build()
+    frames, yuv, _ = o.decode_yuv(data)
+    d = hashlib.sha256(yuv).hexdigest()
+    with open(cache, "w") as f:
+        f.write(f"{d} {len(frames)}")
+    return d, len(frames)
+
+
+def host_only_pass(data: bytes) -> float:
+    """ms/frame of the entropy front end alone (null pixel backend)."""
     from edge264_tpu.api import decode_annexb
 
+    class NullBackend:
+        def reconstruct(self, planes, slot, store):
+            h, w = planes.mb_h * 16, planes.mb_w * 16
+            z = np.zeros((h, w), np.uint8)
+            zc = np.zeros((h // 2, w // 2), np.uint8)
+            return z, zc, zc
+
+    t0 = time.perf_counter()
+    n = sum(1 for _ in decode_annexb(data, backend=NullBackend(),
+                                     n_tasks=N_TASKS))
+    dt = time.perf_counter() - t0
+    return dt / n * 1e3
+
+
+def run_once(data: bytes, check_digest: str | None):
+    from edge264_tpu.api import decode_annexb
+    h = hashlib.sha256() if check_digest else None
+    t0 = time.perf_counter()
+    n = 0
+    for f in decode_annexb(data, backend="jax", n_tasks=N_TASKS):
+        if h is not None:
+            h.update(np.asarray(f.y).tobytes())
+            h.update(np.asarray(f.cb).tobytes())
+            h.update(np.asarray(f.cr).tobytes())
+        else:
+            _ = int(np.asarray(f.y)[0, 0])             # force D2H
+        n += 1
+    dt = time.perf_counter() - t0
+    ok = None
+    if h is not None:
+        ok = h.hexdigest() == check_digest
+    return n, dt, ok
+
+
+def main():
     data = build_stream()
+    digest, n_ref = golden_digest(data)
+    sys.stderr.write(f"stream: {len(data)/1e6:.1f} MB, {n_ref} frames "
+                     f"@1920x1088 CABAC IPB\n")
 
-    def run():
-        t0 = time.perf_counter()
-        n = 0
-        for f in decode_annexb(data, backend="jax"):
-            n += int(f.y[0, 0]) >= 0      # force materialization
-            print(f"  frame {n} at {time.perf_counter() - t0:.1f}s",
-                  file=sys.stderr, flush=True)
-        return n, time.perf_counter() - t0
+    host_ms = host_only_pass(data)
+    sys.stderr.write(f"host entropy only ({N_TASKS} tasks): "
+                     f"{host_ms:.1f} ms/frame\n")
 
-    print("warmup...", file=sys.stderr, flush=True)
-    run()                     # warmup (compiles all shapes)
-    best = None
+    sys.stderr.write("warmup + bit-exactness check...\n")
+    t0 = time.perf_counter()
+    n, dt, ok = run_once(data, digest)      # warmup incl. hash check
+    sys.stderr.write(f"warmup: {n} frames in {dt:.1f}s "
+                     f"(cold total {time.perf_counter()-t0:.1f}s), "
+                     f"bit-exact vs reference binary: {ok}\n")
+    if n != n_ref or not ok:
+        print(json.dumps({
+            "metric": "1080p CABAC IPB end-to-end decode",
+            "value": 0.0, "unit": "frames/sec", "vs_baseline": 0.0,
+            "error": f"output mismatch (frames {n}/{n_ref}, exact={ok})",
+        }))
+        return
+
+    best = 0.0
     for _ in range(3):
-        n, dt = run()
+        n, dt, _ = run_once(data, None)
         fps = n / dt
-        best = max(best or 0.0, fps)
+        sys.stderr.write(f"run: {n} frames in {dt:.2f}s = {fps:.1f} fps\n")
+        best = max(best, fps)
     print(json.dumps({
-        "metric": "1080p end-to-end decode (host entropy + TPU pixel path)",
+        "metric": "1080p CABAC IPB end-to-end decode (host entropy "
+                  "workers + TPU pixel path, bit-exact)",
         "value": round(best, 2),
         "unit": "frames/sec",
         "vs_baseline": round(best / BASELINE_FPS, 3),

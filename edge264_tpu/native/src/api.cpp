@@ -138,6 +138,7 @@ size_t e264t_get_log(void *h, char *buf, size_t cap) {
 	Decoder *d = (Decoder *)h;
 	size_t n = d->logbuf.size() < cap ? d->logbuf.size() : cap;
 	memcpy(buf, d->logbuf.data(), n);
+	d->logbuf.clear();    // consumed: the next poll must not re-deliver
 	return n;
 }
 

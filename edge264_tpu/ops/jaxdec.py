@@ -1479,11 +1479,9 @@ def _decode_frame_impl(p, sm4, sm8, mbW, mbH, itab, mc=None,
 # tens of minutes on the TPU AOT helper.  The split costs only one
 # intermediate int32 frame in HBM.
 
-@functools.partial(jax.jit,
-                   static_argnames=("layout", "mbW", "mbH", "has_b"))
-def _dense_arena(arena, sm4, sm8, mc_in=None, *, layout, mbW, mbH,
-                 has_b=True):
-    """Residual + (optional) MC: the dense stages, one program."""
+def _dense_arena_impl(arena, sm4, sm8, mc_in=None, *, layout, mbW, mbH,
+                      has_b=True):
+    """Residual + (optional) MC: the dense stages."""
     p = _unpack_planes(arena, layout)
     present = {k for k, _, _, off in layout if off >= 0}
     has_t8 = "coef_y8" in present
@@ -1505,15 +1503,19 @@ def _dense_arena(arena, sm4, sm8, mc_in=None, *, layout, mbW, mbH,
     return y, cb, cr, res_y, res_cb, res_cr
 
 
-@functools.partial(jax.jit, static_argnames=("layout", "mbW", "mbH"))
-def _intra_arena(arena, y, cb, cr, res_y, res_cb, res_cr, itab=None, *,
-                 layout, mbW, mbH):
-    """Intra reconstruction wavefront, one program."""
+def _intra_arena_impl(arena, y, cb, cr, res_y, res_cb, res_cr,
+                      itab=None, *, layout, mbW, mbH):
+    """Intra reconstruction wavefront."""
     p = _unpack_planes(arena, layout)
     present = {k for k, _, _, off in layout if off >= 0}
     if itab is not None:
         return intra_scan(y, cb, cr, res_y, res_cb, res_cr, p, itab)
-    if use_pallas():
+    # The Mosaic intra kernel intermittently faults the TPU on real
+    # stream content (synthetic-plane tests pass; suspected compiler
+    # issue in the scratch-ref wavefront) -- the XLA sheared scan is the
+    # default until that is root-caused.  Opt back in with
+    # E264T_FORCE_PALLAS_INTRA=1.
+    if use_pallas() and os.environ.get("E264T_FORCE_PALLAS_INTRA"):
         from .pallas_intra import intra_pallas
         return intra_pallas(y, cb, cr, res_y, res_cb, res_cr, p, mbW, mbH)
     return intra_scan_sheared(y, cb, cr, res_y, res_cb, res_cr, p,
@@ -1521,13 +1523,29 @@ def _intra_arena(arena, y, cb, cr, res_y, res_cb, res_cr, itab=None, *,
                               "pcm_y" in present)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("layout", "mbW", "mbH", "has_b"))
 def _recon_arena(arena, sm4, sm8, itab=None, mc_in=None, *, layout,
                  mbW, mbH, has_b=True):
-    y, cb, cr, res_y, res_cb, res_cr = _dense_arena(
-        arena, sm4, sm8, mc_in, layout=layout, mbW=mbW, mbH=mbH,
-        has_b=has_b)
-    return _intra_arena(arena, y, cb, cr, res_y, res_cb, res_cr, itab,
-                        layout=layout, mbW=mbW, mbH=mbH)
+    # dense + intra fused into ONE program: queueing a successor right
+    # behind the dense program without a host sync crashes the axon TPU
+    # worker (transport bug, bisected empirically); fusing removes the
+    # adjacency and saves a dispatch.  The optimization barrier keeps XLA
+    # from fusing the dense stage into the intra scan body — without it
+    # the combined compile blows up superlinearly (36 min at 1080p vs
+    # ~3 min for the parts).
+    y, cb, cr, res_y, res_cb, res_cr = lax.optimization_barrier(
+        _dense_arena_impl(arena, sm4, sm8, mc_in, layout=layout, mbW=mbW,
+                          mbH=mbH, has_b=has_b))
+    return _intra_arena_impl(arena, y, cb, cr, res_y, res_cb, res_cr,
+                             itab, layout=layout, mbW=mbW, mbH=mbH)
+
+
+_dense_arena = functools.partial(
+    jax.jit,
+    static_argnames=("layout", "mbW", "mbH", "has_b"))(_dense_arena_impl)
+_intra_arena = functools.partial(
+    jax.jit, static_argnames=("layout", "mbW", "mbH"))(_intra_arena_impl)
 
 
 @functools.partial(jax.jit, static_argnames=("layout", "mbW", "mbH"))
@@ -1768,6 +1786,8 @@ class JaxBackend:
         l4, ch = make_ref_planes(y, cb, cr)
         self.ringL, self.ringC = _ring_set(self.ringL, self.ringC,
                                            jnp.int32(i), l4, ch)
+        if os.environ.get("E264T_SYNC_EVERY_FRAME"):
+            _ = int(np.asarray(y[0, 0]))     # hard sync point (debug)
         # device arrays are returned as-is: dispatch stays asynchronous and
         # the host parses the next slice while the chip reconstructs
         return (y, cb, cr)

@@ -239,7 +239,10 @@ def _decode_group(group, results, base, S, lanes, sharding):
         mc_in = None
         if step > 0:
             mc_in = (refL, refC, jnp.asarray(np.stack(slot_maps)))
-        intra_mode = "pallas" if J.use_pallas() else "sheared"
+        import os
+        intra_mode = ("pallas" if J.use_pallas() and
+                      os.environ.get("E264T_FORCE_PALLAS_INTRA")
+                      else "sheared")
         if sharding is not None:
             y, cb, cr, newL, newC = B.decode_batch_step_sharded(
                 arenas, sm4b, sm8b, mc_in, None, layout=layout, mbW=mbW,
