@@ -3,7 +3,7 @@
 
 PY ?= python
 
-.PHONY: all native check bench gentests clean
+.PHONY: all native check bench fuzz gentests clean
 
 all: native
 
@@ -15,6 +15,9 @@ check:             ## full test suite (CPU; 8-device virtual mesh)
 
 bench:             ## end-to-end 1080p benchmark (one JSON line)
 	$(PY) bench.py
+
+fuzz:              ## ASan+UBSan fuzz corpus over the C++ front end
+	$(PY) tools/fuzz_corpus.py
 
 gentests:          ## regenerate cached generated streams (none persisted)
 	@echo "test streams are generated on the fly by tools/avcgen.py"

@@ -52,12 +52,13 @@ def check_frame(i, frame, golden, w, h):
     return False
 
 
-def decode_file(path, yuv=None, backend="jax", bench=False, quiet=False):
+def decode_file(path, yuv=None, backend="jax", bench=False, quiet=False,
+                n_tasks=0):
     data = open(path, "rb").read()
     t0 = time.perf_counter()
     c0 = time.process_time()
     frames = []
-    for f in decode_annexb(data, backend=backend):
+    for f in decode_annexb(data, backend=backend, n_tasks=n_tasks):
         np.asarray(f.y)[0, 0]          # force materialization
         frames.append(f)
     wall = time.perf_counter() - t0
@@ -108,7 +109,11 @@ def main(argv=None):
                     help="print timing + memory stats")
     ap.add_argument("--backend", default="jax",
                     choices=("jax", "numpy"), help="pixel backend")
+    ap.add_argument("-m", "--multithread", action="store_true",
+                    help="frame-task workers, one per hardware thread "
+                         "(the reference's -m)")
     args = ap.parse_args(argv)
+    n_tasks = -1 if args.multithread else 0
 
     if os.path.isdir(args.input):
         ok = True
@@ -118,11 +123,11 @@ def main(argv=None):
             p = os.path.join(args.input, name)
             yuv = os.path.splitext(p)[0] + ".yuv"
             ok &= decode_file(p, yuv if os.path.exists(yuv) else None,
-                              args.backend, args.bench)
+                              args.backend, args.bench, n_tasks=n_tasks)
         return 0 if ok else 1
     yuv = args.yuv or os.path.splitext(args.input)[0] + ".yuv"
     ok = decode_file(args.input, yuv if os.path.exists(yuv) else None,
-                     args.backend, args.bench)
+                     args.backend, args.bench, n_tasks=n_tasks)
     return 0 if ok else 1
 
 

@@ -1552,6 +1552,9 @@ _intra_arena = functools.partial(
 def _deblock_arena(arena, y, cb, cr, *, layout, mbW, mbH):
     p = _unpack_planes(arena, layout)
     bs_v, bs_h = deblock_bs(p)
+    # barrier: keep XLA from fusing the bS derivation into the Mosaic
+    # call's operand chain (superlinear compile blowup at 1080p)
+    bs_v, bs_h = lax.optimization_barrier((bs_v, bs_h))
     if use_pallas():
         from .pallas_deblock import deblock_pallas
         y, cb, cr = deblock_pallas(y, cb, cr, p, bs_v, bs_h, mbW, mbH)
