@@ -17,6 +17,22 @@ namespace e264t {
 
 extern const int8_t CTX_INIT[4][1024][2];
 
+// packed-state transition tables (§9.3.3.2.1.1 Table 9-45 folded with the
+// valMPS flip at pStateIdx 0 and the <<1|valMPS packing)
+uint8_t NEXT_MPS[128];
+uint8_t NEXT_LPS[128];
+static const int _next_init = [] {
+	for (int p = 0; p < 64; p++) {
+		for (int v = 0; v < 2; v++) {
+			int s = (p << 1) | v;
+			NEXT_MPS[s] = (uint8_t)((TRANS_MPS[p] << 1) | v);
+			NEXT_LPS[s] = (uint8_t)((TRANS_LPS[p] << 1) |
+			                        (p == 0 ? v ^ 1 : v));
+		}
+	}
+	return 0;
+}();
+
 // §9.3.1.1: state[i] = pStateIdx << 1 | valMPS
 void Cabac::init_contexts(int idc, int qp) {
 	for (int i = 0; i < 1024; i++) {

@@ -348,6 +348,10 @@ struct Decoder;
 extern const uint8_t RANGE_LPS[64][4];
 extern const uint8_t TRANS_MPS[64];
 extern const uint8_t TRANS_LPS[64];
+// packed-state transitions (derived in cabac.cpp from Table 9-45):
+// NEXT_x[pStateIdx<<1|valMPS] -> next packed state
+extern uint8_t NEXT_MPS[128];
+extern uint8_t NEXT_LPS[128];
 
 // shared inter helpers (mb_inter.cpp), used by both entropy layers
 
@@ -382,31 +386,38 @@ struct Cabac {
 			bits += 16;
 		}
 	}
-	// §9.3.3.2.1 with multi-bit renormalization
+	// §9.3.3.2.1 with multi-bit renormalization.  NEXT_MPS/NEXT_LPS are
+	// precomputed over the packed state (pStateIdx<<1|valMPS), folding
+	// the transIdx lookup, the valMPS flip at pStateIdx 0, and the
+	// repacking into one byte load each.  The MPS-no-renorm case (the
+	// common one) skips the clz/shift entirely.
 	inline int decode(int ctxIdx) {
 		int s = state[ctxIdx];
-		int p = s >> 1, v = s & 1;
-		uint32_t rlps = RANGE_LPS[p][(codIRange >> 6) & 3];
+		uint32_t rlps = RANGE_LPS[s >> 1][(codIRange >> 6) & 3];
 		codIRange -= rlps;
 		uint64_t rs = (uint64_t)codIRange << bits;
 		int bin;
 		if (off >= rs) {
 			off -= rs;
 			codIRange = rlps;
-			bin = v ^ 1;
-			state[ctxIdx] =
-				(uint8_t)((TRANS_LPS[p] << 1) | (p == 0 ? v ^ 1 : v));
-		} else {
-			bin = v;
-			state[ctxIdx] = (uint8_t)((TRANS_MPS[p] << 1) | v);
-		}
-		// renorm to [256, 512): range >= 2 always, so k in [0, 7]
-		int k = 8 - (31 - __builtin_clz(codIRange));
-		if (k > 0) {
+			bin = (s & 1) ^ 1;
+			state[ctxIdx] = NEXT_LPS[s];
+			// LPS renorm: rlps in [2, 240] -> k in [1, 7]
+			int k = 8 - (31 - __builtin_clz(codIRange));
 			codIRange <<= k;
 			bits -= k;
 			if (bits <= 23)
 				refill();
+		} else {
+			bin = s & 1;
+			state[ctxIdx] = NEXT_MPS[s];
+			if (codIRange < 256) {   // rare: rlps can reach 240
+				int k = 8 - (31 - __builtin_clz(codIRange));
+				codIRange <<= k;
+				bits -= k;
+				if (bits <= 23)
+					refill();
+			}
 		}
 		return bin;
 	}
