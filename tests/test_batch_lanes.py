@@ -62,3 +62,27 @@ def test_lockstep_ipp_streams():
              for s in (11, 22, 33, 44)]
     data = b"".join(parts)
     _check(_serial(data), decode_gops_batched(data, lanes=4), "ipp")
+
+
+def test_multihost_gop_partition():
+    """Contiguous GOP shares cover the stream exactly, once, in order,
+    and stay balanced within one GOP."""
+    from edge264_tpu.parallel.distributed import my_gop_range
+    for n_gops in (1, 2, 5, 8, 17):
+        for world in (1, 2, 3, 4, 8):
+            spans = [my_gop_range(n_gops, r, world) for r in range(world)]
+            flat = [i for lo, hi in spans for i in range(lo, hi)]
+            assert flat == list(range(n_gops)), (n_gops, world, spans)
+            sizes = [hi - lo for lo, hi in spans]
+            assert max(sizes) - min(sizes) <= 1
+
+
+def test_multihost_single_process_decode():
+    """Uninitialized distributed runtime = rank 0 of 1: the multihost
+    entry must decode the whole stream identically to serial."""
+    from edge264_tpu.parallel.distributed import decode_stream_multihost
+    data = b"".join(gen_random_ipb_stream(5, 3, n_gops=1, seed=s)
+                    for s in range(3))
+    _check(_serial(data),
+           list(decode_stream_multihost(data, lanes=4, use_mesh=False)),
+           "multihost1")
