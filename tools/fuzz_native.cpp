@@ -61,7 +61,8 @@ static int run(const uint8_t *buf, size_t n, int n_tasks, int logs) {
     for (int drain = 0; drain < 64; drain++) {
         int rc = e264t_decode_nal(h, nullptr, 0);
         E264tEvent ev;
-        while (e264t_poll(h, &ev)) {}
+        while (e264t_poll(h, &ev))
+            if (ev.kind == 4) frames++;   // reorder backlog completes here
         int32_t fr[4];
         while (e264t_get_frame(h, 0, fr) == 0) {}
         if (rc != 105) break;
