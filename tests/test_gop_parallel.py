@@ -58,3 +58,20 @@ def test_split_gops_multislice_idr():
     assert len(par) == len(serial) == 3
     for a, b in zip(serial, par):
         assert np.array_equal(np.asarray(a.y), np.asarray(b.y))
+
+
+def test_split_gops_mvc_prefix_nals():
+    """MVC: prefix NALs (type 14) must travel with the access unit that
+    follows them, and per-GOP decode must match serial."""
+    from tools.avcgen import gen_random_mvc_stream
+    data = b"".join(gen_random_mvc_stream(4, 3, n_aus=1, seed=s)
+                    for s in (1, 2))
+    gops = split_gops(data)
+    serial = list(decode_annexb(data, backend="numpy"))
+    split = [f for g in gops for f in decode_annexb(g, backend="numpy")]
+    assert len(split) == len(serial) > 0
+    for a, b in zip(serial, split):
+        assert np.array_equal(np.asarray(a.y), np.asarray(b.y))
+        if a.y_mvc is not None:
+            assert b.y_mvc is not None
+            assert np.array_equal(np.asarray(a.y_mvc), np.asarray(b.y_mvc))
