@@ -105,7 +105,12 @@ def main():
 
     sys.stderr.write("warmup + bit-exactness check...\n")
     t0 = time.perf_counter()
-    n, dt, ok = run_once(data, digest)      # warmup incl. hash check
+    try:
+        n, dt, ok = run_once(data, digest)  # warmup incl. hash check
+    except Exception as e:                  # transient tunnel fault: one
+        sys.stderr.write(f"warmup failed ({e}); retrying in 120s\n")
+        time.sleep(120)                     # retry after a cooldown
+        n, dt, ok = run_once(data, digest)
     sys.stderr.write(f"warmup: {n} frames in {dt:.1f}s "
                      f"(cold total {time.perf_counter()-t0:.1f}s), "
                      f"bit-exact vs reference binary: {ok}\n")
