@@ -53,7 +53,7 @@ def check_frame(i, frame, golden, w, h):
 
 
 def decode_file(path, yuv=None, backend="jax", bench=False, quiet=False,
-                n_tasks=0):
+                n_tasks=0, out_y4m=None):
     data = open(path, "rb").read()
     t0 = time.perf_counter()
     c0 = time.process_time()
@@ -92,6 +92,18 @@ def decode_file(path, yuv=None, backend="jax", bench=False, quiet=False,
             msg += f", {n_ok}/{n_total} bit-exact"
         msg += ")"
         print(msg)
+    if out_y4m and frames:
+        h, w = np.asarray(frames[0].y).shape
+        with open(out_y4m, "wb") as fh:
+            fh.write(f"YUV4MPEG2 W{w} H{h} F30:1 Ip A1:1 C420\n"
+                     .encode())
+            for f in frames:
+                fh.write(b"FRAME\n")
+                fh.write(np.asarray(f.y).tobytes())
+                fh.write(np.asarray(f.cb).tobytes())
+                fh.write(np.asarray(f.cr).tobytes())
+        if not quiet:
+            print(f"  wrote {out_y4m} ({len(frames)} frames)")
     if bench:
         rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
         print(f"  wall: {wall * 1000:.1f} ms  cpu: {cpu * 1000:.1f} ms  "
@@ -112,6 +124,10 @@ def main(argv=None):
     ap.add_argument("-m", "--multithread", action="store_true",
                     help="frame-task workers, one per hardware thread "
                          "(the reference's -m)")
+    ap.add_argument("-o", "--output", metavar="FILE.y4m",
+                    help="write decoded video as YUV4MPEG2 (playable with "
+                         "ffplay/mpv; the display-substitute for the "
+                         "reference's SDL window)")
     args = ap.parse_args(argv)
     n_tasks = -1 if args.multithread else 0
 
@@ -127,7 +143,8 @@ def main(argv=None):
         return 0 if ok else 1
     yuv = args.yuv or os.path.splitext(args.input)[0] + ".yuv"
     ok = decode_file(args.input, yuv if os.path.exists(yuv) else None,
-                     args.backend, args.bench, n_tasks=n_tasks)
+                     args.backend, args.bench, n_tasks=n_tasks,
+                     out_y4m=args.output)
     return 0 if ok else 1
 
 
