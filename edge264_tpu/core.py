@@ -101,8 +101,12 @@ class DecoderCore:
                 self._store.clear()
             elif kind == EV_FRAME_DONE:
                 planes = self._nd.planes(slot)
-                y, cb, cr = self._backend.reconstruct(planes, slot,
-                                                      self._store)
+                try:
+                    y, cb, cr = self._backend.reconstruct(
+                        planes, slot, self._store, is_ref=bool(b))
+                except TypeError:       # backend without is_ref support
+                    y, cb, cr = self._backend.reconstruct(planes, slot,
+                                                          self._store)
                 self._store.put(slot, y, cb, cr)
                 errs = np.asarray(planes.mb_errors)
                 self._errors[slot] = errs.copy() if errs.any() else None

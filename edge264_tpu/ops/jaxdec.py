@@ -1750,7 +1750,7 @@ class JaxBackend:
         self.ring_map[slot] = i
         return i
 
-    def reconstruct(self, planes, slot, store):
+    def reconstruct(self, planes, slot, store, is_ref=True):
         # sticky layout: once a plane class appears in the stream it stays
         # in the arena (zero-filled when unused) so the program set is
         # bounded per stream, not per frame
@@ -1790,10 +1790,14 @@ class JaxBackend:
                                            itab, layout=layout,
                                            mbW=planes.mb_w,
                                            mbH=planes.mb_h)
-        i = self._ring_reserve(slot, planes.mb_w, planes.mb_h)
-        l4, ch = make_ref_planes(y, cb, cr)
-        self.ringL, self.ringC = _ring_set(self.ringL, self.ringC,
-                                           jnp.int32(i), l4, ch)
+        if is_ref:
+            # only reference frames enter the ring: ringing the reorder
+            # backlog ballooned S through multiple growth recompiles of
+            # the MC program and 17x frame-size HBM per slot
+            i = self._ring_reserve(slot, planes.mb_w, planes.mb_h)
+            l4, ch = make_ref_planes(y, cb, cr)
+            self.ringL, self.ringC = _ring_set(self.ringL, self.ringC,
+                                               jnp.int32(i), l4, ch)
         if os.environ.get("E264T_SYNC_EVERY_FRAME"):
             _ = int(np.asarray(y[0, 0]))     # hard sync point (debug)
         # device arrays are returned as-is: dispatch stays asynchronous and

@@ -55,3 +55,16 @@ def test_mvc_stereo(ref_oracle, seed, kw):
 def test_mvc_longer(ref_oracle):
     data = gen_random_mvc_stream(5, 4, n_aus=5, seed=7)
     assert_mvc_match(ref_oracle, data, ctx="mvc 5x4")
+
+
+def test_mvc_jax_backend(ref_oracle):
+    """Both views through the jax pixel path (inter-view references must
+    live in the device reference ring)."""
+    data = gen_random_mvc_stream(4, 3, n_aus=3, seed=9)
+    refs = _ref_views(ref_oracle, data)
+    frames = list(decode_annexb(data, backend="jax"))
+    assert len(frames) == len(refs)
+    for i, (f, (base, view1)) in enumerate(zip(frames, refs)):
+        assert np.array_equal(np.asarray(f.y), base[0]), f"AU {i} Y"
+        assert np.array_equal(np.asarray(f.y_mvc), view1[0]), f"AU {i} Y1"
+        assert np.array_equal(np.asarray(f.cb_mvc), view1[1]), f"AU {i} Cb1"
