@@ -1713,7 +1713,9 @@ class JaxBackend:
     Reference analog: the DPB sample buffers edge264_internal.h:343-386,
     HBM-resident as planned in SURVEY.md §2 (DPB row)."""
 
-    RING_START = 4            # grows by doubling (recompiles, rare)
+    RING_START = 8            # grows by doubling (recompiles, rare);
+                              # 8 covers typical max_num_ref_frames
+                              # without a growth recompile
 
     def __init__(self, device=None):
         self.device = device
