@@ -19,6 +19,10 @@ Within a lane, frames still decode in order (P/B need their references'
 pixels), matching the reference's dependency gating; lanes that exhaust
 their GOP early idle out with masked (zero-arena) steps until the batch
 drains.
+
+MVC streams: use decode_annexb / decode_annexb_parallel — the lockstep
+driver batches single-view frames (the paired-view output protocol is a
+per-stream property the lane rendezvous does not model yet).
 """
 
 from __future__ import annotations
