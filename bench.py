@@ -3,45 +3,81 @@
 (the reference decodes the 10-s 1080p Big Buck Bunny clip at ~77 fps on
 one CPU thread — 300 frames / 3.9 s, README-benchmark.svg).
 
-Workload: a generated 1080p (1920x1088) CABAC IPB stream decoded through
-the FULL stack — C++ entropy front end with frame-task workers on the
-host, JAX/XLA/Pallas pixel path on the device — with the output verified
-BIT-EXACT against the reference decoder binary inside the bench.
+Workload: a generated 1080p (1920x1088) CABAC IPB stream of 8 CLOSED GOPs
+(IDR + 4x(P+B) each — BBB-like ~1 s IDR cadence) decoded through the
+K-lane LOCKSTEP driver (parallel/batch.py): C++ entropy front end on host
+worker threads, batched JAX/XLA/Pallas pixel path on the device, output
+verified BIT-EXACT against the reference decoder binary inside the bench.
 
-Prints ONE JSON line with fps and vs_baseline; per-stage numbers go to
-stderr (host-entropy-only pass, end-to-end wall).
+Robustness contract (the driver runs this once per round; a timeout must
+not eat the round's measurement): the benchmark body runs in a child
+process with a wall-clock budget; the parent ALWAYS prints exactly one
+JSON line — on child failure/timeout it reports the partial stage numbers
+the child checkpointed, with an `error` field.
 """
 
-import hashlib
 import json
 import os
+import signal
+import subprocess
 import sys
 import time
 
-import numpy as np
-
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 MBW, MBH = 120, 68          # 1920x1088
+N_GOPS, GOP_PB = 8, 4       # 8 closed GOPs x (IDR + 4x(P+B)) = 72 frames
 BASELINE_FPS = 77.0
-CACHE = f"/tmp/e264t_bench_cabac_ipb_{MBW}x{MBH}_61f_v1.264"
-N_TASKS = -1                # frame-task workers: one per hw thread
+CACHE = f"/tmp/e264t_bench_cabac_ipb_{MBW}x{MBH}_closed{N_GOPS}x{1+2*GOP_PB}_v1.264"
+PARTIAL = "/tmp/e264t_bench_partial.json"
+LANES = int(os.environ.get("E264T_BENCH_LANES", "8"))
+BUDGET_S = float(os.environ.get("E264T_BENCH_BUDGET_S", "1500"))
+METRIC = ("1080p CABAC IPB end-to-end decode, 8 closed GOPs in "
+          f"{LANES}-lane lockstep (host entropy + TPU pixel path, "
+          "bit-exact)")
 
+
+def emit(value, vs, **extra):
+    print(json.dumps({"metric": METRIC, "value": round(value, 2),
+                      "unit": "frames/sec",
+                      "vs_baseline": round(vs, 3), **extra}))
+    sys.stdout.flush()
+
+
+def checkpoint(**kv):
+    """Worker: persist partial stage results for the parent's fallback."""
+    cur = {}
+    if os.path.exists(PARTIAL):
+        try:
+            cur = json.load(open(PARTIAL))
+        except Exception:
+            cur = {}
+    cur.update(kv)
+    with open(PARTIAL + ".tmp", "w") as f:
+        json.dump(cur, f)
+    os.replace(PARTIAL + ".tmp", PARTIAL)
+
+
+# ---------------------------------------------------------------------------
+# worker: the actual benchmark
 
 def build_stream() -> bytes:
     if os.path.exists(CACHE):
         return open(CACHE, "rb").read()
     from tools.avcgen import gen_random_cabac_ipb_stream
     sys.stderr.write("generating 1080p CABAC IPB stream (slow, cached)...\n")
-    data = gen_random_cabac_ipb_stream(MBW, MBH, n_gops=30, seed=42)
+    data = gen_random_cabac_ipb_stream(MBW, MBH, n_gops=N_GOPS, seed=42,
+                                       closed=True, gop_pb=GOP_PB)
     with open(CACHE, "wb") as f:
         f.write(data)
     return data
 
 
-def golden_digest(data: bytes) -> tuple[str, int]:
+def golden_digest(data: bytes):
     """YUV digest of the stream decoded by the reference binary (cached
     beside the stream)."""
+    import hashlib
     cache = CACHE + ".golden"
     if os.path.exists(cache):
         d, n = open(cache).read().split()
@@ -56,7 +92,9 @@ def golden_digest(data: bytes) -> tuple[str, int]:
 
 
 def host_only_pass(data: bytes) -> float:
-    """ms/frame of the entropy front end alone (null pixel backend)."""
+    """ms/frame of the entropy front end alone (null pixel backend,
+    frame-task workers)."""
+    import numpy as np
     from edge264_tpu.api import decode_annexb
 
     class NullBackend:
@@ -68,17 +106,42 @@ def host_only_pass(data: bytes) -> float:
 
     t0 = time.perf_counter()
     n = sum(1 for _ in decode_annexb(data, backend=NullBackend(),
-                                     n_tasks=N_TASKS))
+                                     n_tasks=-1))
     dt = time.perf_counter() - t0
     return dt / n * 1e3
 
 
-def run_once(data: bytes, check_digest: str | None):
-    from edge264_tpu.api import decode_annexb
+def device_health_check(deadline: float) -> None:
+    """Block until a tiny jit runs on the device (the axon tunnel dies
+    and recovers on 15-40 min scales; retry within budget), else raise."""
+    import jax
+    import jax.numpy as jnp
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            x = jax.jit(lambda a: a * 2 + 1)(jnp.arange(8.0))
+            import numpy as np
+            assert np.asarray(x)[3] == 7.0       # real D2H = real sync
+            sys.stderr.write(f"device healthy (attempt {attempt})\n")
+            return
+        except Exception as e:
+            remain = deadline - time.monotonic()
+            sys.stderr.write(f"health check failed ({type(e).__name__}: "
+                             f"{e}); {remain:.0f}s of budget left\n")
+            if remain < 120:
+                raise
+            time.sleep(min(60, remain - 90))
+
+
+def run_once(data: bytes, check_digest):
+    import hashlib
+    import numpy as np
+    from edge264_tpu.parallel.batch import decode_gops_batched
     h = hashlib.sha256() if check_digest else None
     t0 = time.perf_counter()
     n = 0
-    for f in decode_annexb(data, backend="jax", n_tasks=N_TASKS):
+    for f in decode_gops_batched(data, lanes=LANES):
         if h is not None:
             h.update(np.asarray(f.y).tobytes())
             h.update(np.asarray(f.cb).tobytes())
@@ -87,55 +150,113 @@ def run_once(data: bytes, check_digest: str | None):
             _ = int(np.asarray(f.y)[0, 0])             # force D2H
         n += 1
     dt = time.perf_counter() - t0
-    ok = None
-    if h is not None:
-        ok = h.hexdigest() == check_digest
+    ok = h.hexdigest() == check_digest if h is not None else None
     return n, dt, ok
 
 
-def main():
+def worker():
+    deadline = time.monotonic() + BUDGET_S
+    checkpoint(stage="build_stream", host_entropy_ms=None, fps_runs=[],
+               bitexact=None)
     data = build_stream()
     digest, n_ref = golden_digest(data)
     sys.stderr.write(f"stream: {len(data)/1e6:.1f} MB, {n_ref} frames "
-                     f"@1920x1088 CABAC IPB\n")
+                     f"@1920x1088 CABAC IPB, {N_GOPS} closed GOPs\n")
 
+    checkpoint(stage="host_entropy")
     host_ms = host_only_pass(data)
-    sys.stderr.write(f"host entropy only ({N_TASKS} tasks): "
-                     f"{host_ms:.1f} ms/frame\n")
+    checkpoint(stage="health_check", host_entropy_ms=round(host_ms, 2))
+    sys.stderr.write(f"host entropy only (-1 tasks): {host_ms:.1f} "
+                     f"ms/frame ({1e3/host_ms:.0f} fps ceiling)\n")
 
-    sys.stderr.write("warmup + bit-exactness check...\n")
+    device_health_check(deadline)
+
+    checkpoint(stage="warmup")
     t0 = time.perf_counter()
-    try:
-        n, dt, ok = run_once(data, digest)  # warmup incl. hash check
-    except Exception as e:                  # transient tunnel fault: one
-        sys.stderr.write(f"warmup failed ({e}); retrying in 120s\n")
-        time.sleep(120)                     # retry after a cooldown
-        n, dt, ok = run_once(data, digest)
-    sys.stderr.write(f"warmup: {n} frames in {dt:.1f}s "
-                     f"(cold total {time.perf_counter()-t0:.1f}s), "
-                     f"bit-exact vs reference binary: {ok}\n")
+    n, dt, ok = run_once(data, digest)      # warmup: compile + hash check
+    sys.stderr.write(f"warmup: {n} frames in {dt:.1f}s (cold total "
+                     f"{time.perf_counter()-t0:.1f}s), bit-exact vs "
+                     f"reference binary: {ok}\n")
+    checkpoint(stage="timed_runs", bitexact=bool(ok), warmup_s=round(dt, 1))
     if n != n_ref or not ok:
-        print(json.dumps({
-            "metric": "1080p CABAC IPB end-to-end decode",
-            "value": 0.0, "unit": "frames/sec", "vs_baseline": 0.0,
-            "error": f"output mismatch (frames {n}/{n_ref}, exact={ok})",
-        }))
+        emit(0.0, 0.0, error=f"output mismatch (frames {n}/{n_ref}, "
+                             f"exact={ok})", host_entropy_ms=round(host_ms, 2))
         return
 
-    best = 0.0
+    runs = []
     for _ in range(3):
+        if time.monotonic() > deadline - 60 and runs:
+            break
         n, dt, _ = run_once(data, None)
         fps = n / dt
+        runs.append(round(fps, 2))
+        checkpoint(fps_runs=runs)
         sys.stderr.write(f"run: {n} frames in {dt:.2f}s = {fps:.1f} fps\n")
-        best = max(best, fps)
-    print(json.dumps({
-        "metric": "1080p CABAC IPB end-to-end decode (host entropy "
-                  "workers + TPU pixel path, bit-exact)",
-        "value": round(best, 2),
-        "unit": "frames/sec",
-        "vs_baseline": round(best / BASELINE_FPS, 3),
-    }))
+    best = max(runs)
+    emit(best, best / BASELINE_FPS, host_entropy_ms=round(host_ms, 2),
+         runs=runs, bitexact=True)
+
+
+# ---------------------------------------------------------------------------
+# parent: budget enforcement + guaranteed JSON
+
+def parent():
+    try:
+        os.remove(PARTIAL)
+    except OSError:
+        pass
+    t0 = time.monotonic()
+    child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--worker"],
+        stdout=subprocess.PIPE, stderr=sys.stderr, text=True,
+        start_new_session=True, cwd=REPO)
+    try:
+        out, _ = child.communicate(timeout=BUDGET_S)
+    except subprocess.TimeoutExpired:
+        # kill the exact process group we started (never by pattern)
+        os.killpg(child.pid, signal.SIGKILL)
+        out, _ = child.communicate()
+        _fallback(out, f"timeout after {time.monotonic()-t0:.0f}s")
+        return
+    line = _last_json_line(out)
+    if child.returncode == 0 and line:
+        print(line)
+        sys.stdout.flush()
+        return
+    _fallback(out, f"worker exited rc={child.returncode}")
+
+
+def _last_json_line(out: str):
+    for line in reversed((out or "").strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                json.loads(line)
+                return line
+            except Exception:
+                continue
+    return None
+
+
+def _fallback(out, why):
+    part = {}
+    if os.path.exists(PARTIAL):
+        try:
+            part = json.load(open(PARTIAL))
+        except Exception:
+            part = {}
+    runs = part.get("fps_runs") or []
+    if runs:        # timed runs completed before the failure: report them
+        best = max(runs)
+        emit(best, best / BASELINE_FPS, error=why, **{
+            k: v for k, v in part.items() if k != "fps_runs"}, runs=runs)
+        return
+    emit(0.0, 0.0, error=f"{why} at stage {part.get('stage', '?')}",
+         host_entropy_ms=part.get("host_entropy_ms"))
 
 
 if __name__ == "__main__":
-    main()
+    if "--worker" in sys.argv:
+        worker()
+    else:
+        parent()

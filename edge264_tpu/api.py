@@ -39,6 +39,7 @@ class Frame:
     bit_depth_y: int = 8
     bit_depth_c: int = 8
     crop_offsets: tuple = (0, 0, 0, 0)    # top, right, bottom, left
+    timing: tuple = (0, 0)   # VUI (num_units_in_tick, time_scale), 0 = absent
     return_arg: object = None
 
 
@@ -105,9 +106,13 @@ def decode_annexb(stream: bytes, **kw):
             if res != errno.ENOBUFS:
                 pos = end + 3
             elif stall > 0:
+                # incomplete frames can never complete: cap the stall no
+                # matter what wait_frame reports (a "ready" head frame that
+                # get_frame still refuses, e.g. an MVC pair whose non-base
+                # view is pending, must not spin forever)
+                if stall > 64:
+                    break
                 # frame-task mode: the head frame may still be parsing on
                 # a worker; block for it instead of spinning
                 if dec._core.wait_frame() == 0:
                     continue
-                if stall > 64:    # incomplete frames can never complete
-                    break

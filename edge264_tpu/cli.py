@@ -94,8 +94,12 @@ def decode_file(path, yuv=None, backend="jax", bench=False, quiet=False,
         print(msg)
     if out_y4m and frames:
         h, w = np.asarray(frames[0].y).shape
+        # frame rate from VUI timing when present: time_scale ticks/sec,
+        # 2 ticks per progressive frame (E-1); fall back to 30:1
+        nuit, tsc = getattr(frames[0], "timing", (0, 0))
+        fn, fd = (tsc, 2 * nuit) if nuit and tsc else (30, 1)
         with open(out_y4m, "wb") as fh:
-            fh.write(f"YUV4MPEG2 W{w} H{h} F30:1 Ip A1:1 C420\n"
+            fh.write(f"YUV4MPEG2 W{w} H{h} F{fn}:{fd} Ip A1:1 C420\n"
                      .encode())
             for f in frames:
                 fh.write(b"FRAME\n")

@@ -92,6 +92,17 @@ class DecoderCore:
             self._backend = JaxBackend(device=device)
         else:
             raise ValueError(f"unknown backend {backend!r}")
+        # probe is_ref support once: a per-frame `except TypeError` around
+        # reconstruct would swallow TypeErrors raised INSIDE it and rerun a
+        # backend that may already have mutated its ring state
+        import inspect
+        try:
+            sig = inspect.signature(self._backend.reconstruct)
+            self._backend_is_ref = ("is_ref" in sig.parameters or any(
+                p.kind is inspect.Parameter.VAR_KEYWORD
+                for p in sig.parameters.values()))
+        except (TypeError, ValueError):
+            self._backend_is_ref = False
 
     # -- event pump --------------------------------------------------------
     def _handle(self, events):
@@ -101,10 +112,10 @@ class DecoderCore:
                 self._store.clear()
             elif kind == EV_FRAME_DONE:
                 planes = self._nd.planes(slot)
-                try:
+                if self._backend_is_ref:
                     y, cb, cr = self._backend.reconstruct(
                         planes, slot, self._store, is_ref=bool(b))
-                except TypeError:       # backend without is_ref support
+                else:
                     y, cb, cr = self._backend.reconstruct(planes, slot,
                                                           self._store)
                 self._store.put(slot, y, cb, cr)
@@ -155,6 +166,8 @@ class DecoderCore:
             frame_id=info["frame_id"],
             mb_errors=self._errors.get(slot),
             crop_offsets=(ct, cr_, cb_, cl),
+            timing=(fmt.get("num_units_in_tick", 0),
+                    fmt.get("time_scale", 0)),
             return_arg=slot,
         )
         mslot = info["slot_mvc"]

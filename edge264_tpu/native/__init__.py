@@ -216,11 +216,12 @@ class NativeDecoder:
         return SyntaxPlanes(self._h, slot)
 
     def format(self):
-        out = (C.c_int32 * 7)()
+        out = (C.c_int32 * 9)()
         self._lib.e264t_format(self._h, out)
         return dict(mb_w=out[0], mb_h=out[1], crop_left=out[2],
                     crop_right=out[3], crop_top=out[4], crop_bottom=out[5],
-                    chroma_format_idc=out[6])
+                    chroma_format_idc=out[6], num_units_in_tick=out[7],
+                    time_scale=out[8])
 
     def get_frame(self, borrow: bool = False):
         out = (C.c_int32 * 4)()

@@ -100,16 +100,19 @@ int e264t_planes(void *h, int slot, E264tPlanes *out) {
 	return 0;
 }
 
-// frame geometry of the active SPS: [mb_w, mb_h, crop l/r/t/b, chroma_idc]
-void e264t_format(void *h, int32_t *out7) {
+// frame geometry of the active SPS: [mb_w, mb_h, crop l/r/t/b, chroma_idc,
+// num_units_in_tick, time_scale] (VUI timing, 0 when absent)
+void e264t_format(void *h, int32_t *out9) {
 	Decoder *d = (Decoder *)h;
-	out7[0] = d->sps.mb_width;
-	out7[1] = d->sps.mb_height;
-	out7[2] = d->sps.crop_left;
-	out7[3] = d->sps.crop_right;
-	out7[4] = d->sps.crop_top;
-	out7[5] = d->sps.crop_bottom;
-	out7[6] = d->sps.chroma_format_idc;
+	out9[0] = d->sps.mb_width;
+	out9[1] = d->sps.mb_height;
+	out9[2] = d->sps.crop_left;
+	out9[3] = d->sps.crop_right;
+	out9[4] = d->sps.crop_top;
+	out9[5] = d->sps.crop_bottom;
+	out9[6] = d->sps.chroma_format_idc;
+	out9[7] = (int32_t)d->sps.num_units_in_tick;
+	out9[8] = (int32_t)d->sps.time_scale;
 }
 
 // returns 0 and fills slot/slot_mvc/frame ids, or -1 if no frame ready

@@ -156,6 +156,23 @@ def update_refs(refL, refC, newL, newC, ring_slots):
     return refL, refC
 
 
+def grow_ref_rings(refL, refC, S_old, S_new, sharding=None):
+    """Double the per-lane ring capacity, preserving slots [0, S_old).
+    The old write-off slot S_old holds only non-reference garbage (no
+    slot_map entry points at it), so it is recycled as a regular slot;
+    the write-off moves to S_new.  Shape change => one recompile of the
+    step program, like JaxBackend._ring_reserve's doubling."""
+    K = refL.shape[0]
+    newL = jnp.zeros((K, S_new + 1) + refL.shape[2:], refL.dtype)
+    newC = jnp.zeros((K, S_new + 1) + refC.shape[2:], refC.dtype)
+    if sharding is not None:
+        newL = jax.device_put(newL, sharding)
+        newC = jax.device_put(newC, sharding)
+    newL = newL.at[:, :S_old].set(refL[:, :S_old])
+    newC = newC.at[:, :S_old].set(refC[:, :S_old])
+    return newL, newC
+
+
 def alloc_ref_rings(K, S, mbW, mbH):
     """Device ring buffers for K lanes x (S + 1 write-off) slots of MC
     phase planes (uint8)."""

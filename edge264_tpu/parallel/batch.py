@@ -27,6 +27,7 @@ per-stream property the lane rendezvous does not model yet).
 
 from __future__ import annotations
 
+import os
 import threading
 
 import numpy as np
@@ -61,7 +62,7 @@ class _Lane:
         self.slot_ring = np.zeros(32, np.int32)
         self.finished = False
         self.fmt = None
-        self.store = {}           # frame_id -> decoded (y, cb, cr)
+        self.store = {}           # frame_id -> (step, lane) into step_out
 
     def _pump_events(self, events):
         for kind, slot, a, b, c, d in events:
@@ -145,6 +146,12 @@ def decode_gops_batched(stream: bytes, *, lanes: int = 4, mesh: Mesh = None,
 
 
 def _decode_group(group, results, base, S, lanes, sharding):
+    import sys
+    import time as _time
+    prof = (dict(entropy=0.0, pack=0.0, dispatch=0.0, d2h=0.0, frames=0,
+                 steps=0)
+            if os.environ.get("E264T_LANE_PROF") else None)
+    _clk = _time.perf_counter
     if sharding is not None:
         # shardings need the full lane count; missing GOPs become dead
         # lanes (empty streams decode to nothing)
@@ -158,10 +165,10 @@ def _decode_group(group, results, base, S, lanes, sharding):
     refL = refC = None
     keep = set()
     step = 0
+    step_out = []     # per-step batched (y, cb, cr) device arrays
     while True:
         # --- host entropy: one frame per active lane, in parallel -------
-        active = [ln for ln in lane_objs if not ln.finished or
-                  len(ln.done_slots) > step]
+        t0 = _clk() if prof else 0.0
         threads = []
         for ln in lane_objs:
             if len(ln.done_slots) <= step and not ln.finished:
@@ -172,12 +179,31 @@ def _decode_group(group, results, base, S, lanes, sharding):
             t.join()
         live = [i for i, ln in enumerate(lane_objs)
                 if len(ln.done_slots) > step]
+        if prof:
+            prof["entropy"] += _clk() - t0
         if not live:
             break
 
         # --- form the lockstep batch -----------------------------------
+        t0 = _clk() if prof else 0.0
         mbW = lane_objs[live[0]].fmt["mb_w"]
         mbH = lane_objs[live[0]].fmt["mb_h"]
+
+        # grow the reference rings by doubling when any lane runs out of
+        # slots (mirrors JaxBackend._ring_reserve; max_num_ref_frames can
+        # reach 16, so a fixed ring silently mis-references legal streams)
+        needs_slot = any(
+            ln.done_slots[step][2] and not ln.ring_free
+            for ln in lane_objs if len(ln.done_slots) > step)
+        if needs_slot:
+            S2 = S * 2
+            if refL is not None:
+                refL, refC = B.grow_ref_rings(refL, refC, S, S2, sharding)
+            for ln in lane_objs:
+                ln.ring_free.extend(range(S, S2))
+                ln.S = S2
+            S = S2
+
         planes_list = []
         sm4s, sm8s, ring_slots, slot_maps = [], [], [], []
         for i, ln in enumerate(lane_objs):
@@ -243,7 +269,9 @@ def _decode_group(group, results, base, S, lanes, sharding):
         mc_in = None
         if step > 0:
             mc_in = (refL, refC, jnp.asarray(np.stack(slot_maps)))
-        import os
+        if prof:
+            prof["pack"] += _clk() - t0
+            t0 = _clk()
         intra_mode = ("pallas" if J.use_pallas() and
                       os.environ.get("E264T_FORCE_PALLAS_INTRA")
                       else "sheared")
@@ -259,25 +287,56 @@ def _decode_group(group, results, base, S, lanes, sharding):
                 intra_mode=intra_mode)
         refL, refC = B.update_refs(refL, refC, newL, newC,
                                    jnp.asarray(np.array(ring_slots)))
+        if prof:
+            prof["dispatch"] += _clk() - t0
+            prof["steps"] += 1
+            prof["frames"] += len(live)
 
         # --- hand decoded frames back to their lanes (keyed by frame_id:
-        # DPB slots are reused within a lane) ----------------------------
+        # DPB slots are reused within a lane).  The step's WHOLE batch is
+        # kept and copied to host asynchronously as ONE transfer per
+        # plane -- per-frame D2H round trips over the axon tunnel
+        # (~100-200 ms each) would dominate the decode otherwise --------
+        for a in (y, cb, cr):
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass                       # backend without async copies
+        step_out.append((y, cb, cr))
         for i, ln in enumerate(lane_objs):
             if planes_list[i] is not None:
-                ln.store[ln.done_slots[step][1]] = (y[i], cb[i], cr[i])
+                ln.store[ln.done_slots[step][1]] = (step, i)
         step += 1
 
     # --- output in stream order ------------------------------------------
+    host_steps = {}        # step -> (y, cb, cr) numpy batches
+
+    def step_np(s):
+        """One D2H per plane per STEP (the whole [K, ...] batch, already
+        in flight from copy_to_host_async), not one per frame."""
+        if s not in host_steps:
+            t0 = _clk() if prof else 0.0
+            ys, cbs, crs = step_out[s]
+            host_steps[s] = (np.asarray(ys), np.asarray(cbs),
+                             np.asarray(crs))
+            if prof:
+                prof["d2h"] += _clk() - t0
+        return host_steps[s]
+
     for i, ln in enumerate(lane_objs):
         fmt = ln.fmt
+        if fmt is None or base + i >= len(results):
+            # dead padding lane (mesh path rounds the group up to `lanes`
+            # with empty streams): nothing was decoded, nothing to emit
+            ln.nd.close()
+            continue
         ct, cr_, cb_, cl = (fmt["crop_top"], fmt["crop_right"],
                             fmt["crop_bottom"], fmt["crop_left"])
         wY, hY = fmt["mb_w"] * 16, fmt["mb_h"] * 16
         for slot, frame_id in ln.out_frames:
-            ys, cbs, crs = ln.store[frame_id]
-            ya = np.asarray(ys)
-            cba = np.asarray(cbs)
-            cra = np.asarray(crs)
+            s, lane = ln.store[frame_id]
+            yb, cbb, crb = step_np(s)
+            ya, cba, cra = yb[lane], cbb[lane], crb[lane]
             results[base + i].append(Frame(
                 y=ya[ct:hY - cb_, cl:wY - cr_],
                 cb=cba[ct // 2:(hY - cb_) // 2, cl // 2:(wY - cr_) // 2],
@@ -287,3 +346,13 @@ def _decode_group(group, results, base, S, lanes, sharding):
                 return_arg=slot,
             ))
         ln.nd.close()
+    if prof and prof["frames"]:
+        n = prof["frames"]
+        sys.stderr.write(
+            f"[lane-prof] {n} frames / {prof['steps']} steps: "
+            f"entropy {prof['entropy']/n*1e3:.1f} pack "
+            f"{prof['pack']/n*1e3:.1f} dispatch "
+            f"{prof['dispatch']/n*1e3:.1f} d2h+device "
+            f"{prof['d2h']/n*1e3:.1f} ms/frame "
+            "(dispatch is async enqueue; device execution drains into "
+            "d2h)\n")

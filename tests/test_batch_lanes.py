@@ -55,6 +55,39 @@ def test_lockstep_lanes_sharded_mesh():
            "mesh8")
 
 
+def test_lockstep_sharded_uneven_group():
+    """5 closed GOPs over 8 mesh lanes: the mesh path pads the group with
+    3 dead lanes, which must stay out of the output (round-2 regression:
+    dead lanes crashed the output loop with fmt=None)."""
+    assert len(jax.devices()) == 8
+    data = gen_random_ipb_stream(5, 3, n_gops=5, seed=13, closed=True,
+                                 gop_pb=1)
+    mesh = make_decode_mesh()
+    _check(_serial(data), decode_gops_batched(data, lanes=8, mesh=mesh),
+           "mesh5/8")
+
+
+def test_lockstep_ring_growth():
+    """A lane whose live reference count exceeds the starting ring (S=8)
+    must grow the ring (doubling) instead of silently mis-referencing:
+    12-frame IPP GOP with up to 10 refs alive."""
+    data = gen_random_ipp_stream(5, 4, n_frames=12, seed=3, nrefs=10,
+                                 density=0.2, mv_range=8)
+    _check(_serial(data), decode_gops_batched(data, lanes=1), "ring-grow")
+
+
+def test_closed_gop_generation():
+    """closed=True emits one IDR per GOP (distinct idr_pic_id, POC
+    reset), so split_gops yields exactly n_gops independent chunks."""
+    from edge264_tpu.parallel.gop import split_gops
+    from tools.avcgen import gen_random_cabac_ipb_stream
+    data = gen_random_ipb_stream(4, 3, n_gops=6, seed=1, closed=True,
+                                 gop_pb=1)
+    assert len(split_gops(data)) == 6
+    data = gen_random_cabac_ipb_stream(4, 3, n_gops=3, seed=1, closed=True)
+    assert len(split_gops(data)) == 3
+
+
 def test_lockstep_ipp_streams():
     parts = [gen_random_ipp_stream(5, 4, n_frames=4, seed=s, density=0.25,
                                    skip_prob=0.3, intra_prob=0.1,

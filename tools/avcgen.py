@@ -94,7 +94,10 @@ def nal(nal_ref_idc: int, nal_type: int, rbsp: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 def make_sps(mb_w, mb_h, *, profile=66, level=40, log2_max_frame_num=4,
              poc_type=0, log2_max_poc_lsb=4, max_ref_frames=2, gaps=0,
-             crop=(0, 0, 0, 0), scaling4=None, scaling8=None) -> bytes:
+             crop=(0, 0, 0, 0), scaling4=None, scaling8=None,
+             timing=None) -> bytes:
+    """timing: optional VUI (num_units_in_tick, time_scale) pair — frame
+    rate = time_scale / (2 * num_units_in_tick) for progressive (E-1)."""
     w = BitWriter()
     w.u(profile, 8)
     w.u(0, 8)               # constraint flags
@@ -134,7 +137,22 @@ def make_sps(mb_w, mb_h, *, profile=66, level=40, log2_max_frame_num=4,
         w.ue(l); w.ue(r); w.ue(t); w.ue(b)
     else:
         w.u1(0)
-    w.u1(0)                 # vui absent
+    if timing is not None:
+        w.u1(1)             # vui present
+        w.u1(0)             # aspect_ratio_info_present
+        w.u1(0)             # overscan_info_present
+        w.u1(0)             # video_signal_type_present
+        w.u1(0)             # chroma_loc_info_present
+        w.u1(1)             # timing_info_present
+        w.u(timing[0], 32)  # num_units_in_tick
+        w.u(timing[1], 32)  # time_scale
+        w.u1(1)             # fixed_frame_rate
+        w.u1(0)             # nal_hrd_parameters_present
+        w.u1(0)             # vcl_hrd_parameters_present
+        w.u1(0)             # pic_struct_present
+        w.u1(0)             # bitstream_restriction
+    else:
+        w.u1(0)             # vui absent
     w.rbsp_trailing()
     return nal(3, 7, w.bytes_unescaped())
 
@@ -1198,28 +1216,36 @@ def random_b_mb(rng, nrefs, max_level=8, density=0.3, mv_range=32,
 def gen_random_ipb_stream(mb_w, mb_h, n_gops=2, seed=0, *, qp=26,
                           max_level=8, density=0.3, mv_range=32,
                           direct_spatial=True, wbi=0, b_nrefs=(2, 1),
-                          deblock=True) -> bytes:
+                          deblock=True, closed=False, gop_pb=2) -> bytes:
     """IDR, then per GOP: P (ref), B (non-ref, POC between).  Decode order
-    I P1 B1 P2 B2...; display order I B1 P1 B2 P2..."""
+    I P1 B1 P2 B2...; display order I B1 P1 B2 P2...
+
+    closed=True emits n_gops CLOSED GOPs, each opened by its own IDR
+    (distinct idr_pic_id, frame_num/POC reset) followed by `gop_pb` P+B
+    pairs — the frame-task independence unit across IDRs matching
+    /root/reference/src/edge264_headers.c:1275-1277 (refs never cross an
+    IDR), so split_gops() yields n_gops independent chunks."""
     rng = random.Random(seed)
     out = make_sps(mb_w, mb_h, max_ref_frames=3, log2_max_poc_lsb=6) \
         + make_pps(deblock_control=not deblock, nrefs=2, nrefs1=1, wbi=wbi)
     deblock_idc = None if deblock else 1
     n_mbs = mb_w * mb_h
-    specs = []
-    probe = IntraEncoder(mb_w, mb_h, qp)
-    for addr in range(n_mbs):
-        spec = random_intra_mb(rng, ('i4', 'i16'), max_level, density)
-        resolve_random_modes(rng, probe, addr % mb_w, addr // mb_w, spec)
-        probe.parsed.add((addr % mb_w, addr // mb_w))
-        specs.append(spec)
-    out += make_idr_slice(mb_w, mb_h, specs, slice_qp=qp,
-                          deblock_idc=deblock_idc, log2_max_poc_lsb=6)
-    for g in range(1, n_gops + 1):
+
+    def emit_idr(idr_pic_id):
+        specs = []
+        probe = IntraEncoder(mb_w, mb_h, qp)
+        for addr in range(n_mbs):
+            spec = random_intra_mb(rng, ('i4', 'i16'), max_level, density)
+            resolve_random_modes(rng, probe, addr % mb_w, addr // mb_w, spec)
+            probe.parsed.add((addr % mb_w, addr // mb_w))
+            specs.append(spec)
+        return make_idr_slice(mb_w, mb_h, specs, slice_qp=qp,
+                              idr_pic_id=idr_pic_id,
+                              deblock_idc=deblock_idc, log2_max_poc_lsb=6)
+
+    def emit_p(g):
         # P reference frame at poc 8g, frame_num g
         nr = min(g, 2)
-        mvsP = MvState(mb_w, mb_h)
-        encP = IntraEncoder(mb_w, mb_h, qp)
         specs = []
         probe = IntraEncoder(mb_w, mb_h, qp)
         for addr in range(n_mbs):
@@ -1229,10 +1255,12 @@ def gen_random_ipb_stream(mb_w, mb_h, n_gops=2, seed=0, *, qp=26,
                                      spec)
             probe.parsed.add((addr % mb_w, addr // mb_w))
             specs.append(spec)
-        out += make_p_slice(mb_w, mb_h, specs, slice_qp=qp,
+        return make_p_slice(mb_w, mb_h, specs, slice_qp=qp,
                             frame_num=g % 16, poc_lsb=(8 * g) % 64, nrefs=nr,
                             pps_nrefs=2, deblock_idc=deblock_idc,
                             log2_max_poc_lsb=6)
+
+    def emit_b(g):
         # non-ref B frame at poc 8g-4, frame_num g+1 (prev ref + 1)
         nrefs_b = (min(g + 1, b_nrefs[0]), 1)
         specs = []
@@ -1244,11 +1272,23 @@ def gen_random_ipb_stream(mb_w, mb_h, n_gops=2, seed=0, *, qp=26,
                                      spec)
             probe.parsed.add((addr % mb_w, addr // mb_w))
             specs.append(spec)
-        out += make_b_slice(mb_w, mb_h, specs, slice_qp=qp,
+        return make_b_slice(mb_w, mb_h, specs, slice_qp=qp,
                             frame_num=(g + 1) % 16,
                             poc_lsb=(8 * g - 4) % 64, nrefs=nrefs_b,
                             pps_nrefs=(2, 1), direct_spatial=direct_spatial,
                             deblock_idc=deblock_idc, log2_max_poc_lsb=6)
+
+    if closed:
+        for gop in range(n_gops):
+            out += emit_idr(gop % 16)
+            for j in range(1, gop_pb + 1):
+                out += emit_p(j)
+                out += emit_b(j)
+        return out
+    out += emit_idr(0)
+    for g in range(1, n_gops + 1):
+        out += emit_p(g)
+        out += emit_b(g)
     return out
 
 
@@ -1998,9 +2038,13 @@ def gen_random_cabac_stream(mb_w, mb_h, n_frames=1, seed=0, *, qp=26,
 def gen_random_cabac_ipb_stream(mb_w, mb_h, n_gops=2, seed=0, *, qp=26,
                                 max_level=8, density=0.3, mv_range=32,
                                 direct_spatial=True, wbi=0, with_b=True,
-                                cabac_init_idc=0, deblock=True) -> bytes:
+                                cabac_init_idc=0, deblock=True,
+                                closed=False, gop_pb=2) -> bytes:
     """CABAC IDR + per GOP: P (ref) [+ non-ref B between] — the CABAC twin
-    of gen_random_ipb_stream."""
+    of gen_random_ipb_stream.  closed=True: n_gops CLOSED GOPs, each its
+    own IDR (distinct idr_pic_id, frame_num/POC reset) + gop_pb P[+B]
+    pairs, independent across IDRs like the reference's frame-task
+    dependency rule (edge264_headers.c:1275-1277)."""
     rng = random.Random(seed)
     out = make_sps(mb_w, mb_h, max_ref_frames=3, log2_max_poc_lsb=6) \
         + make_pps(cabac=True, deblock_control=not deblock, nrefs=2,
@@ -2008,16 +2052,19 @@ def gen_random_cabac_ipb_stream(mb_w, mb_h, n_gops=2, seed=0, *, qp=26,
     deblock_idc = None if deblock else 1
     n_mbs = mb_w * mb_h
 
-    specs = []
-    probe = IntraEncoder(mb_w, mb_h, qp)
-    for addr in range(n_mbs):
-        spec = random_intra_mb(rng, ('i4', 'i16'), max_level, density)
-        resolve_random_modes(rng, probe, addr % mb_w, addr // mb_w, spec)
-        probe.parsed.add((addr % mb_w, addr // mb_w))
-        specs.append(spec)
-    out += make_cabac_slice(mb_w, mb_h, specs, 2, slice_qp=qp, idr=True,
-                            deblock_idc=deblock_idc)
-    for g in range(1, n_gops + 1):
+    def emit_idr(idr_pic_id):
+        specs = []
+        probe = IntraEncoder(mb_w, mb_h, qp)
+        for addr in range(n_mbs):
+            spec = random_intra_mb(rng, ('i4', 'i16'), max_level, density)
+            resolve_random_modes(rng, probe, addr % mb_w, addr // mb_w, spec)
+            probe.parsed.add((addr % mb_w, addr // mb_w))
+            specs.append(spec)
+        return make_cabac_slice(mb_w, mb_h, specs, 2, slice_qp=qp, idr=True,
+                                idr_pic_id=idr_pic_id,
+                                deblock_idc=deblock_idc)
+
+    def emit_p(g):
         nr = min(g, 2)
         specs = []
         probe = IntraEncoder(mb_w, mb_h, qp)
@@ -2028,13 +2075,13 @@ def gen_random_cabac_ipb_stream(mb_w, mb_h, n_gops=2, seed=0, *, qp=26,
                                      spec)
             probe.parsed.add((addr % mb_w, addr // mb_w))
             specs.append(spec)
-        out += make_cabac_slice(mb_w, mb_h, specs, 0, slice_qp=qp,
+        return make_cabac_slice(mb_w, mb_h, specs, 0, slice_qp=qp,
                                 frame_num=g % 16, poc_lsb=(8 * g) % 64,
                                 nrefs=(nr, 1), pps_nrefs=(2, 1),
                                 cabac_init_idc=cabac_init_idc,
                                 deblock_idc=deblock_idc)
-        if not with_b:
-            continue
+
+    def emit_b(g):
         nb = (min(g + 1, 2), 1)
         specs = []
         probe = IntraEncoder(mb_w, mb_h, qp)
@@ -2045,13 +2092,27 @@ def gen_random_cabac_ipb_stream(mb_w, mb_h, n_gops=2, seed=0, *, qp=26,
                                      spec)
             probe.parsed.add((addr % mb_w, addr // mb_w))
             specs.append(spec)
-        out += make_cabac_slice(mb_w, mb_h, specs, 1, slice_qp=qp,
+        return make_cabac_slice(mb_w, mb_h, specs, 1, slice_qp=qp,
                                 frame_num=(g + 1) % 16, nal_ref_idc=0,
                                 poc_lsb=(8 * g - 4) % 64, nrefs=nb,
                                 pps_nrefs=(2, 1),
                                 cabac_init_idc=cabac_init_idc,
                                 direct_spatial=direct_spatial,
                                 deblock_idc=deblock_idc)
+
+    if closed:
+        for gop in range(n_gops):
+            out += emit_idr(gop % 16)
+            for j in range(1, gop_pb + 1):
+                out += emit_p(j)
+                if with_b:
+                    out += emit_b(j)
+        return out
+    out += emit_idr(0)
+    for g in range(1, n_gops + 1):
+        out += emit_p(g)
+        if with_b:
+            out += emit_b(g)
     return out
 
 
