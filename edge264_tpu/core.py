@@ -147,7 +147,7 @@ class DecoderCore:
         # worker tasks may have retired frames since the last decode_nal:
         # drain their events first so the store holds the planes
         self._handle(self._nd.poll())
-        info = self._nd.get_frame(borrow=False)
+        info = self._nd.get_frame(borrow=borrow)
         if info is None:
             return None
         fmt = self._fmt or self._nd.format()
@@ -172,6 +172,7 @@ class DecoderCore:
         )
         mslot = info["slot_mvc"]
         if mslot >= 0:
+            f.return_arg = (slot, mslot)   # return both views' borrows
             mp = self._store.get(mslot)
             if mp is not None:
                 my, mcb, mcr = (np.asarray(p) for p in mp)
@@ -184,7 +185,17 @@ class DecoderCore:
         return f
 
     def return_frame(self, frame: Frame) -> None:
-        pass   # native get_frame already returned the borrow
+        """Release a borrowed frame's DPB slot(s).  Only meaningful after
+        get_frame(borrow=True); borrowed slots stay in `outputq` and count
+        toward the 32-slot ENOBUFS backpressure until returned (the
+        reference's borrow bitmask, edge264.c:365-411)."""
+        arg = frame.return_arg
+        if arg is None:
+            return
+        slots = arg if isinstance(arg, tuple) else (arg,)
+        for s in slots:
+            if s is not None and s >= 0:
+                self._nd.return_frame(s)
 
     def flush(self) -> None:
         self._nd.flush()

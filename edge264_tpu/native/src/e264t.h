@@ -482,6 +482,14 @@ struct Task {
 	// async scheduling state
 	int dep_slot = -1;           // colocated slot this task waits on (B direct)
 	int err = 0;
+	// dirty-block records buffered task-locally: slices of ONE frame may
+	// parse concurrently (disjoint mb ranges), so the shared
+	// Planes::dirty vector is only merged under the pool mutex at task
+	// completion
+	std::vector<uint64_t> dirty_local;
+	void mark(int id, size_t off) {
+		dirty_local.push_back((uint64_t)id << 48 | off);
+	}
 
 	int run();                   // dispatch by entropy mode; returns errno
 	int parse_slice_data_cavlc();
@@ -518,15 +526,40 @@ struct Task::MbCtx {
 		mbW(t.sps.mb_width), mbH(t.sps.mb_height),
 		slice_id(t.slice_idx), qp(t.sh.qp) {}
 
+	// Neighbour availability = same-slice membership via the slice_id
+	// plane (§6.4.8-9): cross-slice mbs are never available, so the only
+	// cross-THREAD reads when slices of one frame parse concurrently are
+	// these claim words (relaxed atomics; any value != our id, stale or
+	// torn, correctly reads as unavailable).
+	static uint16_t ld16(const uint16_t &v) {
+		return __atomic_load_n(&v, __ATOMIC_RELAXED);
+	}
+
 	void set_addr(int addr) {
 		mx = addr % mbW;
 		my = addr / mbW;
 		mbi = (size_t)my * mbW + mx;
 		written = 0;
-		availA = mx > 0 && pl.slice_id[mbi - 1] == slice_id;
-		availB = my > 0 && pl.slice_id[mbi - mbW] == slice_id;
-		availC = my > 0 && mx + 1 < mbW && pl.slice_id[mbi - mbW + 1] == slice_id;
-		availD = my > 0 && mx > 0 && pl.slice_id[mbi - mbW - 1] == slice_id;
+		availA = mx > 0 && ld16(pl.slice_id[mbi - 1]) == slice_id;
+		availB = my > 0 && ld16(pl.slice_id[mbi - mbW]) == slice_id;
+		availC = my > 0 && mx + 1 < mbW &&
+			ld16(pl.slice_id[mbi - mbW + 1]) == slice_id;
+		availD = my > 0 && mx > 0 &&
+			ld16(pl.slice_id[mbi - mbW - 1]) == slice_id;
+	}
+
+	// Atomically claim the current mb for this slice (the reference's
+	// recovery_bits claim / duplicate-slice guard, edge264_slice.c:
+	// 1686-1688): slices of one frame parse CONCURRENTLY into disjoint
+	// mb ranges; losing a claim means duplicate coverage (an overrunning
+	// erroneous slice or a redundant slice) -- the loser aborts with
+	// EBADMSG and its parsed span goes to error recovery.
+	bool claim_mb() {
+		uint16_t expect = 0xFFFF;
+		return __atomic_compare_exchange_n(&pl.slice_id[mbi], &expect,
+		                                   slice_id, false,
+		                                   __ATOMIC_ACQ_REL,
+		                                   __ATOMIC_ACQUIRE);
 	}
 
 	// ---- luma 4x4 block helpers (block index 0..15, quad order) --------
@@ -619,6 +652,12 @@ struct Decoder {
 		int tasks_pending = 0;   // queued + running tasks
 		bool sealed = false;     // finish_frame ran; no more slices coming
 		bool finalized = false;  // all tasks done (+ concealment applied)
+		// union of DPB slots any of this frame's slices reference: these
+		// must stay PINNED (device/host pixel stores alive) until the
+		// frame retires, or a worker still parsing could emit a
+		// FRAME_DONE whose references were already unpinned by the main
+		// thread's DPB bookkeeping (e.g. across an IDR)
+		uint32_t dep_slots = 0;
 		// seal-time snapshot for deferred concealment
 		int conceal_qp = 26, conceal_cqpo = 0, conceal_cqpo2 = 0;
 		int conceal_ref = -1;
@@ -633,7 +672,6 @@ struct Decoder {
 	std::deque<Task *> task_queue;      // not yet claimed by a worker
 	std::vector<Task *> task_free;      // recycled task objects
 	std::deque<FrameInflight> inflight; // frame instances in start order
-	uint32_t running_slots = 0;         // slots with a task running now
 	uint32_t entropy_done = 0;          // slots fully parsed + concealed
 	bool stop_pool = false;
 	bool async() const { return n_threads > 0 && log_cb == nullptr; }

@@ -90,7 +90,11 @@ void Decoder::finish_frame() {
 				goto discard_check;
 			}
 			it->sealed = true;
-			it->is_ref = (int32_t)((curr_st | curr_lt) >> curr & 1);
+			// bit0 = reference; bit1 = MVC base view (kept for
+			// inter-view prediction) -- mirrors the sync path's
+			// EV_FRAME_DONE.b
+			it->is_ref = (int32_t)((curr_st | curr_lt) >> curr & 1) |
+				(ssps.valid && !(non_base >> curr & 1) ? 2 : 0);
 			// concealment reference snapshot (conceal_frame()'s scan,
 			// evaluated with the state current at seal time)
 			{
@@ -853,6 +857,17 @@ int Decoder::decode_nal(const uint8_t *buf, size_t len) {
 	uint32_t now = committed_st | committed_lt | curr_st | curr_lt |
 		to_get | outputq | (curr >= 0 ? 1u << curr : 0) |
 		(base_slot >= 0 ? 1u << base_slot : 0);
+	if (async()) {
+		// unretired in-flight frames (and their references) must stay
+		// pinned: a worker may still be parsing them, and their
+		// FRAME_DONE has not reached the consumer yet
+		std::unique_lock<std::mutex> lk(mu);
+		for (auto &fi : inflight) {
+			now |= 1u << fi.slot | fi.dep_slots;
+			if (fi.conceal_ref >= 0)
+				now |= 1u << fi.conceal_ref;
+		}
+	}
 	uint32_t freed = pinned & ~now;
 	for (uint32_t f = freed; f; f &= f - 1)
 		events.push_back({EV_UNPIN, __builtin_ctz(f), 0, 0, 0, 0});

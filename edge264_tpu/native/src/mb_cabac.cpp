@@ -195,9 +195,12 @@ static int parse_mb_qp_delta_cabac(Task &d) {
 void Task::parse_residuals_cabac(MbCtx &m, int cbp, bool is16) {
 	Planes &pl = m.pl;
 	static const uint8_t scan2x2[4] = {0, 1, 2, 3};
+	// reference log schema keys the residual list (edge264_slice.c:509)
+	if (is16 || cbp)
+		logf("    coeffLevels:\n");
 	if (is16) {
 		if (cab.decode(CAT[0].cbf + cbf_inc_dc(m, -1))) {
-			pl.mark(Planes::DP_COEF_Y_DC, m.mbi * 16);
+			mark(Planes::DP_COEF_Y_DC, m.mbi * 16);
 			parse_block_cabac(*this, 0, 0, 15, zigzag4x4,
 			                  &pl.coef_y_dc[m.mbi * 16], nullptr, nullptr);
 		}
@@ -210,7 +213,7 @@ void Task::parse_residuals_cabac(MbCtx &m, int cbp, bool is16) {
 			// cat5: no coded_block_flag for 4:2:0 (§7.3.5.3.3)
 			size_t b8 = (size_t)(m.my * 2 + (i8 >> 1)) * (m.mbW * 2)
 				+ m.mx * 2 + (i8 & 1);
-			pl.mark(Planes::DP_COEF_Y8, b8 * 64);
+			mark(Planes::DP_COEF_Y8, b8 * 64);
 			parse_block_cabac(*this, 5, 0, 63, zigzag8x8,
 			                  &pl.coef_y8[b8 * 64], SIG_INC_8x8,
 			                  LAST_INC_8x8);
@@ -223,7 +226,7 @@ void Task::parse_residuals_cabac(MbCtx &m, int cbp, bool is16) {
 			int cat = is16 ? 1 : 2;
 			if (cab.decode(CAT[cat].cbf + cbf_inc_luma4(m, i))) {
 				pl.nz_y[m.gblk(i)] = 1;
-				pl.mark(Planes::DP_COEF_Y, m.gblk(i) * 16);
+				mark(Planes::DP_COEF_Y, m.gblk(i) * 16);
 				if (is16)
 					parse_block_cabac(*this, 1, 1, 15, zigzag4x4,
 					                  &pl.coef_y[m.gblk(i) * 16],
@@ -239,7 +242,7 @@ void Task::parse_residuals_cabac(MbCtx &m, int cbp, bool is16) {
 	if (cbp_c) {
 		for (int comp = 0; comp < 2; comp++) {
 			if (cab.decode(CAT[3].cbf + cbf_inc_dc(m, comp))) {
-				pl.mark(Planes::DP_COEF_C_DC, m.mbi * 8 + comp * 4);
+				mark(Planes::DP_COEF_C_DC, m.mbi * 8 + comp * 4);
 				parse_block_cabac(*this, 3, 0, 3, scan2x2,
 				                  &pl.coef_c_dc[m.mbi * 8 + comp * 4],
 				                  nullptr, nullptr);
@@ -256,7 +259,7 @@ void Task::parse_residuals_cabac(MbCtx &m, int cbp, bool is16) {
 					if (cab.decode(CAT[4].cbf
 					               + cbf_inc_chroma(m, comp, cx, cy))) {
 						pl.nz_c[blk * 2 + comp] = 1;
-						pl.mark(comp == 0 ? Planes::DP_COEF_CB
+						mark(comp == 0 ? Planes::DP_COEF_CB
 						        : Planes::DP_COEF_CR, blk * 16);
 						parse_block_cabac(*this, 4, 1, 15, zigzag4x4,
 						                  &plane[blk * 16], nullptr, nullptr);
@@ -1044,8 +1047,10 @@ int Task::parse_slice_data_cabac() {
 
 	while (mb_addr < n_mbs) {
 		m.set_addr(mb_addr);
-		bool first_cover = !(m.pl.mb_flags[m.mbi] & MBF_PARSED);
-		m.pl.slice_id[m.mbi] = m.slice_id;
+		if (!m.claim_mb()) {     // duplicate coverage: stop + recover
+			err = E264T_EBADMSG;
+			break;
+		}
 		logf("  - mbAddr: %d\n", mb_addr);
 		int r;
 		if (sh.slice_type == 0) {
@@ -1067,8 +1072,7 @@ int Task::parse_slice_data_cabac() {
 		if (r) { err = r; break; }
 		if ((m.pl.mb_flags[m.mbi] & MBF_INTRA) && sh.slice_type != 2)
 			Decoder_clear_inter_cells(m);
-		if (first_cover)
-			remaining_mbs[curr]--;
+		__atomic_sub_fetch(&remaining_mbs[curr], 1, __ATOMIC_ACQ_REL);
 		uint8_t db = 0;
 		if (sh.disable_deblocking_filter_idc != 1) {
 			db |= DBF_INNER;

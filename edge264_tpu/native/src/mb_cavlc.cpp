@@ -297,10 +297,14 @@ void Task::set_mb_qp(MbCtx &m) {
 // Intra16x16 luma DC, luma 4x4 AC/full blocks per CBP, chroma DC + AC.
 void Task::parse_residuals(MbCtx &m, int cbp, bool is16) {
 	Planes &pl = m.pl;
+	// reference log schema keys the residual list (edge264_slice.c:509,
+	// :598) -- also makes the per-mb trace valid YAML for yaml2avc
+	if (is16 || cbp)
+		logf("    coeffLevels:\n");
 	if (is16) {
 		int nC = m.nC_luma(0);
 		int16_t *out = &pl.coef_y_dc[m.mbi * 16];
-		pl.mark(Planes::DP_COEF_Y_DC, m.mbi * 16);
+		mark(Planes::DP_COEF_Y_DC, m.mbi * 16);
 		int tc = parse_residual_cavlc(gb, nC, 16, zigzag4x4, out);
 		log_block(*this, nC, tc, zigzag4x4, 16, out);
 	}
@@ -317,7 +321,7 @@ void Task::parse_residuals(MbCtx &m, int cbp, bool is16) {
 			size_t b8 = (size_t)(m.my * 2 + (i8 >> 1)) * (m.mbW * 2)
 				+ m.mx * 2 + (i8 & 1);
 			int16_t *out8 = &pl.coef_y8[b8 * 64];
-			pl.mark(Planes::DP_COEF_Y8, b8 * 64);
+			mark(Planes::DP_COEF_Y8, b8 * 64);
 			for (int k = 0; k < 4; k++) {
 				int i = i8 * 4 + k;
 				int16_t tmp[16] = {0};
@@ -334,7 +338,7 @@ void Task::parse_residuals(MbCtx &m, int cbp, bool is16) {
 			int i = i8 * 4 + k;
 			int nC = m.nC_luma(i);
 			int16_t *out = &pl.coef_y[m.gblk(i) * 16];
-			pl.mark(Planes::DP_COEF_Y, m.gblk(i) * 16);
+			mark(Planes::DP_COEF_Y, m.gblk(i) * 16);
 			int tc;
 			if (is16) {
 				tc = parse_residual_cavlc(gb, nC, 15, zigzag4x4 + 1, out);
@@ -353,7 +357,7 @@ void Task::parse_residuals(MbCtx &m, int cbp, bool is16) {
 		static const uint8_t scan2x2[4] = {0, 1, 2, 3};
 		for (int c = 0; c < 2; c++) {
 			int16_t *out = &pl.coef_c_dc[m.mbi * 8 + c * 4];
-			pl.mark(Planes::DP_COEF_C_DC, m.mbi * 8 + c * 4);
+			mark(Planes::DP_COEF_C_DC, m.mbi * 8 + c * 4);
 			int tc = parse_residual_cavlc(gb, -1, 4, scan2x2, out);
 			log_block(*this, -1, tc, scan2x2, 4, out);
 		}
@@ -367,7 +371,7 @@ void Task::parse_residuals(MbCtx &m, int cbp, bool is16) {
 				for (int cx = 0; cx < 2; cx++) {
 					int nC = m.nC_chroma(c, cx, cy);
 					size_t blk = (size_t)(m.my * 2 + cy) * W2 + m.mx * 2 + cx;
-					pl.mark(c == 0 ? Planes::DP_COEF_CB : Planes::DP_COEF_CR,
+					mark(c == 0 ? Planes::DP_COEF_CB : Planes::DP_COEF_CR,
 					        blk * 16);
 					int tc = parse_residual_cavlc(gb, nC, 15, zigzag4x4 + 1,
 					                              &plane[blk * 16]);
@@ -391,8 +395,10 @@ int Task::parse_slice_data_cavlc() {
 
 	while (mb_addr < n_mbs) {
 		m.set_addr(mb_addr);
-		bool first_cover = !(m.pl.mb_flags[m.mbi] & MBF_PARSED);
-		m.pl.slice_id[m.mbi] = m.slice_id;
+		if (!m.claim_mb()) {     // duplicate coverage: stop + recover
+			err = E264T_EBADMSG;
+			break;
+		}
 		logf("  - mbAddr: %d\n", mb_addr);
 		int r;
 		if (sh.slice_type == 0) {
@@ -405,8 +411,7 @@ int Task::parse_slice_data_cavlc() {
 			r = parse_I_mb(m, mb_type);
 		}
 		if (r) { err = r; break; }
-		if (first_cover)
-			remaining_mbs[curr]--;
+		__atomic_sub_fetch(&remaining_mbs[curr], 1, __ATOMIC_ACQ_REL);
 		// deblock-control planes for this mb
 		uint8_t db = 0;
 		if (sh.disable_deblocking_filter_idc != 1) {

@@ -27,7 +27,7 @@ Task::MbCtx::NbMv Task::MbCtx::fetch_mv(int gx, int gy, int list) const {
 			return n;
 	} else {
 		size_t nmb = (size_t)nmy * mbW + nmx;
-		if (nmb >= mbi || pl.slice_id[nmb] != slice_id)
+		if (nmb >= mbi || ld16(pl.slice_id[nmb]) != slice_id)
 			return n;
 		if (pl.mb_flags[nmb] & MBF_INTRA) {
 			n.avail = 1;        // available but intra: ref -1, mv 0

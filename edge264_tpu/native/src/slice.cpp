@@ -543,6 +543,13 @@ int Decoder::parse_slice() {
 	int err = stask.run();
 	int64_t t_end = relative_time_us();
 	rbsp.swap(stask.rbsp);       // reclaim the buffer for the next NAL
+	{	// merge task-buffered dirty-block records (kept task-local so
+		// concurrent slices of one frame never touch the shared list)
+		auto &dirty = planes[curr].dirty;
+		dirty.insert(dirty.end(), stask.dirty_local.begin(),
+		             stask.dirty_local.end());
+		stask.dirty_local.clear();
+	}
 	// per-slice timing block, reference log parity
 	// (edge264_headers.c:571-583; consumed by tools/analysis/to_trace_event.py)
 	logf("  slice_timing:\n    thread_id: 0\n    frame_id: %u\n"
@@ -555,9 +562,14 @@ int Decoder::parse_slice() {
 	events.push_back({EV_SLICE_DONE, curr, sh.first_mb, 0, sh.slice_type, err});
 	if (remaining_mbs[curr] <= 0 && !complete[curr]) {
 		complete[curr] = 1;
-		// b = is-reference (consumers size their device ref stores by it)
-		events.push_back({EV_FRAME_DONE, curr, FrameIds[curr],
-		                  (int32_t)((curr_st | curr_lt) >> curr & 1), 0, 0});
+		// b bit0 = is-reference; bit1 = MVC base-view frame (the paired
+		// non-base view may inter-view reference it even when non-ref,
+		// edge264_headers.c:784-785) -- consumers keep b!=0 frames in
+		// their device reference stores
+		int32_t keep = (int32_t)((curr_st | curr_lt) >> curr & 1) |
+			(ssps.valid && !(non_base >> curr & 1) ? 2 : 0);
+		events.push_back({EV_FRAME_DONE, curr, FrameIds[curr], keep,
+		                  0, 0});
 	}
 	return 0;
 }
@@ -577,8 +589,12 @@ void Decoder::init_task(Task &t) {
 	t.planes = planes;
 	t.remaining_mbs = remaining_mbs;
 	t.mb_qp_delta_nz = 0;
-	t.slice_idx = slice_count[curr];
+	// ids 0xFFFE/0xFFFF are reserved (concealment pseudo-slice / the
+	// unclaimed sentinel); a >65533-slice frame saturates and its tail
+	// slices abort as duplicates, which only loses pathological streams
+	t.slice_idx = slice_count[curr] < 0xFFFE ? slice_count[curr] : 0xFFFD;
 	t.logdec = log_cb ? this : nullptr;
+	t.dirty_local.clear();
 	t.log_mbs = log_mbs;
 	t.dep_slot = sh.slice_type == 1 ? sh.RefPicList[1][0] : -1;
 	t.err = 0;

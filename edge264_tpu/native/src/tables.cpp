@@ -133,7 +133,7 @@ void Planes::resize(int w, int h) {
 	absmvd.assign(n * 64, 0);
 	cbp.assign(n, 0);
 	refnz.assign(n * 4, 0);
-	slice_id.assign(n, 0);
+	slice_id.assign(n, 0xFFFF);   // 0xFFFF = unclaimed (mb claim word)
 	mb_errors.assign(n, 0);
 	memset(sm4, 16, sizeof(sm4));
 	memset(sm8, 16, sizeof(sm8));
@@ -163,7 +163,7 @@ void Planes::clear_frame() {
 	memset(wp8.data(), 0, n * 48);
 	memset(cbp.data(), 0, n);
 	memset(refnz.data(), 0, n * 4);
-	memset(slice_id.data(), 0, n * 2);
+	memset(slice_id.data(), 0xFF, n * 2);   // reset claims to 0xFFFF
 	memset(mb_errors.data(), 0, n);
 	memset(sm4, 16, sizeof(sm4));
 	memset(sm8, 16, sizeof(sm8));

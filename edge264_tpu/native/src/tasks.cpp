@@ -52,17 +52,18 @@ Decoder::~Decoder() {
 		delete t;
 }
 
-// Claim + run tasks until shutdown.  A task is runnable when its slot has
-// no running task (slices of one frame stay in order) and its colocated
-// dependency, if any, is fully parsed.
+// Claim + run tasks until shutdown.  A task is runnable when its
+// colocated dependency, if any, is fully parsed.  Slices of ONE frame run
+// CONCURRENTLY (the reference's intra-frame slice parallelism,
+// edge264_headers.c:539-568): their mb ranges are disjoint by
+// first_mb_in_slice, per-mb ownership is enforced by the atomic slice_id
+// claim (MbCtx::claim_mb), and entropy contexts never cross slices.
 void Decoder::worker_loop() {
 	std::unique_lock<std::mutex> lk(mu);
 	while (true) {
 		Task *t = nullptr;
 		for (auto it = task_queue.begin(); it != task_queue.end(); ++it) {
 			Task *c = *it;
-			if (running_slots >> c->curr & 1)
-				continue;
 			if (c->dep_slot >= 0 && !(entropy_done >> c->dep_slot & 1))
 				continue;
 			t = c;
@@ -75,11 +76,15 @@ void Decoder::worker_loop() {
 			cv_ready.wait(lk);
 			continue;
 		}
-		running_slots |= 1u << t->curr;
 		lk.unlock();
 		t->err = t->run();
 		lk.lock();
-		running_slots &= ~(1u << t->curr);
+		// merge the task-buffered dirty-block records into the slot's
+		// shared list (concurrent same-slot tasks may not touch it live)
+		auto &dirty = planes[t->curr].dirty;
+		dirty.insert(dirty.end(), t->dirty_local.begin(),
+		             t->dirty_local.end());
+		t->dirty_local.clear();
 		task_finished(t);
 		// another queued task may have been unblocked by this completion
 		cv_ready.notify_all();
@@ -92,9 +97,14 @@ void Decoder::task_finished(Task *t) {
 	for (auto &fi : inflight) {
 		if (fi.slot == t->curr && !fi.finalized) {
 			fi.tasks_pending--;
-			fi.done_events.push_back({EV_SLICE_DONE, t->curr,
-			                          t->sh.first_mb, 0,
-			                          t->sh.slice_type, t->err});
+			// concurrent slices finish in any order: keep the event list
+			// sorted by first_mb so consumers see the synchronous order
+			Event e{EV_SLICE_DONE, t->curr, t->sh.first_mb, 0,
+			        t->sh.slice_type, t->err};
+			auto pos = fi.done_events.begin();
+			while (pos != fi.done_events.end() && pos->a <= e.a)
+				++pos;
+			fi.done_events.insert(pos, e);
 			task_free.push_back(t);
 			maybe_finalize(fi);
 			return;
@@ -145,6 +155,10 @@ void Decoder::enqueue_task() {
 	for (auto &fi : inflight) {
 		if (fi.slot == curr && !fi.finalized) {
 			fi.tasks_pending++;
+			for (int l = 0; l < 2; l++)
+				for (int r = 0; r < sh.num_refs[l]; r++)
+					if (sh.RefPicList[l][r] >= 0)
+						fi.dep_slots |= 1u << sh.RefPicList[l][r];
 			// refresh the seal snapshot: concealment uses the LAST
 			// slice's header state, like sync mode's conceal_frame()
 			fi.conceal_qp = sh.qp;

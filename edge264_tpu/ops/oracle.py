@@ -739,6 +739,23 @@ def _weight_bi(p0, p1, w0, w1, o0, o1, logwd):
     return clip1(v)
 
 
+def _ref_or_gray(dpb, slot, pl):
+    """Reference pixels for a DPB slot; a slot with no decoded pixels
+    (a NON-EXISTING frame from gaps-in-frame_num handling, §8.2.5.2, or
+    an erroneous reference) supplies mid-gray -- the reference leaves
+    such buffers allocated-but-unwritten (edge264_headers.c:1122-1145),
+    i.e. undefined content, so any deterministic fill is conformant."""
+    f = dpb.get(slot)
+    if f is not None:
+        return f
+    h, w = pl.mb_h * 16, pl.mb_w * 16
+    g = (np.full((h, w), 128, np.uint8),
+         np.full((h // 2, w // 2), 128, np.uint8),
+         np.full((h // 2, w // 2), 128, np.uint8))
+    dpb[slot] = g
+    return g
+
+
 def inter_pred_mb(pl, mx, my, dpb):
     """Motion-compensated prediction for one inter mb at uniform 4x4
     granularity; returns (pred_y [16,16], pred_cb [8,8], pred_cr [8,8])."""
@@ -754,7 +771,7 @@ def inter_pred_mb(pl, mx, my, dpb):
             w8 = pl.wp8[my * 2 + (cy >> 1), mx * 2 + (cx >> 1)]
             for l in lists:
                 slot = int(pl.refslot[gy, gx, l])
-                ry, rcb, rcr = dpb[slot]
+                ry, rcb, rcr = _ref_or_gray(dpb, slot, pl)
                 mvx = int(pl.mvs[gy, gx, l, 0])
                 mvy = int(pl.mvs[gy, gx, l, 1])
                 preds_y.append(mc_luma(ry, gx * 4 + (mvx >> 2),

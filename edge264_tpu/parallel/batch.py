@@ -20,9 +20,11 @@ pixels), matching the reference's dependency gating; lanes that exhaust
 their GOP early idle out with masked (zero-arena) steps until the batch
 drains.
 
-MVC streams: use decode_annexb / decode_annexb_parallel — the lockstep
-driver batches single-view frames (the paired-view output protocol is a
-per-stream property the lane rendezvous does not model yet).
+MVC streams ride the same machinery: each view-frame is one lockstep
+step (base first, then the non-base view inter-view referencing it —
+base frames stay in the ring via EV_FRAME_DONE's base-view bit), and
+output pairs the views per access unit like the reference
+(edge264.c:373-399).
 """
 
 from __future__ import annotations
@@ -56,7 +58,8 @@ class _Lane:
         self.stream = stream
         self.pos = find_start_code(stream, 0) + 3
         self.done_slots = []      # slots parsed, awaiting device step
-        self.out_frames = []      # (slot, frame_id) in output order
+        self.out_frames = []      # get_frame info dicts in output order
+                                  # (slot/slot_mvc pairs for MVC)
         self.ring_map = {}        # DPB slot -> ring index
         self.ring_free = None     # assigned by the driver
         self.slot_ring = np.zeros(32, np.int32)
@@ -91,7 +94,7 @@ class _Lane:
                     info = self.nd.get_frame()
                     if info is None:
                         break
-                    self.out_frames.append((info["slot"], info["frame_id"]))
+                    self.out_frames.append(info)
                 if ret != 105:          # != ENOBUFS: fully drained
                     self.finished = True
                 continue
@@ -102,7 +105,7 @@ class _Lane:
                 info = self.nd.get_frame()
                 if info is None:
                     break
-                self.out_frames.append((info["slot"], info["frame_id"]))
+                self.out_frames.append(info)
             if ret == 105:
                 stall += 1
                 if stall > 64:
@@ -333,18 +336,29 @@ def _decode_group(group, results, base, S, lanes, sharding):
         ct, cr_, cb_, cl = (fmt["crop_top"], fmt["crop_right"],
                             fmt["crop_bottom"], fmt["crop_left"])
         wY, hY = fmt["mb_w"] * 16, fmt["mb_h"] * 16
-        for slot, frame_id in ln.out_frames:
-            s, lane = ln.store[frame_id]
+
+        def crop(s, lane):
             yb, cbb, crb = step_np(s)
-            ya, cba, cra = yb[lane], cbb[lane], crb[lane]
-            results[base + i].append(Frame(
-                y=ya[ct:hY - cb_, cl:wY - cr_],
-                cb=cba[ct // 2:(hY - cb_) // 2, cl // 2:(wY - cr_) // 2],
-                cr=cra[ct // 2:(hY - cb_) // 2, cl // 2:(wY - cr_) // 2],
+            return (yb[lane][ct:hY - cb_, cl:wY - cr_],
+                    cbb[lane][ct // 2:(hY - cb_) // 2,
+                              cl // 2:(wY - cr_) // 2],
+                    crb[lane][ct // 2:(hY - cb_) // 2,
+                              cl // 2:(wY - cr_) // 2])
+
+        for info in ln.out_frames:
+            frame_id = info["frame_id"]
+            ya, cba, cra = crop(*ln.store[frame_id])
+            f = Frame(
+                y=ya, cb=cba, cr=cra,
                 frame_id=frame_id,
                 crop_offsets=(ct, cr_, cb_, cl),
-                return_arg=slot,
-            ))
+                return_arg=info["slot"],
+            )
+            if info["slot_mvc"] >= 0:      # paired MVC view (edge264.c:
+                mfid = info["frame_id_mvc"]  # 373-399 output protocol)
+                f.y_mvc, f.cb_mvc, f.cr_mvc = crop(*ln.store[mfid])
+                f.frame_id_mvc = mfid
+            results[base + i].append(f)
         ln.nd.close()
     if prof and prof["frames"]:
         n = prof["frames"]

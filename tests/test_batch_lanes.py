@@ -88,6 +88,45 @@ def test_closed_gop_generation():
     assert len(split_gops(data)) == 3
 
 
+def _check_mvc(serial, got, label):
+    got = list(got)
+    assert len(got) == len(serial) > 0, (label, len(got), len(serial))
+    for a, b in zip(serial, got):
+        assert np.array_equal(np.asarray(a.y), np.asarray(b.y)), label
+        assert np.array_equal(np.asarray(a.cb), np.asarray(b.cb)), label
+        assert np.array_equal(np.asarray(a.cr), np.asarray(b.cr)), label
+        assert (a.y_mvc is None) == (b.y_mvc is None), label
+        if a.y_mvc is not None:
+            assert np.array_equal(np.asarray(a.y_mvc),
+                                  np.asarray(b.y_mvc)), label
+            assert np.array_equal(np.asarray(a.cb_mvc),
+                                  np.asarray(b.cb_mvc)), label
+            assert np.array_equal(np.asarray(a.cr_mvc),
+                                  np.asarray(b.cr_mvc)), label
+
+
+def test_lockstep_mvc():
+    """MVC Stereo High through the lane driver: base + non-base views are
+    consecutive lockstep steps (inter-view reference via the ring), and
+    output pairs the views per access unit (edge264.c:373-399)."""
+    from tools.avcgen import gen_random_mvc_stream
+    data = b"".join(gen_random_mvc_stream(4, 3, n_aus=3, seed=s)
+                    for s in (1, 2))
+    serial = list(decode_annexb(data, backend="numpy"))
+    _check_mvc(serial, decode_gops_batched(data, lanes=2), "mvc-K2")
+
+
+def test_lockstep_mvc_sharded_mesh():
+    from tools.avcgen import gen_random_mvc_stream
+    assert len(jax.devices()) == 8
+    data = b"".join(gen_random_mvc_stream(4, 3, n_aus=2, seed=s)
+                    for s in range(3))
+    serial = list(decode_annexb(data, backend="numpy"))
+    mesh = make_decode_mesh()
+    _check_mvc(serial, decode_gops_batched(data, lanes=8, mesh=mesh),
+               "mvc-mesh3/8")
+
+
 def test_lockstep_ipp_streams():
     parts = [gen_random_ipp_stream(5, 4, n_frames=4, seed=s, density=0.25,
                                    skip_prob=0.3, intra_prob=0.1,

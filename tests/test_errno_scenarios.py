@@ -117,3 +117,47 @@ def test_truncated_slice_reports_in_events_not_ret():
     nd.close()
     assert all(r in (0, errno.ENOBUFS) for r in out)
     assert any(e != 0 for e in slice_errs)
+
+
+def test_borrowed_frames_create_enobufs_backpressure():
+    """get_frame(borrow=True) keeps DPB slots pinned: holding every
+    output eventually starves slot allocation into a sustained ENOBUFS
+    stall, and return_frame releases it (the reference's borrow
+    bookkeeping, edge264.c:365-411)."""
+    from edge264_tpu.api import Decoder
+
+    data = gen_random_intra_stream(2, 2, n_frames=40, seed=6)
+    with Decoder(backend="numpy") as dec:
+        borrowed = []
+        pos = find_start_code(data, 0) + 3
+        stall = 0
+        while pos < len(data) and stall < 64:
+            end = find_start_code(data, pos)
+            ret = dec.decode_nal(data[pos:end])
+            while (f := dec.get_frame(borrow=True)) is not None:
+                borrowed.append(f)
+            if ret == errno.ENOBUFS:
+                stall += 1                  # same NAL retried
+            else:
+                stall = 0
+                pos = end + 3
+        # without returning frames the decoder must wedge well before all
+        # 40 frames decode: borrowed slots + the reorder backlog exhaust
+        # the 32 DPB slots (here 16 borrowed + 14 pending + 2 refs)
+        assert stall >= 64, "borrowed frames never caused backpressure"
+        assert 8 <= len(borrowed) < 40
+        n_before = len(borrowed)
+        for f in borrowed:
+            dec.return_frame(f)
+        while pos < len(data):              # now the stream finishes
+            end = find_start_code(data, pos)
+            ret = dec.decode_nal(data[pos:end])
+            while (f := dec.get_frame(borrow=True)) is not None:
+                borrowed.append(f)
+                dec.return_frame(f)
+            assert ret != errno.ENOBUFS or len(borrowed) > n_before
+            pos = end + 3
+        while dec.decode_nal(None) == errno.ENOBUFS:
+            while (f := dec.get_frame()) is not None:
+                borrowed.append(f)
+        assert len(borrowed) == 40

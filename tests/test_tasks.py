@@ -39,6 +39,16 @@ STREAMS = {
     "ipb": lambda: gen_random_ipb_stream(6, 4, n_gops=4, seed=11),
     "cabac_ipb": lambda: gen_random_cabac_ipb_stream(6, 4, n_gops=4,
                                                      seed=13),
+    # slices of ONE frame parse concurrently (intra-frame slice
+    # parallelism, reference edge264_headers.c:539-568): P and B frames
+    # split into multiple slices, CAVLC and CABAC
+    "multislice_ipp": lambda: gen_random_ipp_stream(
+        8, 6, n_frames=6, seed=17, nrefs=2, density=0.25,
+        slices_per_frame=4),
+    "multislice_cabac_ipb": lambda: gen_random_cabac_ipb_stream(
+        8, 6, n_gops=3, seed=19, slices_per_frame=3),
+    "multislice_closed": lambda: gen_random_cabac_ipb_stream(
+        8, 6, n_gops=4, seed=3, closed=True, slices_per_frame=3),
 }
 
 

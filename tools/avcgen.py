@@ -470,13 +470,45 @@ class IntraEncoder:
                         self.nz_c[(c, my * 2 + cy, mx * 2 + cx)] = n
 
 
+def write_drpm(w, mmco):
+    """dec_ref_pic_marking with memory-management control ops (§7.4.3.3).
+    mmco: list of (op, *args) tuples; args are the op's ue(v) fields in
+    syntax order (op1: diff_minus1; op2: long_term_pic_num; op3:
+    diff_minus1, lt_frame_idx; op4: max_lt_idx_plus1; op5: -; op6:
+    lt_frame_idx)."""
+    w.u1(1)                    # adaptive_ref_pic_marking_mode_flag
+    for op in mmco:
+        w.ue(op[0])
+        for arg in op[1:]:
+            w.ue(arg)
+    w.ue(0)                    # end of ops
+
+
+def write_rplm(w, reorder):
+    """ref_pic_list_modification for one list (§7.4.3.1).  reorder: None
+    (flag 0) or list of (idc, value) with idc 0/1 = abs_diff_pic_num
+    _minus1, 2 = long_term_pic_num (4/5 MVC view diffs)."""
+    if not reorder:
+        w.u1(0)
+        return
+    w.u1(1)
+    for idc, val in reorder:
+        w.ue(idc)
+        w.ue(val)
+    w.ue(3)                    # end of modifications
+
+
 def make_idr_slice(mb_w, mb_h, specs, *, slice_qp=26, init_qp=26,
                    frame_num=0, idr_pic_id=0, poc_lsb=0, idr=True,
                    nal_ref_idc=3, first_mb=0, pps_id=0,
                    log2_max_frame_num=4, log2_max_poc_lsb=4,
-                   deblock_idc=None, deblock_ab=(0, 0)) -> bytes:
+                   deblock_idc=None, deblock_ab=(0, 0),
+                   no_output_of_prior=False, long_term=False,
+                   mmco=None) -> bytes:
     """specs: list of MbSpec in raster order starting at first_mb.
-    deblock_idc (0/1/2) requires a PPS with deblock_control=True."""
+    deblock_idc (0/1/2) requires a PPS with deblock_control=True.
+    long_term marks the IDR as a long-term reference (§8.2.5.1);
+    mmco applies to non-IDR I slices only."""
     w = BitWriter()
     w.ue(first_mb)
     w.ue(7 if idr else 2)      # slice_type I (7 = "all slices are I")
@@ -487,8 +519,10 @@ def make_idr_slice(mb_w, mb_h, specs, *, slice_qp=26, init_qp=26,
     w.u(poc_lsb, log2_max_poc_lsb)      # poc type 0
     if nal_ref_idc:
         if idr:
-            w.u1(0)            # no_output_of_prior_pics
-            w.u1(0)            # long_term_reference_flag
+            w.u1(1 if no_output_of_prior else 0)
+            w.u1(1 if long_term else 0)
+        elif mmco:
+            write_drpm(w, mmco)
         else:
             w.u1(0)            # adaptive_ref_pic_marking_mode_flag
     w.se(slice_qp - init_qp)
@@ -908,7 +942,9 @@ def _encode_intra_residuals(w, enc, mx, my, spec, is16):
 def make_p_slice(mb_w, mb_h, specs, *, slice_qp=26, init_qp=26, frame_num=0,
                  poc_lsb=0, nal_ref_idc=3, first_mb=0, nrefs=1,
                  pps_nrefs=None, deblock_idc=None, log2_max_frame_num=4,
-                 log2_max_poc_lsb=4) -> bytes:
+                 log2_max_poc_lsb=4, reorder=None, mmco=None) -> bytes:
+    """reorder: ref_pic_list_modification ops for L0 (see write_rplm);
+    mmco: memory-management control ops (see write_drpm)."""
     w = BitWriter()
     w.ue(first_mb)
     w.ue(5)                    # slice_type P (all slices in pic are P)
@@ -920,9 +956,12 @@ def make_p_slice(mb_w, mb_h, specs, *, slice_qp=26, init_qp=26, frame_num=0,
         w.ue(nrefs - 1)
     else:
         w.u1(0)                # num_ref_idx_active_override
-    w.u1(0)                    # ref_pic_list_modification_flag_l0
+    write_rplm(w, reorder)
     if nal_ref_idc:
-        w.u1(0)                # adaptive_ref_pic_marking_mode_flag
+        if mmco:
+            write_drpm(w, mmco)
+        else:
+            w.u1(0)            # adaptive_ref_pic_marking_mode_flag
     w.se(slice_qp - init_qp)
     if deblock_idc is not None:
         w.ue(deblock_idc)
@@ -979,42 +1018,81 @@ def random_p_mb(rng, nrefs, max_level=8, density=0.3, mv_range=32,
                              for _ in range(2)])
 
 
+def random_frame_specs(rng, mb_w, mb_h, kind="i", *, nrefs=1, qp=26,
+                       max_level=8, density=0.3, mv_range=16,
+                       intra_prob=0.15, skip_prob=0.2, b_nrefs=(1, 1)):
+    """One whole frame's MbSpec list: kind 'i' (intra), 'p', or 'b'.
+    Building block for hand-assembled conformance-case streams."""
+    specs = []
+    probe = IntraEncoder(mb_w, mb_h, qp)
+    for addr in range(mb_w * mb_h):
+        if kind == "i":
+            spec = random_intra_mb(rng, ('i4', 'i16'), max_level, density)
+        elif kind == "p":
+            spec = random_p_mb(rng, nrefs, max_level, density, mv_range,
+                               intra_prob, skip_prob)
+        else:
+            spec = random_b_mb(rng, b_nrefs, max_level, density, mv_range)
+        if spec.kind in ('i4', 'i16'):
+            resolve_random_modes(rng, probe, addr % mb_w, addr // mb_w,
+                                 spec)
+        probe.parsed.add((addr % mb_w, addr // mb_w))
+        specs.append(spec)
+    return specs
+
+
 def gen_random_ipp_stream(mb_w, mb_h, n_frames=3, seed=0, *, qp=26,
                           nrefs=1, max_level=8, density=0.3, mv_range=32,
                           intra_prob=0.15, skip_prob=0.2,
-                          deblock=True) -> bytes:
+                          deblock=True, slices_per_frame=1) -> bytes:
     """IDR + (n_frames-1) P frames, each referencing up to `nrefs` previous
-    frames."""
+    frames, each split into `slices_per_frame` slices at random mb bounds
+    (mode/MVP availability is per-slice, like the reference's
+    slice-boundary rules)."""
     rng = random.Random(seed)
     out = make_sps(mb_w, mb_h, max_ref_frames=max(nrefs, 1)) \
         + make_pps(deblock_control=not deblock, nrefs=nrefs)
     deblock_idc = None if deblock else 1
     n_mbs = mb_w * mb_h
+
+    def slice_bounds():
+        bounds = [0]
+        for s in range(1, slices_per_frame):
+            bounds.append(rng.randrange(
+                bounds[-1] + 1, n_mbs - (slices_per_frame - s) + 1))
+        bounds.append(n_mbs)
+        return bounds
+
     # IDR intra frame
-    specs = []
-    probe = IntraEncoder(mb_w, mb_h, qp)
-    for addr in range(n_mbs):
-        spec = random_intra_mb(rng, ('i4', 'i16'), max_level, density)
-        resolve_random_modes(rng, probe, addr % mb_w, addr // mb_w, spec)
-        probe.parsed.add((addr % mb_w, addr // mb_w))
-        specs.append(spec)
-    out += make_idr_slice(mb_w, mb_h, specs, slice_qp=qp,
-                          deblock_idc=deblock_idc)
-    for f in range(1, n_frames):
-        nr = min(f, nrefs)
+    bounds = slice_bounds()
+    for s in range(slices_per_frame):
         specs = []
         probe = IntraEncoder(mb_w, mb_h, qp)
-        for addr in range(n_mbs):
-            spec = random_p_mb(rng, nr, max_level, density, mv_range,
-                               intra_prob, skip_prob)
-            if spec.kind in ('i4', 'i16'):
-                resolve_random_modes(rng, probe, addr % mb_w, addr // mb_w,
-                                     spec)
+        for addr in range(bounds[s], bounds[s + 1]):
+            spec = random_intra_mb(rng, ('i4', 'i16'), max_level, density)
+            resolve_random_modes(rng, probe, addr % mb_w, addr // mb_w, spec)
             probe.parsed.add((addr % mb_w, addr // mb_w))
             specs.append(spec)
-        out += make_p_slice(mb_w, mb_h, specs, slice_qp=qp, frame_num=f % 16,
-                            poc_lsb=(2 * f) % 16, nrefs=nr, pps_nrefs=nrefs,
-                            deblock_idc=deblock_idc)
+        out += make_idr_slice(mb_w, mb_h, specs, slice_qp=qp,
+                              first_mb=bounds[s], deblock_idc=deblock_idc)
+    for f in range(1, n_frames):
+        nr = min(f, nrefs)
+        bounds = slice_bounds()
+        for s in range(slices_per_frame):
+            specs = []
+            probe = IntraEncoder(mb_w, mb_h, qp)
+            for addr in range(bounds[s], bounds[s + 1]):
+                spec = random_p_mb(rng, nr, max_level, density, mv_range,
+                                   intra_prob, skip_prob)
+                if spec.kind in ('i4', 'i16'):
+                    resolve_random_modes(rng, probe, addr % mb_w,
+                                         addr // mb_w, spec)
+                probe.parsed.add((addr % mb_w, addr // mb_w))
+                specs.append(spec)
+            out += make_p_slice(mb_w, mb_h, specs, slice_qp=qp,
+                                frame_num=f % 16, first_mb=bounds[s],
+                                poc_lsb=(2 * f) % 16, nrefs=nr,
+                                pps_nrefs=nrefs, deblock_idc=deblock_idc)
     return out
 
 
@@ -1357,8 +1435,10 @@ class CabacSliceEncoder:
 
     # -- context helpers ---------------------------------------------------
     def _skip_inc(self, mx, my):
-        a = mx > 0 and not (self.flags[my * self.mb_w + mx - 1] & 16)
-        b = my > 0 and not (self.flags[(my - 1) * self.mb_w + mx] & 16)
+        a = self.mb_avail(mx - 1, my) and \
+            not (self.flags[my * self.mb_w + mx - 1] & 16)
+        b = self.mb_avail(mx, my - 1) and \
+            not (self.flags[(my - 1) * self.mb_w + mx] & 16)
         return int(a) + int(b)
 
     def _cbf_nbr(self, avail, nbr_pcm, cbf, cur_intra):
@@ -1368,8 +1448,8 @@ class CabacSliceEncoder:
 
     def _cbf_inc_luma4(self, mx, my, i, cur_intra):
         gbx, gby = mx * 4 + BLK4_X[i], my * 4 + BLK4_Y[i]
-        aA = BLK4_X[i] > 0 or mx > 0
-        aB = BLK4_Y[i] > 0 or my > 0
+        aA = BLK4_X[i] > 0 or self.mb_avail(mx - 1, my)
+        aB = BLK4_Y[i] > 0 or self.mb_avail(mx, my - 1)
         a = self._cbf_nbr(aA, aA and self.flags[(gby // 4) * self.mb_w
                           + (gbx - 1) // 4] & 4,
                           self.nz_y.get((gby, gbx - 1), 0), cur_intra) \
@@ -1382,8 +1462,8 @@ class CabacSliceEncoder:
 
     def _cbf_inc_chroma(self, mx, my, comp, cx, cy, cur_intra):
         gx, gy = mx * 2 + cx, my * 2 + cy
-        aA = cx > 0 or mx > 0
-        aB = cy > 0 or my > 0
+        aA = cx > 0 or self.mb_avail(mx - 1, my)
+        aB = cy > 0 or self.mb_avail(mx, my - 1)
         a = self._cbf_nbr(aA, aA and self.flags[(gy // 2) * self.mb_w
                           + (gx - 1) // 2] & 4,
                           self.nz_c.get((comp, gy, gx - 1), 0), cur_intra) \
@@ -1402,10 +1482,10 @@ class CabacSliceEncoder:
             if comp == 0 and not (f & 2):
                 return 0
             return self.dc_cbf[nmy * self.mb_w + nmx][comp]
-        a = of(mx - 1, my) if mx > 0 else self._cbf_nbr(False, False, 0,
-                                                        cur_intra)
-        b = of(mx, my - 1) if my > 0 else self._cbf_nbr(False, False, 0,
-                                                        cur_intra)
+        a = of(mx - 1, my) if self.mb_avail(mx - 1, my) \
+            else self._cbf_nbr(False, False, 0, cur_intra)
+        b = of(mx, my - 1) if self.mb_avail(mx, my - 1) \
+            else self._cbf_nbr(False, False, 0, cur_intra)
         return a + 2 * b
 
     def _cbp_encode(self, mx, my, cbp_val):
@@ -1414,21 +1494,22 @@ class CabacSliceEncoder:
         for k in range(4):
             if k & 1:
                 a = (cbp >> (k - 1) & 1) ^ 1
-            elif mx > 0:
+            elif self.mb_avail(mx - 1, my):
                 a = (self.cbp[mbi - 1] >> (k + 1) & 1) ^ 1
             else:
                 a = 0
             if k >= 2:
                 b = (cbp >> (k - 2) & 1) ^ 1
-            elif my > 0:
+            elif self.mb_avail(mx, my - 1):
                 b = (self.cbp[mbi - self.mb_w] >> (k + 2) & 1) ^ 1
             else:
                 b = 0
             bit = cbp_val >> k & 1
             self.c.encode(73 + a + 2 * b, bit)
             cbp |= bit << k
-        ca = self.cbp[mbi - 1] >> 4 if mx > 0 else 0
-        cb = self.cbp[mbi - self.mb_w] >> 4 if my > 0 else 0
+        ca = self.cbp[mbi - 1] >> 4 if self.mb_avail(mx - 1, my) else 0
+        cb = self.cbp[mbi - self.mb_w] >> 4 \
+            if self.mb_avail(mx, my - 1) else 0
         cc = cbp_val >> 4
         self.c.encode(77 + (ca > 0) + 2 * (cb > 0), 1 if cc else 0)
         if cc:
@@ -1451,8 +1532,8 @@ class CabacSliceEncoder:
         def nzm(nmx, nmy):
             m_ = self.chmode[nmy * self.mb_w + nmx]
             return 1 if m_ not in (None, 0) else 0
-        inc = (nzm(mx - 1, my) if mx > 0 else 0) \
-            + (nzm(mx, my - 1) if my > 0 else 0)
+        inc = (nzm(mx - 1, my) if self.mb_avail(mx - 1, my) else 0) \
+            + (nzm(mx, my - 1) if self.mb_avail(mx, my - 1) else 0)
         ctx = 64 + inc
         for i in range(mode):
             self.c.encode(ctx, 1)
@@ -1465,13 +1546,13 @@ class CabacSliceEncoder:
         gqx, gqy = mx * 2 + (x4 >> 1), my * 2 + (y4 >> 1)
         if x4 > 0:
             a = self.refnz.get((l, gqy, gqx - (0 if x4 & 1 else 1)), 0)
-        elif mx > 0:
+        elif self.mb_avail(mx - 1, my):
             a = self.refnz.get((l, gqy, gqx - 1), 0)
         else:
             a = 0
         if y4 > 0:
             b = self.refnz.get((l, gqy - (0 if y4 & 1 else 1), gqx), 0)
-        elif my > 0:
+        elif self.mb_avail(mx, my - 1):
             b = self.refnz.get((l, gqy - 1, gqx), 0)
         else:
             b = 0
@@ -1486,9 +1567,9 @@ class CabacSliceEncoder:
         gx, gy = mx * 4 + x4, my * 4 + y4
         for comp, val in ((0, mvdx), (1, mvdy)):
             s = 0
-            if gx > 0 and (x4 > 0 or mx > 0):
+            if x4 > 0 or self.mb_avail(mx - 1, my):
                 s += self.absmvd.get((l, gy, gx - 1), (0, 0))[comp]
-            if gy > 0 and (y4 > 0 or my > 0):
+            if y4 > 0 or self.mb_avail(mx, my - 1):
                 s += self.absmvd.get((l, gy - 1, gx), (0, 0))[comp]
             inc = (1 if s >= 3 else 0) + (1 if s > 32 else 0)
             self.c.mvd(40 if comp == 0 else 47, inc, val)
@@ -1556,8 +1637,10 @@ class CabacSliceEncoder:
 
     def _t8_flag(self, mx, my, val):
         mbi = my * self.mb_w + mx
-        inc = (1 if mx > 0 and self.flags[mbi - 1] & 8 else 0) \
-            + (1 if my > 0 and self.flags[mbi - self.mb_w] & 8 else 0)
+        inc = (1 if self.mb_avail(mx - 1, my) and
+               self.flags[mbi - 1] & 8 else 0) \
+            + (1 if self.mb_avail(mx, my - 1) and
+               self.flags[mbi - self.mb_w] & 8 else 0)
         self.c.encode(399 + inc, 1 if val else 0)
         if val:
             self.flags[mbi] |= 8
@@ -1603,8 +1686,10 @@ class CabacSliceEncoder:
             def nb_inc(nmx, nmy):
                 f = self.flags[nmy * self.mb_w + nmx]
                 return 1 if (f & 1) and (f & (2 | 4)) else 0
-            inc = (nb_inc(mx - 1, my) if mx > 0 else 0) \
-                + (nb_inc(mx, my - 1) if my > 0 else 0)
+            inc = (nb_inc(mx - 1, my)
+                   if self.mb_avail(mx - 1, my) else 0) \
+                + (nb_inc(mx, my - 1)
+                   if self.mb_avail(mx, my - 1) else 0)
             base = 3 + inc
         else:
             base = 17 if slice_type == 0 else 32
@@ -1631,8 +1716,10 @@ class CabacSliceEncoder:
             def nb_inc(nmx, nmy):
                 f = self.flags[nmy * self.mb_w + nmx]
                 return 1 if (f & 1) and (f & (2 | 4)) else 0
-            inc = (nb_inc(mx - 1, my) if mx > 0 else 0) \
-                + (nb_inc(mx, my - 1) if my > 0 else 0)
+            inc = (nb_inc(mx - 1, my)
+                   if self.mb_avail(mx - 1, my) else 0) \
+                + (nb_inc(mx, my - 1)
+                   if self.mb_avail(mx, my - 1) else 0)
             base = 3 + inc
         elif slice_type == 0:
             base = 17
@@ -1659,6 +1746,9 @@ class CabacSliceEncoder:
                     for cx in range(2):
                         self.nz_c[(comp, my * 2 + cy, mx * 2 + cx)] = 1
             self.qp_delta_nz = 0
+            # PCM mbs ARE available neighbours (the decoder claims them
+            # like any parsed mb); slice-local availability reads parsed
+            self.mvs.parsed.add((mx, my))
             return
 
         if spec.kind == 'i4':
@@ -1667,8 +1757,8 @@ class CabacSliceEncoder:
                 self._t8_flag(mx, my, False)
             for i in range(16):
                 gbx, gby = mx * 4 + BLK4_X[i], my * 4 + BLK4_Y[i]
-                aA = BLK4_X[i] > 0 or mx > 0
-                aB = BLK4_Y[i] > 0 or my > 0
+                aA = BLK4_X[i] > 0 or self.mb_avail(mx - 1, my)
+                aB = BLK4_Y[i] > 0 or self.mb_avail(mx, my - 1)
                 mA = self.modes.get((gby, gbx - 1), 2) if aA else -1
                 mB = self.modes.get((gby - 1, gbx), 2) if aB else -1
                 pred = 2 if (mA < 0 or mB < 0) else min(mA, mB)
@@ -1807,18 +1897,22 @@ def _cabac_b_mb(enc: CabacSliceEncoder, mx, my, spec, nrefs):
     c.encode(24 + enc._skip_inc(mx, my), 0)
     if spec.kind in ('i4', 'i16', 'pcm'):
         # B mb_type prefix for intra: str == 13
-        da = mx > 0 and enc.flags[mbi - 1] & 128
-        db = my > 0 and enc.flags[(my - 1) * enc.mb_w + mx] & 128
-        inc = (1 if mx > 0 and not da else 0) + (1 if my > 0 and not db else 0)
+        da = enc.mb_avail(mx - 1, my) and enc.flags[mbi - 1] & 128
+        db = enc.mb_avail(mx, my - 1) and \
+            enc.flags[(my - 1) * enc.mb_w + mx] & 128
+        inc = (1 if enc.mb_avail(mx - 1, my) and not da else 0) \
+            + (1 if enc.mb_avail(mx, my - 1) and not db else 0)
         c.encode(27 + inc, 1)
         c.encode(30, 1)
         for ctx, b in ((31, 1), (32, 1), (32, 0), (32, 1)):  # str 13 = 1101
             c.encode(ctx, b)
         enc.encode_i_mb(mx, my, spec, 1)
         return
-    da = mx > 0 and enc.flags[mbi - 1] & 128
-    db = my > 0 and enc.flags[(my - 1) * enc.mb_w + mx] & 128
-    inc = (1 if mx > 0 and not da else 0) + (1 if my > 0 and not db else 0)
+    da = enc.mb_avail(mx - 1, my) and enc.flags[mbi - 1] & 128
+    db = enc.mb_avail(mx, my - 1) and \
+        enc.flags[(my - 1) * enc.mb_w + mx] & 128
+    inc = (1 if enc.mb_avail(mx - 1, my) and not da else 0) \
+        + (1 if enc.mb_avail(mx, my - 1) and not db else 0)
     if spec.kind == 'bdirect':
         c.encode(27 + inc, 0)
         enc.flags[mbi] = 128
@@ -1955,10 +2049,11 @@ def make_cabac_slice(mb_w, mb_h, specs, slice_type, *, slice_qp=26,
                      init_qp=26, frame_num=0, idr_pic_id=0, poc_lsb=0,
                      idr=False, nal_ref_idc=3, nrefs=(1, 1), pps_nrefs=None,
                      cabac_init_idc=0, direct_spatial=True, deblock_idc=None,
-                     log2_max_frame_num=4, log2_max_poc_lsb=6) -> bytes:
-    """One whole-frame CABAC slice (I/P/B)."""
+                     log2_max_frame_num=4, log2_max_poc_lsb=6,
+                     first_mb=0) -> bytes:
+    """One CABAC slice (I/P/B) covering mbs [first_mb, first_mb+len(specs))."""
     w = BitWriter()
-    w.ue(0)                    # first_mb
+    w.ue(first_mb)
     w.ue(slice_type + 5)       # "all slices are ..." variants
     w.ue(0)                    # pps id
     w.u(frame_num, log2_max_frame_num)
@@ -1997,7 +2092,8 @@ def make_cabac_slice(mb_w, mb_h, specs, slice_type, *, slice_qp=26,
     init_table = 0 if slice_type == 2 else 1 + cabac_init_idc
     enc = CabacSliceEncoder(mb_w, mb_h, slice_qp, init_table, w)
     n = len(specs)
-    for addr, spec in enumerate(specs):
+    for i, spec in enumerate(specs):
+        addr = first_mb + i
         mx, my = addr % mb_w, addr // mb_w
         if slice_type == 2:
             enc.encode_i_mb(mx, my, spec, 2)
@@ -2005,7 +2101,7 @@ def make_cabac_slice(mb_w, mb_h, specs, slice_type, *, slice_qp=26,
             _cabac_p_mb(enc, mx, my, spec, nrefs[0])
         else:
             _cabac_b_mb(enc, mx, my, spec, nrefs)
-        enc.c.terminate(0 if addr < n - 1 else 1)
+        enc.c.terminate(0 if i < n - 1 else 1)
     w.align_zero()
     return nal(nal_ref_idc, 5 if idr else 1, w.bytes_unescaped())
 
@@ -2039,12 +2135,14 @@ def gen_random_cabac_ipb_stream(mb_w, mb_h, n_gops=2, seed=0, *, qp=26,
                                 max_level=8, density=0.3, mv_range=32,
                                 direct_spatial=True, wbi=0, with_b=True,
                                 cabac_init_idc=0, deblock=True,
-                                closed=False, gop_pb=2) -> bytes:
+                                closed=False, gop_pb=2,
+                                slices_per_frame=1) -> bytes:
     """CABAC IDR + per GOP: P (ref) [+ non-ref B between] — the CABAC twin
     of gen_random_ipb_stream.  closed=True: n_gops CLOSED GOPs, each its
     own IDR (distinct idr_pic_id, frame_num/POC reset) + gop_pb P[+B]
     pairs, independent across IDRs like the reference's frame-task
-    dependency rule (edge264_headers.c:1275-1277)."""
+    dependency rule (edge264_headers.c:1275-1277).  slices_per_frame>1
+    splits every frame at random mb bounds (per-slice availability)."""
     rng = random.Random(seed)
     out = make_sps(mb_w, mb_h, max_ref_frames=3, log2_max_poc_lsb=6) \
         + make_pps(cabac=True, deblock_control=not deblock, nrefs=2,
@@ -2052,53 +2150,77 @@ def gen_random_cabac_ipb_stream(mb_w, mb_h, n_gops=2, seed=0, *, qp=26,
     deblock_idc = None if deblock else 1
     n_mbs = mb_w * mb_h
 
+    def slice_bounds():
+        bounds = [0]
+        for s in range(1, slices_per_frame):
+            bounds.append(rng.randrange(
+                bounds[-1] + 1, n_mbs - (slices_per_frame - s) + 1))
+        bounds.append(n_mbs)
+        return bounds
+
     def emit_idr(idr_pic_id):
-        specs = []
-        probe = IntraEncoder(mb_w, mb_h, qp)
-        for addr in range(n_mbs):
-            spec = random_intra_mb(rng, ('i4', 'i16'), max_level, density)
-            resolve_random_modes(rng, probe, addr % mb_w, addr // mb_w, spec)
-            probe.parsed.add((addr % mb_w, addr // mb_w))
-            specs.append(spec)
-        return make_cabac_slice(mb_w, mb_h, specs, 2, slice_qp=qp, idr=True,
-                                idr_pic_id=idr_pic_id,
-                                deblock_idc=deblock_idc)
+        out = b""
+        bounds = slice_bounds()
+        for s in range(slices_per_frame):
+            specs = []
+            probe = IntraEncoder(mb_w, mb_h, qp)
+            for addr in range(bounds[s], bounds[s + 1]):
+                spec = random_intra_mb(rng, ('i4', 'i16'), max_level,
+                                       density)
+                resolve_random_modes(rng, probe, addr % mb_w, addr // mb_w,
+                                     spec)
+                probe.parsed.add((addr % mb_w, addr // mb_w))
+                specs.append(spec)
+            out += make_cabac_slice(mb_w, mb_h, specs, 2, slice_qp=qp,
+                                    idr=True, idr_pic_id=idr_pic_id,
+                                    first_mb=bounds[s],
+                                    deblock_idc=deblock_idc)
+        return out
 
     def emit_p(g):
         nr = min(g, 2)
-        specs = []
-        probe = IntraEncoder(mb_w, mb_h, qp)
-        for addr in range(n_mbs):
-            spec = random_p_mb(rng, nr, max_level, density, mv_range)
-            if spec.kind in ('i4', 'i16'):
-                resolve_random_modes(rng, probe, addr % mb_w, addr // mb_w,
-                                     spec)
-            probe.parsed.add((addr % mb_w, addr // mb_w))
-            specs.append(spec)
-        return make_cabac_slice(mb_w, mb_h, specs, 0, slice_qp=qp,
-                                frame_num=g % 16, poc_lsb=(8 * g) % 64,
-                                nrefs=(nr, 1), pps_nrefs=(2, 1),
-                                cabac_init_idc=cabac_init_idc,
-                                deblock_idc=deblock_idc)
+        out = b""
+        bounds = slice_bounds()
+        for s in range(slices_per_frame):
+            specs = []
+            probe = IntraEncoder(mb_w, mb_h, qp)
+            for addr in range(bounds[s], bounds[s + 1]):
+                spec = random_p_mb(rng, nr, max_level, density, mv_range)
+                if spec.kind in ('i4', 'i16'):
+                    resolve_random_modes(rng, probe, addr % mb_w,
+                                         addr // mb_w, spec)
+                probe.parsed.add((addr % mb_w, addr // mb_w))
+                specs.append(spec)
+            out += make_cabac_slice(mb_w, mb_h, specs, 0, slice_qp=qp,
+                                    frame_num=g % 16, poc_lsb=(8 * g) % 64,
+                                    nrefs=(nr, 1), pps_nrefs=(2, 1),
+                                    first_mb=bounds[s],
+                                    cabac_init_idc=cabac_init_idc,
+                                    deblock_idc=deblock_idc)
+        return out
 
     def emit_b(g):
         nb = (min(g + 1, 2), 1)
-        specs = []
-        probe = IntraEncoder(mb_w, mb_h, qp)
-        for addr in range(n_mbs):
-            spec = random_b_mb(rng, nb, max_level, density, mv_range)
-            if spec.kind in ('i4', 'i16'):
-                resolve_random_modes(rng, probe, addr % mb_w, addr // mb_w,
-                                     spec)
-            probe.parsed.add((addr % mb_w, addr // mb_w))
-            specs.append(spec)
-        return make_cabac_slice(mb_w, mb_h, specs, 1, slice_qp=qp,
-                                frame_num=(g + 1) % 16, nal_ref_idc=0,
-                                poc_lsb=(8 * g - 4) % 64, nrefs=nb,
-                                pps_nrefs=(2, 1),
-                                cabac_init_idc=cabac_init_idc,
-                                direct_spatial=direct_spatial,
-                                deblock_idc=deblock_idc)
+        out = b""
+        bounds = slice_bounds()
+        for s in range(slices_per_frame):
+            specs = []
+            probe = IntraEncoder(mb_w, mb_h, qp)
+            for addr in range(bounds[s], bounds[s + 1]):
+                spec = random_b_mb(rng, nb, max_level, density, mv_range)
+                if spec.kind in ('i4', 'i16'):
+                    resolve_random_modes(rng, probe, addr % mb_w,
+                                         addr // mb_w, spec)
+                probe.parsed.add((addr % mb_w, addr // mb_w))
+                specs.append(spec)
+            out += make_cabac_slice(mb_w, mb_h, specs, 1, slice_qp=qp,
+                                    frame_num=(g + 1) % 16, nal_ref_idc=0,
+                                    poc_lsb=(8 * g - 4) % 64, nrefs=nb,
+                                    pps_nrefs=(2, 1), first_mb=bounds[s],
+                                    cabac_init_idc=cabac_init_idc,
+                                    direct_spatial=direct_spatial,
+                                    deblock_idc=deblock_idc)
+        return out
 
     if closed:
         for gop in range(n_gops):
