@@ -28,8 +28,15 @@ sys.path.insert(0, REPO)
 
 MBW, MBH = 120, 68          # 1920x1088
 N_GOPS, GOP_PB = 8, 4       # 8 closed GOPs x (IDR + 4x(P+B)) = 72 frames
+# coefficient density/level tuned to the BASELINE workload's bitrate:
+# the 10-s BBB clip is ~100 KB/frame (30 MB / 300 frames); these settings
+# measure ~113 KB/frame at 1080p, where the previous bench stream was an
+# unrepresentative ~350 KB/frame (3.5x the baseline's bits to entropy-
+# decode per frame)
+DENSITY, MAX_LEVEL = 0.05, 4
 BASELINE_FPS = 77.0
-CACHE = f"/tmp/e264t_bench_cabac_ipb_{MBW}x{MBH}_closed{N_GOPS}x{1+2*GOP_PB}_v1.264"
+CACHE = (f"/tmp/e264t_bench_cabac_ipb_{MBW}x{MBH}_closed{N_GOPS}x"
+         f"{1+2*GOP_PB}_d{DENSITY}_v2.264")
 PARTIAL = "/tmp/e264t_bench_partial.json"
 LANES = int(os.environ.get("E264T_BENCH_LANES", "8"))
 BUDGET_S = float(os.environ.get("E264T_BENCH_BUDGET_S", "1500"))
@@ -68,7 +75,9 @@ def build_stream() -> bytes:
     from tools.avcgen import gen_random_cabac_ipb_stream
     sys.stderr.write("generating 1080p CABAC IPB stream (slow, cached)...\n")
     data = gen_random_cabac_ipb_stream(MBW, MBH, n_gops=N_GOPS, seed=42,
-                                       closed=True, gop_pb=GOP_PB)
+                                       closed=True, gop_pb=GOP_PB,
+                                       density=DENSITY,
+                                       max_level=MAX_LEVEL)
     with open(CACHE, "wb") as f:
         f.write(data)
     return data
@@ -172,7 +181,8 @@ def worker():
     device_health_check(deadline)
 
     checkpoint(stage="warmup")
-    t0 = time.perf_counter()
+    os.environ.setdefault("E264T_LANE_PROF", "1")   # stage breakdown on
+    t0 = time.perf_counter()                        # stderr per group
     n, dt, ok = run_once(data, digest)      # warmup: compile + hash check
     sys.stderr.write(f"warmup: {n} frames in {dt:.1f}s (cold total "
                      f"{time.perf_counter()-t0:.1f}s), bit-exact vs "

@@ -506,6 +506,7 @@ struct Task {
 	void parse_residuals_cabac(MbCtx &m, int cbp, bool is16);
 	int parse_chroma_mode_cabac(MbCtx &m);
 	void recover_slice(MbCtx &m, int end_mb);
+	void log_pcm_samples(MbCtx &m);   // reference schema edge264_slice.c:908
 	template <typename... A> inline void logf(const char *fmt, A... a);
 };
 

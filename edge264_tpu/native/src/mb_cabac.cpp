@@ -507,6 +507,7 @@ int Task::parse_I_mb_cabac(MbCtx &m, int ctx_base) {
 			for (int c = 0; c < 2; c++)
 				pl.nz_c[(((size_t)(m.my * 2 + cy) * (m.mbW * 2)) +
 				         m.mx * 2 + cx) * 2 + c] = 1;
+	log_pcm_samples(m);
 	mb_qp_delta_nz = 0;
 	cab.start(&gb);                // §9.3.1: re-init after pcm samples
 	return 0;

@@ -105,6 +105,31 @@ static const uint16_t mode_needs_A =
 static const uint16_t mode_needs_B =
 	1 << 0 | 1 << 3 | 1 << 4 | 1 << 5 | 1 << 6 | 1 << 7;
 
+// PCM raw samples in the reference's log schema (edge264_slice.c:908-932)
+// -- needed for the YAML->bitstream round-trip (tools/yaml2avc.py)
+void Task::log_pcm_samples(MbCtx &m) {
+	if (!logdec || !log_mbs)
+		return;
+	Planes &pl = m.pl;
+	logf("    pcm_samples:\n");
+	const char *names[3] = {"Y", "Cb", "Cr"};
+	for (int comp = 0; comp < 3; comp++) {
+		int n = comp == 0 ? 16 : 8;
+		logf("      %s: [", names[comp]);
+		for (int y = 0; y < n; y++)
+			for (int x = 0; x < n; x++) {
+				unsigned v = comp == 0
+					? pl.pcm_y[((size_t)m.my * 16 + y) * (m.mbW * 16)
+					           + m.mx * 16 + x]
+					: pl.pcm_c[((size_t)(comp - 1) * m.mbH * 8
+					            + m.my * 8 + y) * (m.mbW * 8)
+					           + m.mx * 8 + x];
+				logf(y == n - 1 && x == n - 1 ? "%u" : "%u,", v);
+			}
+		logf("]\n");
+	}
+}
+
 int Task::parse_I_mb(MbCtx &m, int mb_type) {
 	Planes &pl = m.pl;
 
@@ -135,6 +160,7 @@ int Task::parse_I_mb(MbCtx &m, int mb_type) {
 				for (int c = 0; c < 2; c++)
 					pl.nz_c[(((size_t)(m.my * 2 + cy) * (m.mbW * 2)) +
 					         m.mx * 2 + cx) * 2 + c] = 16;
+		log_pcm_samples(m);
 		return 0;
 	}
 

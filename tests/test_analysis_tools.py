@@ -42,3 +42,21 @@ def test_decoding_time_per_size_fields():
     import re
     sizes = [int(m) for m in re.findall(r"approx_byte_size: (\d+)", text)]
     assert len(sizes) == 3 and all(s > 0 for s in sizes)
+
+
+def test_bench_chart_renders_svg(tmp_path):
+    """Chart renderer (the reference's bench-charts.py analog)."""
+    from tools.analysis.bench_chart import render
+    out = tmp_path / "chart.svg"
+    render({"tpu": {"edge264_tpu": 20.0, "reference": 77.0}}, str(out))
+    assert out.read_text().startswith("<?xml")
+
+
+def test_bench_chart_from_bench_json(tmp_path):
+    import json
+    from tools.analysis.bench_chart import _load
+    bj = tmp_path / "BENCH.json"
+    bj.write_text(json.dumps({"metric": "1080p decode", "value": 20.5,
+                              "unit": "frames/sec"}) + "\n")
+    data, out = _load(["--bench", str(bj), str(tmp_path / "o.svg")])
+    assert data == {"fps": {"1080p decode": 20.5}}

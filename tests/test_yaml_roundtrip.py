@@ -64,8 +64,17 @@ def test_roundtrip_stream_identical_when_canonical():
     assert data2 == data3
 
 
-def test_pcm_rejected():
-    data = gen_random_intra_stream(4, 3, n_frames=1, seed=5,
-                                   kinds=("pcm",))
-    with pytest.raises(NotImplementedError):
-        stream_from_trace(_trace(data))
+def test_pcm_roundtrip():
+    """I_PCM raw samples travel through the trace (pcm_samples:, the
+    reference's schema edge264_slice.c:908-932) and back."""
+    data = gen_random_intra_stream(4, 3, n_frames=2, seed=5,
+                                   kinds=("i4", "pcm"))
+    trace = _trace(data)
+    data2 = stream_from_trace(trace)
+    assert_traces_match(trace, _trace(data2), "pcm-roundtrip trace")
+    p1, p2 = _pixels(data), _pixels(data2)
+    assert len(p1) == len(p2)
+    for (y1, cb1, cr1), (y2, cb2, cr2) in zip(p1, p2):
+        assert np.array_equal(y1, y2)
+        assert np.array_equal(cb1, cb2)
+        assert np.array_equal(cr1, cr2)

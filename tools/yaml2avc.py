@@ -3,9 +3,9 @@ log format, mirroring the reference's gen_avc.py (tests/gen_avc.py:142-509)
 where the SAME YAML schema doubles as log output and test-vector input.
 
 Scope (the reference generator's residual support is likewise CAVLC):
-SPS / PPS / I slices (IDR and non-IDR) with CAVLC entropy, Intra_4x4 and
-Intra_16x16 macroblocks with full coefficient round-trip.  I_PCM raw
-samples are not logged, so PCM mbs cannot be reconstructed (error).
+SPS / PPS / I slices (IDR and non-IDR) with CAVLC entropy, Intra_4x4,
+Intra_16x16 and I_PCM macroblocks with full coefficient/sample
+round-trip.
 
     python -m tools.yaml2avc trace.yaml out.264
 
@@ -41,8 +41,9 @@ def _take(it, n, *, dc_skip=False):
 def _mb_spec(mb):
     t = mb["mb_type"]
     if t == 25:
-        raise NotImplementedError(
-            "I_PCM samples are not present in the trace")
+        s = mb["pcm_samples"]
+        return MbSpec("pcm", samples_y=list(s["Y"]),
+                      samples_cb=list(s["Cb"]), samples_cr=list(s["Cr"]))
     blocks = _blocks(mb)
     qp_delta = mb.get("mb_qp_delta", 0)
     chroma_mode = mb.get("intra_chroma_pred_mode", 0)
