@@ -1643,7 +1643,7 @@ def pack_planes(planes, keep=frozenset()):
         layout.append((k, str(a.dtype), a.shape, off))
         views.append((off, a))
         off += a.nbytes
-    arena = np.empty(off, np.uint8)
+    arena = _arena_buf(off)
     prev_end = 0
     for o, a in views:
         if o > prev_end:
@@ -1651,6 +1651,26 @@ def pack_planes(planes, keep=frozenset()):
         arena[o:o + a.nbytes] = a.reshape(-1).view(np.uint8)
         prev_end = o + a.nbytes
     return jnp.asarray(arena), tuple(layout)
+
+
+# Host staging buffers for pack_planes, pooled per size: a fresh np.empty
+# per frame pays first-touch page faults that are pathologically slow on
+# this host (a cold 16 MB memcpy measures ~100x its warm cost).  Reuse is
+# safe on device backends (jnp.asarray snapshots host memory into the
+# H2D transfer); the CPU backend may alias host buffers, so it always
+# gets a fresh one.  Two buffers alternate per size as slack for any
+# in-flight transfer staging.
+_ARENA_POOL = {}
+
+
+def _arena_buf(n):
+    import jax
+    if jax.default_backend() == "cpu":
+        return np.empty(n, np.uint8)
+    bufs, idx = _ARENA_POOL.get(n) or ([np.empty(n, np.uint8),
+                                        np.empty(n, np.uint8)], 0)
+    _ARENA_POOL[n] = (bufs, idx ^ 1)
+    return bufs[idx]
 
 
 _JDT = {"uint8": jnp.uint8, "int8": jnp.int8, "int16": jnp.int16,

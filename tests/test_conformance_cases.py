@@ -333,3 +333,54 @@ def test_mmco_on_nonexisting_picture():
                         frame_num=2, poc_lsb=4, nrefs=1, pps_nrefs=2)
     frames = list(decode_annexb(out, backend="numpy"))
     assert len(frames) >= 2          # tolerated, stream continues
+
+
+def test_all_cbp_values_i4(ref_oracle):
+    """[cbp-sweep] every coded_block_pattern 0..47 in one 48-mb I frame
+    (reference CAVLC checklist: 'All coded_block_pattern=[0;47]')."""
+    from tools.avcgen import MbSpec, random_frame_specs
+    rng = random.Random(19)
+    w, h = 8, 6
+    specs = random_frame_specs(rng, w, h, "i")
+    for addr, spec in enumerate(specs):
+        if spec.kind != "i4":
+            continue
+        cbp_luma = addr % 16
+        cbp_chroma = (addr // 16) % 3
+        spec.cbp = cbp_luma | cbp_chroma << 4
+    out = make_sps(w, h) + make_pps() + make_idr_slice(w, h, specs)
+    _assert_ref_exact(out, ref_oracle, 1, "cbp-sweep")
+
+
+def test_poc_type_2(ref_oracle):
+    """[poc-type-2] pic_order_cnt_type=2 (POC derived from frame_num, no
+    slice-header POC fields)."""
+    rng = random.Random(20)
+    w, h = 4, 3
+    out = make_sps(w, h, poc_type=2, max_ref_frames=2) + make_pps(nrefs=2)
+    out += make_idr_slice(w, h, random_frame_specs(rng, w, h, "i"),
+                          poc_type=2)
+    for f in (1, 2, 3):
+        nr = min(f, 2)
+        out += make_p_slice(w, h, random_frame_specs(rng, w, h, "p",
+                                                     nrefs=nr),
+                            frame_num=f, nrefs=nr, pps_nrefs=2, poc_type=2)
+    _assert_ref_exact(out, ref_oracle, 4, "poc-type-2")
+
+
+def test_frame_num_wrap(ref_oracle):
+    """[frame-num-wrap] a 20-ref-frame stream wraps frame_num past
+    2^log2_max_frame_num=16; FrameNumWrap ordering must hold."""
+    rng = random.Random(21)
+    w, h = 4, 3
+    out = make_sps(w, h, max_ref_frames=2, log2_max_poc_lsb=8) \
+        + make_pps(nrefs=2)
+    out += make_idr_slice(w, h, random_frame_specs(rng, w, h, "i"),
+                          log2_max_poc_lsb=8)
+    for f in range(1, 20):
+        nr = min(f, 2)
+        out += make_p_slice(w, h, random_frame_specs(rng, w, h, "p",
+                                                     nrefs=nr),
+                            frame_num=f % 16, poc_lsb=(2 * f) % 256,
+                            nrefs=nr, pps_nrefs=2, log2_max_poc_lsb=8)
+    _assert_ref_exact(out, ref_oracle, 20, "frame-num-wrap")

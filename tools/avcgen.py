@@ -504,7 +504,7 @@ def make_idr_slice(mb_w, mb_h, specs, *, slice_qp=26, init_qp=26,
                    log2_max_frame_num=4, log2_max_poc_lsb=4,
                    deblock_idc=None, deblock_ab=(0, 0),
                    no_output_of_prior=False, long_term=False,
-                   mmco=None) -> bytes:
+                   mmco=None, poc_type=0) -> bytes:
     """specs: list of MbSpec in raster order starting at first_mb.
     deblock_idc (0/1/2) requires a PPS with deblock_control=True.
     long_term marks the IDR as a long-term reference (§8.2.5.1);
@@ -516,7 +516,8 @@ def make_idr_slice(mb_w, mb_h, specs, *, slice_qp=26, init_qp=26,
     w.u(frame_num, log2_max_frame_num)
     if idr:
         w.ue(idr_pic_id)
-    w.u(poc_lsb, log2_max_poc_lsb)      # poc type 0
+    if poc_type == 0:
+        w.u(poc_lsb, log2_max_poc_lsb)
     if nal_ref_idc:
         if idr:
             w.u1(1 if no_output_of_prior else 0)
@@ -942,7 +943,8 @@ def _encode_intra_residuals(w, enc, mx, my, spec, is16):
 def make_p_slice(mb_w, mb_h, specs, *, slice_qp=26, init_qp=26, frame_num=0,
                  poc_lsb=0, nal_ref_idc=3, first_mb=0, nrefs=1,
                  pps_nrefs=None, deblock_idc=None, log2_max_frame_num=4,
-                 log2_max_poc_lsb=4, reorder=None, mmco=None) -> bytes:
+                 log2_max_poc_lsb=4, reorder=None, mmco=None,
+                 poc_type=0) -> bytes:
     """reorder: ref_pic_list_modification ops for L0 (see write_rplm);
     mmco: memory-management control ops (see write_drpm)."""
     w = BitWriter()
@@ -950,7 +952,8 @@ def make_p_slice(mb_w, mb_h, specs, *, slice_qp=26, init_qp=26, frame_num=0,
     w.ue(5)                    # slice_type P (all slices in pic are P)
     w.ue(0)                    # pps id
     w.u(frame_num, log2_max_frame_num)
-    w.u(poc_lsb, log2_max_poc_lsb)
+    if poc_type == 0:
+        w.u(poc_lsb, log2_max_poc_lsb)
     if pps_nrefs is not None and nrefs != pps_nrefs:
         w.u1(1)                # num_ref_idx_active_override
         w.ue(nrefs - 1)
