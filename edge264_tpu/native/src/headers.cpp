@@ -767,7 +767,9 @@ int Decoder::decode_nal(const uint8_t *buf, size_t len) {
 	logbuf.clear();
 	if (len == 0) {   // end-of-buffer: drain (edge264.c:328-333)
 		end_of_stream();
-		return (to_get | outputq) ? E264T_ENOBUFS : E264T_ENODATA;
+		// BORROWED frames (outputq) are the caller's to return; they
+		// must not hold the drain in ENOBUFS forever
+		return to_get ? E264T_ENOBUFS : E264T_ENODATA;
 	}
 	nal_ref_idc = buf[0] >> 5;
 	nal_unit_type = buf[0] & 31;
@@ -840,7 +842,7 @@ int Decoder::decode_nal(const uint8_t *buf, size_t len) {
 			ret = E264T_EBADMSG;
 		else {
 			end_of_stream();
-			if (to_get | outputq)
+			if (to_get)          // borrowed frames don't block the reset
 				return E264T_ENOBUFS;
 			flush();
 			ret = 0;

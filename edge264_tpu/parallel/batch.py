@@ -66,13 +66,20 @@ class _Lane:
         self.finished = False
         self.fmt = None
         self.store = {}           # frame_id -> (step, lane) into step_out
+        # outputs are taken with borrow=True so their DPB slots stay
+        # PINNED (planes memory intact) until the driver has packed them
+        # -- that is what makes it safe to parse the NEXT frame on a
+        # worker thread while the main thread packs this step's planes
+        self.fid_step = {}        # frame_id -> index into done_slots
+        self.unreturned = []      # borrowed infos awaiting pack
 
     def _pump_events(self, events):
         for kind, slot, a, b, c, d in events:
             if kind == EV_FORMAT:
                 self.fmt = self.nd.format()
             elif kind == EV_FRAME_DONE:
-                # a = frame_id, b = is_ref
+                # a = frame_id, b = is_ref|is_mvc_base
+                self.fid_step[a] = len(self.done_slots)
                 self.done_slots.append((slot, a, b))
             elif kind == EV_UNPIN:
                 i = self.ring_map.pop(slot, None)
@@ -91,10 +98,11 @@ class _Lane:
                 ret, events = self.nd.decode_nal(b"")
                 self._pump_events(events)
                 while True:
-                    info = self.nd.get_frame()
+                    info = self.nd.get_frame(borrow=True)
                     if info is None:
                         break
                     self.out_frames.append(info)
+                    self.unreturned.append(info)
                 if ret != 105:          # != ENOBUFS: fully drained
                     self.finished = True
                 continue
@@ -102,10 +110,11 @@ class _Lane:
             ret, events = self.nd.decode_nal(self.stream[self.pos:end])
             self._pump_events(events)
             while True:
-                info = self.nd.get_frame()
+                info = self.nd.get_frame(borrow=True)
                 if info is None:
                     break
                 self.out_frames.append(info)
+                self.unreturned.append(info)
             if ret == 105:
                 stall += 1
                 if stall > 64:
@@ -114,6 +123,26 @@ class _Lane:
                 stall = 0
                 self.pos = end + 3
         return True
+
+
+def _return_packed(ln: _Lane, step: int):
+    """Release output borrows whose planes were packed at done index
+    <= step (both views for MVC pairs): the native DPB may then reuse
+    those slots while the NEXT step's entropy parses concurrently.
+    Must run while the lane's parse thread is idle (native API calls
+    are not synchronized against decode_nal)."""
+    still = []
+    for info in ln.unreturned:
+        s = ln.fid_step.get(info["frame_id"], 1 << 30)
+        if info["slot_mvc"] >= 0:
+            s = max(s, ln.fid_step.get(info["frame_id_mvc"], 1 << 30))
+        if s <= step:
+            ln.nd.return_frame(info["slot"])
+            if info["slot_mvc"] >= 0:
+                ln.nd.return_frame(info["slot_mvc"])
+        else:
+            still.append(info)
+    ln.unreturned = still
 
 
 def _stack_arenas(lanes_planes, keep):
@@ -165,25 +194,48 @@ def _decode_group(group, results, base, S, lanes, sharding):
         ln.S = S
         ln.ring_free = list(range(S))
 
+    def start_parsing(at_step):
+        ts = []
+        for ln in lane_objs:
+            if len(ln.done_slots) <= at_step and not ln.finished:
+                t = threading.Thread(target=ln.parse_next_frame)
+                t.start()
+                ts.append(t)
+        return ts
+
+    def live_at(at_step):
+        return [i for i, ln in enumerate(lane_objs)
+                if len(ln.done_slots) > at_step]
+
     refL = refC = None
     keep = set()
     step = 0
     step_out = []     # per-step batched (y, cb, cr) device arrays
+    # PIPELINE: step N+1's entropy threads are started before step N's
+    # pack+dispatch, so host parsing overlaps both the packing and the
+    # device execution (the reference's parse/deblock pipelining idea,
+    # edge264_slice.c:1810-1820).  Output borrows keep packed-pending
+    # slots pinned, and all native API calls stay on the main thread
+    # while lane threads are idle.
+    threads = start_parsing(0)
     while True:
-        # --- host entropy: one frame per active lane, in parallel -------
+        # --- wait for this step's entropy (overlapped with the previous
+        # step's pack + device work) -------------------------------------
         t0 = _clk() if prof else 0.0
-        threads = []
-        for ln in lane_objs:
-            if len(ln.done_slots) <= step and not ln.finished:
-                t = threading.Thread(target=ln.parse_next_frame)
-                t.start()
-                threads.append(t)
         for t in threads:
             t.join()
-        live = [i for i, ln in enumerate(lane_objs)
-                if len(ln.done_slots) > step]
+        live = live_at(step)
         if prof:
             prof["entropy"] += _clk() - t0
+        if not live:
+            # a reorder backlog plus not-yet-returned borrows can wedge
+            # parse_next_frame's ENOBUFS stall cap: release every packed
+            # borrow and retry once before declaring the group done
+            for ln in lane_objs:
+                _return_packed(ln, step - 1)
+            for t in start_parsing(step):
+                t.join()
+            live = live_at(step)
         if not live:
             break
 
@@ -249,6 +301,14 @@ def _decode_group(group, results, base, S, lanes, sharding):
                 sm8s.append(np.full((6, 64), 16, np.int32))
                 ring_slots.append(S)
                 slot_maps.append(np.zeros(32, np.int32))
+
+        # borrows packed at earlier steps are safe to release now; then
+        # kick off the NEXT step's entropy so it overlaps this step's
+        # pack + dispatch (phase order matters: native API calls only
+        # while the lane threads are idle)
+        for ln in lane_objs:
+            _return_packed(ln, step - 1)
+        threads = start_parsing(step + 1)
 
         # dead lanes contribute an all-zero arena of the shared layout
         ref_pl = next(p for p in planes_list if p is not None)
