@@ -384,3 +384,49 @@ def test_frame_num_wrap(ref_oracle):
                             frame_num=f % 16, poc_lsb=(2 * f) % 256,
                             nrefs=nr, pps_nrefs=2, log2_max_poc_lsb=8)
     _assert_ref_exact(out, ref_oracle, 20, "frame-num-wrap")
+
+
+def test_adjacent_escape_sequences(ref_oracle):
+    """[double-escape] two 00 00 03 emulation-prevention sequences inside
+    a single bitstream refill window: an all-zero I_PCM macroblock makes
+    the escaped payload ...00 00 03 00 00 03... (reference checklist:
+    'Two escape sequences in a single refill')."""
+    from tools.avcgen import MbSpec
+    rng = random.Random(22)
+    w, h = 2, 2
+    specs = [MbSpec("pcm", samples_y=[0] * 256, samples_cb=[0] * 64,
+                    samples_cr=[0] * 64)
+             if i == 0 else random_frame_specs(rng, 1, 1, "i")[0]
+             for i in range(4)]
+    out = make_sps(w, h) + make_pps()
+    out += make_idr_slice(w, h, specs)
+    assert b"\x00\x00\x03\x00\x00\x03" in out      # escapes are adjacent
+    _assert_ref_exact(out, ref_oracle, 1, "double-escape")
+
+
+def test_wrong_trailing_bits():
+    """[bad-trailing] SPS/PPS with the rbsp stop bit cut off must fail
+    with EBADMSG (deferred-error commit) and leave the decoder usable."""
+    from edge264_tpu.api import find_start_code
+    from edge264_tpu.native import NativeDecoder
+    rng = random.Random(23)
+    w, h = 4, 3
+    good = make_sps(w, h) + make_pps()
+    good += make_idr_slice(w, h, random_frame_specs(rng, w, h, "i"))
+    nals = []
+    pos = find_start_code(good, 0)
+    while pos < len(good):
+        end = find_start_code(good, pos + 3)
+        nals.append(good[pos + 3:end])
+        pos = end
+    nd = NativeDecoder()
+    # SPS with the trailing byte dropped: must NOT commit
+    r, _ = nd.decode_nal(nals[0][:-1])
+    assert r == errno.EBADMSG, r
+    # intact parameter sets + slice decode normally afterwards
+    assert nd.decode_nal(nals[0])[0] == 0
+    assert nd.decode_nal(nals[1])[0] == 0
+    assert nd.decode_nal(nals[2])[0] == 0
+    while nd.get_frame() is not None:
+        pass
+    nd.close()
