@@ -430,3 +430,68 @@ def test_wrong_trailing_bits():
     while nd.get_frame() is not None:
         pass
     nd.close()
+
+
+def _raw_sps(profile=100, chroma_idc=1, bit_depth=8, bypass=0):
+    """Hand-built High-profile SPS for unsupported-feature probing."""
+    from tools.avcgen import BitWriter, nal
+    w = BitWriter()
+    w.u(profile, 8)
+    w.u(0, 8)           # constraint flags
+    w.u(40, 8)          # level 4.0
+    w.ue(0)             # sps id
+    w.ue(chroma_idc)
+    if chroma_idc == 3:
+        w.u1(0)         # separate_colour_plane
+    w.ue(bit_depth - 8)
+    w.ue(bit_depth - 8)
+    w.u1(bypass)        # qpprime_y_zero_transform_bypass
+    w.u1(0)             # seq_scaling_matrix_present
+    w.ue(0)             # log2_max_frame_num - 4
+    w.ue(0)             # poc type 0
+    w.ue(0)             # log2_max_poc_lsb - 4
+    w.ue(2)             # max_num_ref_frames
+    w.u1(0)             # gaps
+    w.ue(3); w.ue(2)    # 4x3 mbs
+    w.u1(1)             # frame_mbs_only
+    w.u1(1)             # direct_8x8_inference
+    w.u1(0)             # cropping
+    w.u1(0)             # vui
+    w.rbsp_trailing()
+    return nal(3, 7, w.bytes_unescaped())
+
+
+@pytest.mark.parametrize("name,kw", [
+    ("chroma-400", dict(chroma_idc=0)),
+    ("chroma-422", dict(chroma_idc=2)),
+    ("chroma-444", dict(chroma_idc=3)),
+    ("bit-depth-10", dict(bit_depth=10)),
+    ("qpprime-bypass", dict(bypass=1)),
+])
+def test_unsupported_sps_features(name, kw):
+    """[unsupported-ps] every unsupported SPS feature returns ENOTSUP and
+    the decoder still accepts a supported stream afterwards (reference
+    checklist: 'Every unsupported feature should return ENOTSUP')."""
+    from edge264_tpu.native import NativeDecoder
+    from edge264_tpu.api import find_start_code
+    rng = random.Random(24)
+    w, h = 4, 3
+    good = make_sps(w, h) + make_pps()
+    good += make_idr_slice(w, h, random_frame_specs(rng, w, h, "i"))
+    nd = NativeDecoder()
+    r, _ = nd.decode_nal(_raw_sps(**kw)[3:])
+    assert r == errno.ENOTSUP, (name, r)
+    # the rejected SPS must not have been committed
+    pos = find_start_code(good, 0)
+    frames = 0
+    while pos < len(good):
+        end = find_start_code(good, pos + 3)
+        assert nd.decode_nal(good[pos + 3:end])[0] == 0, name
+        while nd.get_frame() is not None:
+            frames += 1
+        pos = end
+    while nd.decode_nal(b"")[0] == errno.ENOBUFS:
+        while nd.get_frame() is not None:
+            frames += 1
+    assert frames == 1, (name, frames)
+    nd.close()
