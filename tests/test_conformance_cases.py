@@ -495,3 +495,38 @@ def test_unsupported_sps_features(name, kw):
             frames += 1
     assert frames == 1, (name, frames)
     nd.close()
+
+
+def _mvc_nals(data):
+    from edge264_tpu.api import find_start_code
+    nals = []
+    pos = find_start_code(data, 0)
+    while pos < len(data):
+        end = find_start_code(data, pos + 3)
+        nals.append(data[pos:end])
+        pos = end
+    return nals
+
+
+def test_mvc_missing_non_base_view():
+    """[mvc-missing-view] dropping one access unit's non-base view (NAL
+    20): the decoder must not wedge or crash, and base frames still come
+    out (reference MVC checklist: 'Missing a base or non-base view')."""
+    from tools.avcgen import gen_random_mvc_stream
+    data = gen_random_mvc_stream(4, 3, n_aus=4, seed=25)
+    nals = _mvc_nals(data)
+    t20 = [i for i, n in enumerate(nals) if n[3] & 31 == 20]
+    assert t20
+    kept = [n for i, n in enumerate(nals) if i != t20[1]]
+    frames = list(decode_annexb(b"".join(kept), backend="numpy"))
+    assert 1 <= len(frames) <= 4        # tolerated, no wedge
+
+
+def test_mvc_ssps_but_base_only():
+    """[mvc-base-only] a subset SPS announces stereo but only base-view
+    NALs follow: tolerated (paired-output logic must not spin)."""
+    from tools.avcgen import gen_random_mvc_stream
+    data = gen_random_mvc_stream(4, 3, n_aus=3, seed=26)
+    kept = [n for n in _mvc_nals(data) if n[3] & 31 not in (14, 20)]
+    frames = list(decode_annexb(b"".join(kept), backend="numpy"))
+    assert len(frames) <= 3             # no crash, no infinite loop
