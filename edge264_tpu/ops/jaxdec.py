@@ -1659,17 +1659,23 @@ def pack_planes(planes, keep=frozenset()):
 # safe on device backends (jnp.asarray snapshots host memory into the
 # H2D transfer); the CPU backend may alias host buffers, so it always
 # gets a fresh one.  Two buffers alternate per size as slack for any
-# in-flight transfer staging.
-_ARENA_POOL = {}
+# in-flight transfer staging.  THREAD-LOCAL: decode_annexb_parallel runs
+# whole decoders on worker threads, which must not share staging buffers.
+import threading as _threading
+
+_ARENA_POOL = _threading.local()
 
 
 def _arena_buf(n):
     import jax
     if jax.default_backend() == "cpu":
         return np.empty(n, np.uint8)
-    bufs, idx = _ARENA_POOL.get(n) or ([np.empty(n, np.uint8),
-                                        np.empty(n, np.uint8)], 0)
-    _ARENA_POOL[n] = (bufs, idx ^ 1)
+    pool = getattr(_ARENA_POOL, "pool", None)
+    if pool is None:
+        pool = _ARENA_POOL.pool = {}
+    bufs, idx = pool.get(n) or ([np.empty(n, np.uint8),
+                                 np.empty(n, np.uint8)], 0)
+    pool[n] = (bufs, idx ^ 1)
     return bufs[idx]
 
 

@@ -78,3 +78,22 @@ def test_pcm_roundtrip():
         assert np.array_equal(y1, y2)
         assert np.array_equal(cb1, cb2)
         assert np.array_equal(cr1, cr2)
+
+
+def test_cropping_roundtrip():
+    """frame_crop_offsets (logged in luma pixels) survive the trace ->
+    stream -> trace cycle."""
+    data = gen_random_intra_stream(3, 2, n_frames=1, seed=6,
+                                   kinds=("i4", "i16"))
+    from tools.avcgen import make_sps
+    sps = make_sps(3, 2, crop=(1, 2, 1, 2))     # chroma units
+    p1 = find_start_code(data, find_start_code(data, 0) + 3)
+    data = sps + data[p1:]
+    trace = _trace(data)
+    assert "frame_crop_offsets: {left: 2, right: 4, top: 2, bottom: 4}" \
+        in trace
+    data2 = stream_from_trace(trace)
+    assert_traces_match(trace, _trace(data2), "crop-roundtrip")
+    p1, p2 = _pixels(data), _pixels(data2)
+    assert p1[0][0].shape == p2[0][0].shape == (32 - 6, 48 - 6)
+    assert np.array_equal(p1[0][0], p2[0][0])
