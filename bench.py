@@ -210,7 +210,53 @@ def worker():
 # ---------------------------------------------------------------------------
 # parent: budget enforcement + guaranteed JSON
 
+LOCK = "/tmp/e264t_bench.lock"
+
+
+def _acquire_lock():
+    """One bench at a time: a second process against the single TPU chip
+    silently stalls the first (axon tunnel behavior).  Waits for a fresh
+    lock to clear; a stale lock (holder gone) is broken."""
+    deadline = time.monotonic() + BUDGET_S
+    while True:
+        try:
+            fd = os.open(LOCK, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            return True
+        except FileExistsError:
+            try:
+                pid = int(open(LOCK).read() or "0")
+            except (OSError, ValueError):
+                pid = 0
+            alive = pid > 0 and os.path.exists(f"/proc/{pid}")
+            if not alive:
+                try:
+                    os.remove(LOCK)
+                except OSError:
+                    pass
+                continue
+            if time.monotonic() > deadline:
+                return False
+            sys.stderr.write(f"bench lock held by pid {pid}; waiting\n")
+            time.sleep(30)
+
+
 def parent():
+    if not _acquire_lock():
+        emit(0.0, 0.0, error="another bench held the TPU for the whole "
+                             "budget")
+        return
+    try:
+        _parent_locked()
+    finally:
+        try:
+            os.remove(LOCK)
+        except OSError:
+            pass
+
+
+def _parent_locked():
     try:
         os.remove(PARTIAL)
     except OSError:
