@@ -530,3 +530,48 @@ def test_mvc_ssps_but_base_only():
     kept = [n for n in _mvc_nals(data) if n[3] & 31 not in (14, 20)]
     frames = list(decode_annexb(b"".join(kept), backend="numpy"))
     assert len(frames) <= 3             # no crash, no infinite loop
+
+
+def test_mixed_cavlc_cabac_in_one_frame(ref_oracle):
+    """[mixed-entropy] slice 1 of a frame uses a CAVLC PPS, slice 2 a
+    CABAC PPS (reference CABAC checklist: 'Mixing CAVLC and CABAC in a
+    same frame')."""
+    from tools.avcgen import make_cabac_slice
+    rng = random.Random(27)
+    w, h = 4, 3
+    half = (w * h) // 2
+    out = make_sps(w, h) + make_pps(pps_id=0) + make_pps(pps_id=1,
+                                                         cabac=True)
+    # per-slice mode resolution (availability never crosses slices)
+    from tools.avcgen import IntraEncoder, random_intra_mb, \
+        resolve_random_modes
+    slices = []
+    for lo, hi in ((0, half), (half, w * h)):
+        probe = IntraEncoder(w, h, 26)
+        specs = []
+        for addr in range(lo, hi):
+            spec = random_intra_mb(rng, ("i4", "i16"), 8, 0.3)
+            resolve_random_modes(rng, probe, addr % w, addr // w, spec)
+            probe.parsed.add((addr % w, addr // w))
+            specs.append(spec)
+        slices.append(specs)
+    out += make_idr_slice(w, h, slices[0], pps_id=0)
+    out += make_cabac_slice(w, h, slices[1], 2, idr=True,
+                            first_mb=half, pps_id=1,
+                            log2_max_poc_lsb=4)
+    _assert_ref_exact(out, ref_oracle, 1, "mixed-entropy")
+
+
+@pytest.mark.parametrize("lt", [0, 1])
+def test_33_idrs_long_term_max_refs_0(ref_oracle, lt):
+    """[33-idr-lt] 33 consecutive IDRs with long_term_reference_flag=0/1
+    while max_num_ref_frames=0 (§8.2.5.1): slots must recycle, nothing
+    leaks, output order matches the reference."""
+    rng = random.Random(28 + lt)
+    w, h = 2, 2
+    out = make_sps(w, h, max_ref_frames=0, log2_max_poc_lsb=8) + make_pps()
+    for i in range(33):
+        out += make_idr_slice(w, h, random_frame_specs(rng, w, h, "i"),
+                              idr_pic_id=i % 16, poc_lsb=0,
+                              long_term=bool(lt), log2_max_poc_lsb=8)
+    _assert_ref_exact(out, ref_oracle, 33, f"33-idr-lt{lt}")

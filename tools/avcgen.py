@@ -2053,12 +2053,12 @@ def make_cabac_slice(mb_w, mb_h, specs, slice_type, *, slice_qp=26,
                      idr=False, nal_ref_idc=3, nrefs=(1, 1), pps_nrefs=None,
                      cabac_init_idc=0, direct_spatial=True, deblock_idc=None,
                      log2_max_frame_num=4, log2_max_poc_lsb=6,
-                     first_mb=0) -> bytes:
+                     first_mb=0, pps_id=0) -> bytes:
     """One CABAC slice (I/P/B) covering mbs [first_mb, first_mb+len(specs))."""
     w = BitWriter()
     w.ue(first_mb)
     w.ue(slice_type + 5)       # "all slices are ..." variants
-    w.ue(0)                    # pps id
+    w.ue(pps_id)
     w.u(frame_num, log2_max_frame_num)
     if idr:
         w.ue(idr_pic_id)
