@@ -26,8 +26,12 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-MBW, MBH = 120, 68          # 1920x1088
-N_GOPS, GOP_PB = 8, 4       # 8 closed GOPs x (IDR + 4x(P+B)) = 72 frames
+# geometry/shape overridable for CPU smoke tests of the full bench path
+# (tests/test_bench_smoke.py); the real bench always runs the defaults
+MBW, MBH = (int(x) for x in
+            os.environ.get("E264T_BENCH_GEOM", "120x68").split("x"))
+N_GOPS = int(os.environ.get("E264T_BENCH_GOPS", "8"))
+GOP_PB = int(os.environ.get("E264T_BENCH_GOP_PB", "4"))
 # coefficient density/level tuned to the BASELINE workload's bitrate:
 # the 10-s BBB clip is ~100 KB/frame (30 MB / 300 frames); these settings
 # measure ~113 KB/frame at 1080p, where the previous bench stream was an
@@ -164,6 +168,12 @@ def run_once(data: bytes, check_digest):
 
 
 def worker():
+    if os.environ.get("E264T_BENCH_PLATFORM"):
+        # smoke tests force the CPU backend (the axon plugin outranks
+        # JAX_PLATFORMS; override it the same programmatic way)
+        import jax
+        jax.config.update("jax_platforms",
+                          os.environ["E264T_BENCH_PLATFORM"])
     deadline = time.monotonic() + BUDGET_S
     checkpoint(stage="build_stream", host_entropy_ms=None, fps_runs=[],
                bitexact=None)
