@@ -38,9 +38,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..api import Frame, find_start_code
-from ..core import FrameStore
-from ..native import (NativeDecoder, EV_FORMAT, EV_FRAME_DONE, EV_OUTPUT,
-                      EV_UNPIN)
+from ..native import NativeDecoder, EV_FORMAT, EV_FRAME_DONE, EV_UNPIN
 from ..ops import jaxdec as J
 from ..ops import batched as B
 from .gop import split_gops
@@ -143,16 +141,6 @@ def _return_packed(ln: _Lane, step: int):
         else:
             still.append(info)
     ln.unreturned = still
-
-
-def _stack_arenas(lanes_planes, keep):
-    """Pack each lane's planes with a SHARED layout; returns (arenas
-    [K, L] uint8, layout)."""
-    packed = [J.pack_planes(p, keep=keep) for p in lanes_planes]
-    layouts = {layout for _, layout in packed}
-    assert len(layouts) == 1, "lanes disagree on plane layout"
-    arenas = jnp.stack([a for a, _ in packed])
-    return arenas, packed[0][1]
 
 
 def decode_gops_batched(stream: bytes, *, lanes: int = 4, mesh: Mesh = None,
