@@ -34,13 +34,17 @@ N_GOPS = int(os.environ.get("E264T_BENCH_GOPS", "8"))
 GOP_PB = int(os.environ.get("E264T_BENCH_GOP_PB", "4"))
 # coefficient density/level tuned to the BASELINE workload's bitrate:
 # the 10-s BBB clip is ~100 KB/frame (30 MB / 300 frames); these settings
-# measure ~113 KB/frame at 1080p, where the previous bench stream was an
+# measure ~107 KB/frame at 1080p, where the round-2 bench stream was an
 # unrepresentative ~350 KB/frame (3.5x the baseline's bits to entropy-
 # decode per frame)
 DENSITY, MAX_LEVEL = 0.05, 4
+# 5% intra mbs in P/B frames, like real inter-coded content (the
+# generator default of 15% is a torture setting; real encoders use
+# intra refresh sparsely outside scene cuts)
+INTRA_PROB = 0.05
 BASELINE_FPS = 77.0
 CACHE = (f"/tmp/e264t_bench_cabac_ipb_{MBW}x{MBH}_closed{N_GOPS}x"
-         f"{1+2*GOP_PB}_d{DENSITY}_v2.264")
+         f"{1+2*GOP_PB}_d{DENSITY}_i{INTRA_PROB}_v3.264")
 PARTIAL = "/tmp/e264t_bench_partial.json"
 LANES = int(os.environ.get("E264T_BENCH_LANES", "8"))
 BUDGET_S = float(os.environ.get("E264T_BENCH_BUDGET_S", "1500"))
@@ -81,7 +85,8 @@ def build_stream() -> bytes:
     data = gen_random_cabac_ipb_stream(MBW, MBH, n_gops=N_GOPS, seed=42,
                                        closed=True, gop_pb=GOP_PB,
                                        density=DENSITY,
-                                       max_level=MAX_LEVEL)
+                                       max_level=MAX_LEVEL,
+                                       intra_prob=INTRA_PROB)
     with open(CACHE, "wb") as f:
         f.write(data)
     return data

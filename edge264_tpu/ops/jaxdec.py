@@ -301,7 +301,7 @@ def intra_level_tables(flags, mbW, mbH):
     if M.mean() > 0.4:        # intra-dense: chains will exceed any bucket
         return None
     lvl = M.astype(np.int32)
-    for it in range(9):       # levels > 8 never fit a bucket anyway
+    for it in range(17):      # levels > 16 never fit a bucket anyway
         left = np.pad(lvl, ((0, 0), (1, 0)))[:, :-1]
         top = np.pad(lvl, ((1, 0), (0, 0)))[:-1, :]
         tl = np.pad(lvl, ((1, 0), (1, 0)))[:-1, :-1]
@@ -318,7 +318,7 @@ def intra_level_tables(flags, mbW, mbH):
         return mxs, mxs.copy(), np.zeros((1, 1), bool)
     per = [np.nonzero(lvl == lv) for lv in range(1, lmax + 1)]
     nmax = max(len(ys) for ys, xs in per)
-    Lb = next((b for b in (2, 4, 8) if lmax <= b), None)
+    Lb = next((b for b in (2, 4, 8, 16) if lmax <= b), None)
     Nb = next((b for b in (128, 512, 2048, 8160) if nmax <= b), None)
     if Lb is None or Nb is None:
         return None

@@ -123,6 +123,31 @@ class _Lane:
         return True
 
 
+def _stack_level_tables(lane_tabs, planes_list):
+    """Stack per-lane level-compressed intra tables into one [K, Lb, Nb]
+    batch, padding every lane to the largest bucket in the group (bucket
+    menus in jaxdec.intra_level_tables keep the jit-variant count
+    bounded).  Returns None when any LIVE lane is intra-dense (no table):
+    the whole step then uses the sheared scan, keeping one program per
+    step."""
+    live = [t for t, pl in zip(lane_tabs, planes_list) if pl is not None]
+    if any(t is None for t in live):
+        return None
+    Lb = max(t[0].shape[0] for t in live)
+    Nb = max(t[0].shape[1] for t in live)
+    mxs = np.zeros((len(lane_tabs), Lb, Nb), np.int32)
+    mys = np.zeros((len(lane_tabs), Lb, Nb), np.int32)
+    valid = np.zeros((len(lane_tabs), Lb, Nb), bool)
+    for k, (t, pl) in enumerate(zip(lane_tabs, planes_list)):
+        if pl is None:
+            continue                    # dead lane: all-invalid tables
+        tl, tn = t[0].shape
+        mxs[k, :tl, :tn] = t[0]
+        mys[k, :tl, :tn] = t[1]
+        valid[k, :tl, :tn] = t[2]
+    return jnp.asarray(mxs), jnp.asarray(mys), jnp.asarray(valid)
+
+
 def _return_packed(ln: _Lane, step: int):
     """Release output borrows whose planes were packed at done index
     <= step (both views for MVC pairs): the native DPB may then reuse
@@ -249,6 +274,7 @@ def _decode_group(group, results, base, S, lanes, sharding):
 
         planes_list = []
         sm4s, sm8s, ring_slots, slot_maps = [], [], [], []
+        lane_tabs = []
         for i, ln in enumerate(lane_objs):
             if len(ln.done_slots) > step:
                 slot, _fid, is_ref = ln.done_slots[step]
@@ -260,6 +286,12 @@ def _decode_group(group, results, base, S, lanes, sharding):
                     keep |= {"pcm_y", "pcm_c"}
                 if (flags & 256).any():        # MBF_BLEND
                     keep |= {"mb_errors", "slice_id"}
+                # level-compressed intra tables: P/B frames with sparse
+                # intra mbs collapse the 254-wave sheared scan to the
+                # longest intra->intra chain (jaxdec.intra_level_tables);
+                # any intra-dense lane (IDRs) falls the STEP back to the
+                # sheared scan (lanes share one program per step)
+                lane_tabs.append(J.intra_level_tables(flags, mbW, mbH))
                 planes_list.append(pl)
                 sm4 = np.asarray(pl.sm4).astype(np.int32)
                 ws8 = np.full((6, 64), 16, np.int32)
@@ -285,6 +317,7 @@ def _decode_group(group, results, base, S, lanes, sharding):
                 slot_maps.append(smap)
             else:
                 planes_list.append(None)
+                lane_tabs.append(None)
                 sm4s.append(np.full((6, 16), 16, np.int32))
                 sm8s.append(np.full((6, 64), 16, np.int32))
                 ring_slots.append(S)
@@ -326,14 +359,22 @@ def _decode_group(group, results, base, S, lanes, sharding):
         intra_mode = ("pallas" if J.use_pallas() and
                       os.environ.get("E264T_FORCE_PALLAS_INTRA")
                       else "sheared")
+        itabs = None
+        if intra_mode == "sheared":
+            itabs = _stack_level_tables(lane_tabs, planes_list)
+            if itabs is not None:
+                intra_mode = "levels"
+                if sharding is not None:
+                    itabs = tuple(jax.device_put(t, sharding)
+                                  for t in itabs)
         if sharding is not None:
             y, cb, cr, newL, newC = B.decode_batch_step_sharded(
-                arenas, sm4b, sm8b, mc_in, None, layout=layout, mbW=mbW,
+                arenas, sm4b, sm8b, mc_in, itabs, layout=layout, mbW=mbW,
                 mbH=mbH, has_b=True, make_refs=True,
                 intra_mode=intra_mode, mesh=sharding.mesh)
         else:
             y, cb, cr, newL, newC = B.decode_batch_step(
-                arenas, sm4b, sm8b, mc_in, None, layout=layout, mbW=mbW,
+                arenas, sm4b, sm8b, mc_in, itabs, layout=layout, mbW=mbW,
                 mbH=mbH, has_b=True, make_refs=True,
                 intra_mode=intra_mode)
         refL, refC = B.update_refs(refL, refC, newL, newC,

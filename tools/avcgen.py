@@ -2139,7 +2139,8 @@ def gen_random_cabac_ipb_stream(mb_w, mb_h, n_gops=2, seed=0, *, qp=26,
                                 direct_spatial=True, wbi=0, with_b=True,
                                 cabac_init_idc=0, deblock=True,
                                 closed=False, gop_pb=2,
-                                slices_per_frame=1) -> bytes:
+                                slices_per_frame=1,
+                                intra_prob=None) -> bytes:
     """CABAC IDR + per GOP: P (ref) [+ non-ref B between] — the CABAC twin
     of gen_random_ipb_stream.  closed=True: n_gops CLOSED GOPs, each its
     own IDR (distinct idr_pic_id, frame_num/POC reset) + gop_pb P[+B]
@@ -2188,7 +2189,9 @@ def gen_random_cabac_ipb_stream(mb_w, mb_h, n_gops=2, seed=0, *, qp=26,
             specs = []
             probe = IntraEncoder(mb_w, mb_h, qp)
             for addr in range(bounds[s], bounds[s + 1]):
-                spec = random_p_mb(rng, nr, max_level, density, mv_range)
+                spec = random_p_mb(rng, nr, max_level, density, mv_range,
+                                   *(() if intra_prob is None
+                                     else (intra_prob,)))
                 if spec.kind in ('i4', 'i16'):
                     resolve_random_modes(rng, probe, addr % mb_w,
                                          addr // mb_w, spec)
@@ -2210,7 +2213,9 @@ def gen_random_cabac_ipb_stream(mb_w, mb_h, n_gops=2, seed=0, *, qp=26,
             specs = []
             probe = IntraEncoder(mb_w, mb_h, qp)
             for addr in range(bounds[s], bounds[s + 1]):
-                spec = random_b_mb(rng, nb, max_level, density, mv_range)
+                spec = random_b_mb(rng, nb, max_level, density, mv_range,
+                                   *(() if intra_prob is None
+                                     else (intra_prob,)))
                 if spec.kind in ('i4', 'i16'):
                     resolve_random_modes(rng, probe, addr % mb_w,
                                          addr // mb_w, spec)
