@@ -575,3 +575,19 @@ def test_33_idrs_long_term_max_refs_0(ref_oracle, lt):
                               idr_pic_id=i % 16, poc_lsb=0,
                               long_term=bool(lt), log2_max_poc_lsb=8)
     _assert_ref_exact(out, ref_oracle, 33, f"33-idr-lt{lt}")
+
+
+def test_extreme_residual_levels(ref_oracle):
+    """[max-levels] residual blocks carrying the largest levels the CAVLC
+    level_prefix<=15 encoding can express (+/-2063), bit-exact through
+    IQ/IDCT clipping (reference checklist: maximal coefficient values)."""
+    from tools.avcgen import MbSpec
+    rng = random.Random(30)
+    w, h = 2, 2
+    specs = random_frame_specs(rng, w, h, "i")
+    i4 = next(s for s in specs if s.kind == "i4")
+    i4.luma_coeffs[0] = [2063] + [0] * 15
+    i4.luma_coeffs[1] = [-2063] + [0] * 15
+    i4.cbp |= 1
+    out = make_sps(w, h) + make_pps() + make_idr_slice(w, h, specs)
+    _assert_ref_exact(out, ref_oracle, 1, "max-levels")
