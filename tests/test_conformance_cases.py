@@ -591,3 +591,71 @@ def test_extreme_residual_levels(ref_oracle):
     i4.cbp |= 1
     out = make_sps(w, h) + make_pps() + make_idr_slice(w, h, specs)
     _assert_ref_exact(out, ref_oracle, 1, "max-levels")
+
+
+def test_explicit_weighted_p(ref_oracle):
+    """[explicit-wp] P slices with an explicit pred_weight_table
+    (weighted_pred_flag=1): non-trivial luma+chroma weights/offsets per
+    refIdx, bit-exact through the 5-mode weighting kernel."""
+    rng = random.Random(31)
+    w, h = 4, 3
+    out = make_sps(w, h, max_ref_frames=2) + make_pps(nrefs=2, wp=True)
+    out += make_idr_slice(w, h, random_frame_specs(rng, w, h, "i"))
+    wts = {"luma_denom": 5, "chroma_denom": 4,
+           "l0": [(40, 3, (20, -2, 12, 5)), (24, -8, None)]}
+    for f in (1, 2):
+        nr = min(f, 2)
+        out += make_p_slice(w, h, random_frame_specs(rng, w, h, "p",
+                                                     nrefs=nr),
+                            frame_num=f, poc_lsb=2 * f, nrefs=nr,
+                            pps_nrefs=2,
+                            weights={**wts, "l0": wts["l0"][:nr]})
+    _assert_ref_exact(out, ref_oracle, 3, "explicit-wp")
+
+
+def test_explicit_weighted_b_cavlc(ref_oracle):
+    """[explicit-wb] B slices with explicit bipred weights (wbi=1),
+    CAVLC."""
+    from tools.avcgen import make_b_slice
+    rng = random.Random(32)
+    w, h = 4, 3
+    out = make_sps(w, h, max_ref_frames=3, log2_max_poc_lsb=6) \
+        + make_pps(nrefs=2, nrefs1=1, wbi=1)
+    out += make_idr_slice(w, h, random_frame_specs(rng, w, h, "i"),
+                          log2_max_poc_lsb=6)
+    out += make_p_slice(w, h, random_frame_specs(rng, w, h, "p", nrefs=1),
+                        frame_num=1, poc_lsb=8, nrefs=1, pps_nrefs=2,
+                        log2_max_poc_lsb=6)
+    wts = {"luma_denom": 6, "chroma_denom": 5,
+           "l0": [(70, -4, (30, 2, 36, -1)), None],
+           "l1": [(58, 6, None)]}
+    out += make_b_slice(w, h, random_frame_specs(rng, w, h, "b",
+                                                 b_nrefs=(2, 1)),
+                        frame_num=2, poc_lsb=4, nrefs=(2, 1),
+                        pps_nrefs=(2, 1), log2_max_poc_lsb=6,
+                        weights=wts)
+    _assert_ref_exact(out, ref_oracle, 3, "explicit-wb")
+
+
+def test_explicit_weighted_cabac(ref_oracle):
+    """[explicit-w-cabac] the CABAC twin: explicit P and B weights."""
+    from tools.avcgen import make_cabac_slice
+    rng = random.Random(33)
+    w, h = 4, 3
+    out = make_sps(w, h, max_ref_frames=3, log2_max_poc_lsb=6) \
+        + make_pps(cabac=True, nrefs=2, nrefs1=1, wp=True, wbi=1)
+    out += make_cabac_slice(w, h, random_frame_specs(rng, w, h, "i"), 2,
+                            idr=True)
+    pw = {"luma_denom": 5, "chroma_denom": 3, "l0": [(38, 2, (14, 0, 9, 3))]}
+    out += make_cabac_slice(w, h, random_frame_specs(rng, w, h, "p",
+                                                     nrefs=1), 0,
+                            frame_num=1, poc_lsb=8, nrefs=(1, 1),
+                            pps_nrefs=(2, 1), weights=pw)
+    bw = {"luma_denom": 6, "chroma_denom": 5,
+          "l0": [(70, -4, (30, 2, 36, -1)), (60, 1, None)],
+          "l1": [(58, 6, (25, 0, 25, 0))]}
+    out += make_cabac_slice(w, h, random_frame_specs(rng, w, h, "b",
+                                                     b_nrefs=(2, 1)), 1,
+                            frame_num=2, nal_ref_idc=0, poc_lsb=4,
+                            nrefs=(2, 1), pps_nrefs=(2, 1), weights=bw)
+    _assert_ref_exact(out, ref_oracle, 3, "explicit-w-cabac")

@@ -159,7 +159,8 @@ def make_sps(mb_w, mb_h, *, profile=66, level=40, log2_max_frame_num=4,
 
 def make_pps(*, pps_id=0, cabac=False, init_qp=26, chroma_qp_off=0,
              deblock_control=False, second_chroma_qp_off=None,
-             nrefs=1, nrefs1=1, wbi=0, transform_8x8=False) -> bytes:
+             nrefs=1, nrefs1=1, wp=False, wbi=0,
+             transform_8x8=False) -> bytes:
     w = BitWriter()
     w.ue(pps_id)
     w.ue(0)                 # sps id
@@ -167,7 +168,7 @@ def make_pps(*, pps_id=0, cabac=False, init_qp=26, chroma_qp_off=0,
     w.u1(0)                 # bottom_field_pic_order_in_frame_present
     w.ue(0)                 # num_slice_groups-1
     w.ue(max(nrefs, 1) - 1); w.ue(max(nrefs1, 1) - 1)  # num_ref_idx_default_active
-    w.u1(0)                 # weighted_pred
+    w.u1(1 if wp else 0)    # weighted_pred_flag (explicit P weights)
     w.u(wbi, 2)             # weighted_bipred_idc
     w.se(init_qp - 26)
     w.se(0)                 # pic_init_qs
@@ -468,6 +469,30 @@ class IntraEncoder:
                         n = encode_residual_cavlc(
                             w, spec.chroma_ac[c][cy * 2 + cx][1:], nC, 15)
                         self.nz_c[(c, my * 2 + cy, mx * 2 + cx)] = n
+
+
+def write_pwt(w, weights, nrefs_l0, nrefs_l1=0):
+    """pred_weight_table (§7.4.3.2).  weights: dict with luma_denom,
+    chroma_denom, and l0/l1 = per-refIdx entries, each None (defaults) or
+    (wY, oY, chroma) with chroma None or (wCb, oCb, wCr, oCr)."""
+    w.ue(weights.get("luma_denom", 0))
+    w.ue(weights.get("chroma_denom", 0))
+    for l, n in (("l0", nrefs_l0), ("l1", nrefs_l1)):
+        entries = weights.get(l) or []
+        for i in range(n):
+            e = entries[i] if i < len(entries) else None
+            if e is None:
+                w.u1(0)         # luma_weight_flag
+                w.u1(0)         # chroma_weight_flag
+                continue
+            wY, oY, chroma = e
+            w.u1(1); w.se(wY); w.se(oY)
+            if chroma is None:
+                w.u1(0)
+            else:
+                w.u1(1)
+                w.se(chroma[0]); w.se(chroma[1])
+                w.se(chroma[2]); w.se(chroma[3])
 
 
 def write_drpm(w, mmco):
@@ -944,9 +969,10 @@ def make_p_slice(mb_w, mb_h, specs, *, slice_qp=26, init_qp=26, frame_num=0,
                  poc_lsb=0, nal_ref_idc=3, first_mb=0, nrefs=1,
                  pps_nrefs=None, deblock_idc=None, log2_max_frame_num=4,
                  log2_max_poc_lsb=4, reorder=None, mmco=None,
-                 poc_type=0) -> bytes:
+                 poc_type=0, weights=None) -> bytes:
     """reorder: ref_pic_list_modification ops for L0 (see write_rplm);
-    mmco: memory-management control ops (see write_drpm)."""
+    mmco: memory-management control ops (see write_drpm); weights:
+    explicit pred_weight_table (requires a PPS with wp=True)."""
     w = BitWriter()
     w.ue(first_mb)
     w.ue(5)                    # slice_type P (all slices in pic are P)
@@ -960,6 +986,8 @@ def make_p_slice(mb_w, mb_h, specs, *, slice_qp=26, init_qp=26, frame_num=0,
     else:
         w.u1(0)                # num_ref_idx_active_override
     write_rplm(w, reorder)
+    if weights is not None:
+        write_pwt(w, weights, nrefs)
     if nal_ref_idc:
         if mmco:
             write_drpm(w, mmco)
@@ -1208,7 +1236,8 @@ def encode_b_mb(w, enc: IntraEncoder, mx, my, spec, nrefs, skip_state):
 def make_b_slice(mb_w, mb_h, specs, *, slice_qp=26, init_qp=26, frame_num=0,
                  poc_lsb=0, nal_ref_idc=0, first_mb=0, nrefs=(1, 1),
                  pps_nrefs=None, direct_spatial=True, deblock_idc=None,
-                 log2_max_frame_num=4, log2_max_poc_lsb=6) -> bytes:
+                 log2_max_frame_num=4, log2_max_poc_lsb=6,
+                 weights=None) -> bytes:
     w = BitWriter()
     w.ue(first_mb)
     w.ue(6)                    # slice_type B (all slices in pic are B)
@@ -1224,6 +1253,8 @@ def make_b_slice(mb_w, mb_h, specs, *, slice_qp=26, init_qp=26, frame_num=0,
         w.u1(0)
     w.u1(0)                    # ref_pic_list_modification_flag_l0
     w.u1(0)                    # ref_pic_list_modification_flag_l1
+    if weights is not None:    # explicit bipred (PPS wbi=1)
+        write_pwt(w, weights, nrefs[0], nrefs[1])
     if nal_ref_idc:
         w.u1(0)                # adaptive_ref_pic_marking_mode_flag
     w.se(slice_qp - init_qp)
@@ -2053,7 +2084,7 @@ def make_cabac_slice(mb_w, mb_h, specs, slice_type, *, slice_qp=26,
                      idr=False, nal_ref_idc=3, nrefs=(1, 1), pps_nrefs=None,
                      cabac_init_idc=0, direct_spatial=True, deblock_idc=None,
                      log2_max_frame_num=4, log2_max_poc_lsb=6,
-                     first_mb=0, pps_id=0) -> bytes:
+                     first_mb=0, pps_id=0, weights=None) -> bytes:
     """One CABAC slice (I/P/B) covering mbs [first_mb, first_mb+len(specs))."""
     w = BitWriter()
     w.ue(first_mb)
@@ -2076,6 +2107,9 @@ def make_cabac_slice(mb_w, mb_h, specs, slice_type, *, slice_qp=26,
         w.u1(0)                # ref_pic_list_modification_flag_l0
         if slice_type == 1:
             w.u1(0)            # ..._l1
+        if weights is not None:
+            write_pwt(w, weights, nrefs[0],
+                      nrefs[1] if slice_type == 1 else 0)
     if nal_ref_idc:
         if idr:
             w.u1(0)
