@@ -207,11 +207,15 @@ def _write_scaling_list(w, values, n):
 
 
 def _safe_qpd(cur, delta):
-    """Clamp a random mb_qp_delta so the running QP stays in [4, 49]:
-    keeps generated streams conformance-like (no 0/51 wraparound, where
-    high levels would overflow the 16-bit transform range the spec
-    guarantees for real streams)."""
-    t = min(max(cur + delta, 4), 49)
+    """Clamp a random mb_qp_delta so the running QP stays in [4, 35]:
+    keeps generated streams conformance-like.  §8.5.12.2 only guarantees
+    16-bit transform intermediates for residuals a REAL encoder produces;
+    our random coefficient levels at QP >= 36 (where 8x8 dequant switches
+    to the left-shift path) can overflow the reference's 16-bit SIMD
+    lanes, whose wraparound then diverges from any wider-precision
+    implementation (found by sweep: high-profile CABAC streams whose
+    accumulated qp_delta drifted to 43)."""
+    t = min(max(cur + delta, 4), 35)
     return t - cur
 
 
