@@ -659,3 +659,12 @@ def test_explicit_weighted_cabac(ref_oracle):
                             frame_num=2, nal_ref_idc=0, poc_lsb=4,
                             nrefs=(2, 1), pps_nrefs=(2, 1), weights=bw)
     _assert_ref_exact(out, ref_oracle, 3, "explicit-w-cabac")
+
+
+def test_randomized_sweep(ref_oracle):
+    """A slice of the randomized all-axes sweep (tools/conformance_sweep
+    .py): every random stream must decode bit-exactly vs the reference
+    binary.  Larger sweeps run via `python tools/conformance_sweep.py N`."""
+    from tools.conformance_sweep import run
+    fails = run(n=8, first_seed=1000, quiet=True)
+    assert not fails, fails
