@@ -1608,7 +1608,22 @@ def planes_to_jax(planes):
     return p
 
 
-def pack_planes(planes, keep=frozenset()):
+COEF_PLANES = frozenset({"coef_y", "coef_y8", "coef_y_dc", "coef_c_dc",
+                         "coef_cb", "coef_cr"})
+
+
+def coef_fits_int8(planes) -> bool:
+    """True when every residual level is in [-128, 127] (typical for all
+    but very-high-bitrate content), so the coefficient planes can ship as
+    int8 — they are ~3/4 of the packed arena's bytes."""
+    for k in COEF_PLANES:
+        a = np.asarray(getattr(planes, k))
+        if int(a.max()) > 127 or int(a.min()) < -128:
+            return False
+    return True
+
+
+def pack_planes(planes, keep=frozenset(), coef8=False):
     """Pack all syntax planes into ONE host buffer -> (arena uint8 jnp
     array, static layout).  A single large H2D transfer replaces ~20
     per-plane transfers whose fixed dispatch cost dominated; planes a
@@ -1616,7 +1631,11 @@ def pack_planes(planes, keep=frozenset()):
     -> pcm planes) are dropped from the transfer and recreated as device
     zeros (or their compute statically skipped).  `keep` pins planes into
     the layout regardless (callers use it to keep layouts — and thus jit
-    program counts — stable across a stream)."""
+    program counts — stable across a stream).  coef8=True ships the
+    residual-level planes as int8 (caller must have checked
+    coef_fits_int8): the levels are ~3/4 of the arena, so this cuts the
+    H2D volume by ~37%; _unpack_planes widens by the layout dtype, so
+    device programs are unchanged apart from the layout signature."""
     flags = np.asarray(planes.mb_flags)
     skip = set()
     if not (flags & MBF_T8x8).any():
@@ -1636,6 +1655,8 @@ def pack_planes(planes, keep=frozenset()):
         a = np.asarray(getattr(planes, k))
         if k == "coef_c_dc":
             a = a.reshape(a.shape[0], a.shape[1], 2, 4)
+        if coef8 and k in COEF_PLANES:
+            a = a.astype(np.int8)
         if k in skip:
             layout.append((k, str(a.dtype), a.shape, -1))
             continue

@@ -222,6 +222,12 @@ def _decode_group(group, results, base, S, lanes, sharding):
 
     refL = refC = None
     keep = set()
+    # residual levels ship as int8 while every frame fits (~37% less
+    # H2D); the first over-range lane drops the group to int16 for good
+    # (one layout change, bounded program count).  Default on only for
+    # the real TPU: on CPU it just doubles the test suite's compile load
+    coef8 = os.environ.get(
+        "E264T_COEF8", "1" if J.use_pallas() else "0") != "0"
     step = 0
     step_out = []     # per-step batched (y, cb, cr) device arrays
     # PIPELINE: step N+1's entropy threads are started before step N's
@@ -292,6 +298,8 @@ def _decode_group(group, results, base, S, lanes, sharding):
                 # any intra-dense lane (IDRs) falls the STEP back to the
                 # sheared scan (lanes share one program per step)
                 lane_tabs.append(J.intra_level_tables(flags, mbW, mbH))
+                if coef8 and not J.coef_fits_int8(pl):
+                    coef8 = False
                 planes_list.append(pl)
                 sm4 = np.asarray(pl.sm4).astype(np.int32)
                 ws8 = np.full((6, 64), 16, np.int32)
@@ -337,7 +345,7 @@ def _decode_group(group, results, base, S, lanes, sharding):
         layout = None
         for pl in planes_list:
             a, layout = J.pack_planes(pl if pl is not None else ref_pl,
-                                      keep=keep)
+                                      keep=keep, coef8=coef8)
             packed.append(a if pl is not None else jnp.zeros_like(a))
         arenas = jnp.stack(packed)
         sm4b = jnp.asarray(np.stack(sm4s))

@@ -158,3 +158,36 @@ def test_multihost_single_process_decode():
     _check(_serial(data),
            list(decode_stream_multihost(data, lanes=4, use_mesh=False)),
            "multihost1")
+
+
+def test_lockstep_coef16_fallback(monkeypatch):
+    """A stream with residual levels beyond int8 drops the group to
+    16-bit coefficient planes (the int8 fast path must never corrupt
+    out-of-range levels)."""
+    monkeypatch.setenv("E264T_COEF8", "1")   # TPU default, forced on CPU
+    import random
+    from tools.avcgen import (MbSpec, make_sps, make_pps, make_idr_slice,
+                              random_frame_specs)
+    rng = random.Random(41)
+    w, h = 4, 3
+    out = b""
+    for g in range(2):
+        specs = random_frame_specs(rng, w, h, "i")
+        i4 = next(s for s in specs if s.kind == "i4")
+        i4.luma_coeffs[0] = [900, -900] + [0] * 14    # far beyond int8
+        i4.cbp |= 1
+        out += make_sps(w, h) + make_pps()
+        out += make_idr_slice(w, h, specs, idr_pic_id=g)
+    serial = [np.asarray(f.y).tobytes()
+              for f in decode_annexb(out, backend="numpy")]
+    got = list(decode_gops_batched(out, lanes=2))
+    assert len(got) == len(serial) == 2
+    for a, g_ in zip(serial, got):
+        assert a == np.asarray(g_.y).tobytes()
+
+
+def test_lockstep_coef8_bit_exact(monkeypatch):
+    """int8 coefficient shipping is bit-exact on in-range content."""
+    monkeypatch.setenv("E264T_COEF8", "1")
+    data = _multi_gop_ipb(n_gops=3, seed=7)
+    _check(_serial(data), decode_gops_batched(data, lanes=3), "coef8")
