@@ -123,6 +123,15 @@ class _Lane:
         return True
 
 
+@jax.jit
+def _flatten_out(y, cb, cr):
+    """[K,H,W] u8 x3 -> one [K, H*W + 2*(H/2*W/2)] u8 buffer so the
+    step's host copy is a single transfer."""
+    K = y.shape[0]
+    return jnp.concatenate([y.reshape(K, -1), cb.reshape(K, -1),
+                            cr.reshape(K, -1)], axis=1)
+
+
 def _stack_level_tables(lane_tabs, planes_list):
     """Stack per-lane level-compressed intra tables into one [K, Lb, Nb]
     batch, padding every lane to the largest bucket in the group (bucket
@@ -394,15 +403,16 @@ def _decode_group(group, results, base, S, lanes, sharding):
 
         # --- hand decoded frames back to their lanes (keyed by frame_id:
         # DPB slots are reused within a lane).  The step's WHOLE batch is
-        # kept and copied to host asynchronously as ONE transfer per
-        # plane -- per-frame D2H round trips over the axon tunnel
-        # (~100-200 ms each) would dominate the decode otherwise --------
-        for a in (y, cb, cr):
-            try:
-                a.copy_to_host_async()
-            except Exception:
-                pass                       # backend without async copies
-        step_out.append((y, cb, cr))
+        # flattened into a SINGLE buffer and copied to host
+        # asynchronously: one D2H round trip per STEP (the axon tunnel
+        # costs ~100-200 ms per transfer, so per-plane or per-frame
+        # copies would dominate the decode) ------------------------------
+        flat = _flatten_out(y, cb, cr)
+        try:
+            flat.copy_to_host_async()
+        except Exception:
+            pass                           # backend without async copies
+        step_out.append((flat, y.shape, cb.shape))
         for i, ln in enumerate(lane_objs):
             if planes_list[i] is not None:
                 ln.store[ln.done_slots[step][1]] = (step, i)
@@ -412,13 +422,17 @@ def _decode_group(group, results, base, S, lanes, sharding):
     host_steps = {}        # step -> (y, cb, cr) numpy batches
 
     def step_np(s):
-        """One D2H per plane per STEP (the whole [K, ...] batch, already
-        in flight from copy_to_host_async), not one per frame."""
+        """ONE D2H per STEP (the whole flattened [K, ...] batch, already
+        in flight from copy_to_host_async), not one per plane/frame."""
         if s not in host_steps:
             t0 = _clk() if prof else 0.0
-            ys, cbs, crs = step_out[s]
-            host_steps[s] = (np.asarray(ys), np.asarray(cbs),
-                             np.asarray(crs))
+            flat, yshape, cshape = step_out[s]
+            a = np.asarray(flat)
+            ny = yshape[1] * yshape[2]
+            nc = cshape[1] * cshape[2]
+            host_steps[s] = (a[:, :ny].reshape(yshape),
+                             a[:, ny:ny + nc].reshape(cshape),
+                             a[:, ny + nc:].reshape(cshape))
             if prof:
                 prof["d2h"] += _clk() - t0
         return host_steps[s]
