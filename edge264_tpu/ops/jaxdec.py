@@ -1614,8 +1614,11 @@ COEF_PLANES = frozenset({"coef_y", "coef_y8", "coef_y_dc", "coef_c_dc",
 
 def coef_fits_int8(planes) -> bool:
     """True when every residual level is in [-128, 127] (typical for all
-    but very-high-bitrate content), so the coefficient planes can ship as
-    int8 — they are ~3/4 of the packed arena's bytes."""
+    but very-high-bitrate content), so the coefficient planes can ship
+    as int8 — they are ~3/4 of the packed arena's bytes.  Motion vectors
+    stay int16: MVP accumulation routinely exceeds +/-127 quarter-pel
+    even for modest per-mb mvds, so sharing their fate would disable the
+    compaction on ordinary inter content."""
     for k in COEF_PLANES:
         a = np.asarray(getattr(planes, k))
         if int(a.max()) > 127 or int(a.min()) < -128:
