@@ -369,6 +369,14 @@ def deblock_pallas(y, cb, cr, p, bs_v, bs_h, mbW, mbH, interpret=False):
     return ys[0], cbs[0], crs[0]
 
 
+# Scoped-VMEM ceiling for one kernel invocation, in mb-tile rows
+# (K*mbH).  Every kernel temporary is a [*, K*mbH*16]-lane vector, so
+# scoped VMEM is linear in the row count: measured 120.4 MB at 544 rows
+# (8 lanes x 1080p) against the 100 MB limit -> ~0.222 MB/row.  320 rows
+# keeps one call at ~71 MB with margin for Mosaic's transpose scratch.
+_ROWS_MAX = 320
+
+
 def deblock_pallas_batch(ys, cbs, crs, p, bs_v, bs_h, mbW, mbH,
                          interpret=False):
     """Deblock K independent same-geometry frames in LOCKSTEP: one
@@ -376,8 +384,22 @@ def deblock_pallas_batch(ys, cbs, crs, p, bs_v, bs_h, mbW, mbH,
     back to back on the tile axis, amortizing the per-wave fixed cost
     (the TPU analog of the reference's frame-level task parallelism,
     edge264_headers.c:1275-1277).  ys [K,16mbH,16mbW] int32; p values
-    stacked [K,...]."""
+    stacked [K,...].
+
+    Large batches are split so each pallas_call stays under the TPU's
+    scoped-VMEM limit (see _ROWS_MAX); chunks still amortize waves
+    within themselves and XLA runs them back to back."""
     K = ys.shape[0]
+    kc = max(1, _ROWS_MAX // mbH)
+    if K > kc:
+        outs = [deblock_pallas_batch(
+                    ys[i:i + kc], cbs[i:i + kc], crs[i:i + kc],
+                    {kk: v[i:i + kc] for kk, v in p.items()},
+                    bs_v[i:i + kc], bs_h[i:i + kc], mbW, mbH,
+                    interpret=interpret)
+                for i in range(0, K, kc)]
+        return tuple(jnp.concatenate([o[j] for o in outs], axis=0)
+                     for j in range(3))
     T = mbW + 2 * mbH - 2 + 2
     L = K * mbH * 16
     Lc = K * mbH * 8
