@@ -37,8 +37,8 @@ def _decode_batch_step_impl(arenas, sm4, sm8, mc_in, itabs, *, layout,
 
     arenas   [K, L] uint8 packed syntax planes (shared `layout`)
     sm4/sm8  [K, 6, 16] / [K, 6, 64] per-lane scaling matrices
-    mc_in    None (intra-only) or (refL [K,S1,16,ph,pw] u8,
-             refC [K,S1,2,phc,pwc] u8, slot_maps [K,32] i32)
+    mc_in    None (intra-only) or (refL [K,S1,4,ph,pw_b] u8,
+             refC [K,S1,phc,2*pwc_pad] u8, slot_maps [K,32] i32)
     itabs    None or level-compressed intra tables stacked per lane
              (mxs [K,Lb,Nb], mys, valid)
     intra_mode  "levels" (vmapped gather scan over itabs),
@@ -175,11 +175,8 @@ def grow_ref_rings(refL, refC, S_old, S_new, sharding=None):
 
 def alloc_ref_rings(K, S, mbW, mbH):
     """Device ring buffers for K lanes x (S + 1 write-off) slots of MC
-    phase planes (uint8)."""
-    ph = 16 * mbH + 2 * J.PADL
-    pw = 16 * mbW + 2 * J.PADL
-    phc = 8 * mbH + 2 * J.PADC
-    pwc = 8 * mbW + 2 * J.PADC
-    refL = jnp.zeros((K, S + 1, 16, ph, pw), jnp.uint8)
-    refC = jnp.zeros((K, S + 1, 2, phc, pwc), jnp.uint8)
+    half-pel planes (uint8; see jaxdec.make_ref_planes for the layout)."""
+    ph, pw_b, phc, pwc_pad = J.mc_band_dims(mbW, mbH)
+    refL = jnp.zeros((K, S + 1, 4, ph, pw_b), jnp.uint8)
+    refC = jnp.zeros((K, S + 1, phc, 2 * pwc_pad), jnp.uint8)
     return refL, refC

@@ -1771,25 +1771,22 @@ class JaxBackend:
         self.device = device
         self.sm4 = jnp.asarray(np.full((6, 16), 16, np.int32))
         self.sm8 = jnp.asarray(np.full((6, 64), 16, np.int32))
-        self.ringL = None         # [S, 16, ph, pw] uint8
-        self.ringC = None         # [S, 2, phc, pwc] uint8
+        self.ringL = None         # [S, 4, ph, pw_b] uint8 (G,B,H,J)
+        self.ringC = None         # [S, phc, 2*pwc_pad] uint8 interleaved
         self.ring_map = {}        # DPB slot -> ring index
         self.ring_free = []
         self._keep = set()        # sticky plane keep-set (layout stability)
         self._geom = None
 
     def _ring_reserve(self, slot, mbW, mbH):
-        ph = 16 * mbH + 2 * PADL
-        pw = 16 * mbW + 2 * PADL
-        phc = 8 * mbH + 2 * PADC
-        pwc = 8 * mbW + 2 * PADC
+        ph, pw_b, phc, pwc_pad = mc_band_dims(mbW, mbH)
         geom = (mbW, mbH)
         if self._geom != geom:
             self._geom = geom
             self.ring_map.clear()
             S = self.RING_START
-            self.ringL = jnp.zeros((S, 16, ph, pw), jnp.uint8)
-            self.ringC = jnp.zeros((S, 2, phc, pwc), jnp.uint8)
+            self.ringL = jnp.zeros((S, 4, ph, pw_b), jnp.uint8)
+            self.ringC = jnp.zeros((S, phc, 2 * pwc_pad), jnp.uint8)
             self.ring_free = list(range(S))
         if not self.ring_free:
             S = self.ringL.shape[0]
@@ -1870,12 +1867,34 @@ class JaxBackend:
 # an edge-replicated padded copy.  Every one of the 16 quarter-pel
 # positions is then the rounded average of TWO samples drawn from the 4
 # planes {G,B,H,J} at {0,+1} offsets (Table 8-12 rewritten as a gather
-# table), so per-frame MC is two gathers + one average per pixel — no
+# table), so per-frame MC is two loads + one average per 4x4 cell — no
 # per-block filtering, no divergent control flow.  Edge clamping of the
 # *base* coordinate inside the padded region reproduces the reference's
 # clamped-load semantics (edge264_inter.c:362-415) exactly.
+#
+# Ring layout (shared by the Pallas MC kernel and the XLA gather
+# fallback): luma [4, ph, pw_b] uint8 with planes {0:G, 1:B, 2:H, 3:J};
+# chroma INTERLEAVED [phc, pwc_b2] uint8 with Cb at even columns and Cr
+# at odd columns (one aligned vector load then serves both components).
+# Widths are rounded up to multiples of 128 (and at least 256) with
+# edge-replicated columns, so position clamps against the padded width
+# remain bit-exact and the Pallas kernel's aligned (16,256) window loads
+# stay in bounds.
 
 PADL, PADC = 20, 12     # replicate padding (>= max window + block reach)
+
+
+def mc_band_dims(mbW, mbH):
+    """(ph, pw_b, phc, pwc_pad) of the MC ring planes for a geometry.
+    pwc_pad is the per-component chroma width (interleaved width is
+    2*pwc_pad)."""
+    ph = 16 * mbH + 2 * PADL
+    pw = 16 * mbW + 2 * PADL
+    phc = 8 * mbH + 2 * PADC
+    pwc = 8 * mbW + 2 * PADC
+    pw_b = max(-(-pw // 128) * 128, 256)
+    pwc_pad = max(-(-(2 * pwc) // 128) * 128, 256) // 2
+    return ph, pw_b, phc, pwc_pad
 
 # frac (fx,fy) -> (plane1, ox1, oy1, plane2, ox2, oy2); planes 0=G 1=B 2=H 3=J
 _MC_TAB = np.array([
@@ -1908,9 +1927,16 @@ def _six_j(a, axis):
 
 @jax.jit
 def make_ref_planes(y, cb, cr):
-    """uint8 frame -> (luma16 [16, ph, pw] uint8, chroma [2, phc, pwc]
-    uint8): all 16 quarter-pel phase planes precomputed, so per-frame MC
-    is a SINGLE gather per pixel (gathers are the expensive op on TPU)."""
+    """uint8 frame -> (luma4 [4, ph, pw_b] uint8 half-pel planes
+    {G,B,H,J}, chroma interleaved [phc, 2*pwc_pad] uint8).  Any quarter-
+    pel sample is the rounded average of two samples from the luma
+    planes (per _MC_TAB), so per-frame MC is two loads + avg per cell —
+    4x less HBM than materializing all 16 quarter phases, and the whole
+    band fits VMEM for the Pallas MC kernel."""
+    H, W = y.shape
+    mbW, mbH = W // 16, H // 16
+    ph, pw_b, phc, pwc_pad = mc_band_dims(mbW, mbH)
+    pw = W + 2 * PADL
     g = jnp.pad(y.astype(jnp.int32), PADL, mode="edge")
     gx = jnp.pad(g, ((0, 0), (2, 3)), mode="edge")      # taps for horiz
     braw = _six_j(gx, 1)                                # [ph, pw]
@@ -1920,51 +1946,53 @@ def make_ref_planes(y, cb, cr):
     h = jnp.clip((hraw + 16) >> 5, 0, 255)
     bx = jnp.pad(braw, ((2, 3), (0, 0)), mode="edge")
     j = jnp.clip((_six_j(bx, 0) + 512) >> 10, 0, 255)
-    ph, pw = g.shape
-    hp = [jnp.pad(pl, ((0, 1), (0, 1)), mode="edge") for pl in (g, b, h, j)]
+    luma4 = jnp.stack([g, b, h, j])
+    luma4 = jnp.pad(luma4, ((0, 0), (0, 0), (0, pw_b - pw)), mode="edge")
+    cpads = [jnp.pad(c, ((PADC, PADC), (PADC, PADC + pwc_pad - (W // 2)
+                                        - 2 * PADC)), mode="edge")
+             for c in (cb, cr)]
+    ci = jnp.stack(cpads, axis=-1).reshape(phc, 2 * pwc_pad)
+    return luma4.astype(jnp.uint8), ci
 
-    def shifted(pl_, oy, ox):
-        return hp[pl_][oy:oy + ph, ox:ox + pw]
 
-    phases = []
-    for fy in range(4):
-        for fx in range(4):
-            p1, ox1, oy1, p2, ox2, oy2 = (int(v) for v in _MC_TAB[fy, fx])
-            phases.append(
-                (shifted(p1, oy1, ox1) + shifted(p2, oy2, ox2) + 1) >> 1)
-    luma16 = jnp.stack(phases).astype(jnp.uint8)
-    cpad = jnp.stack([jnp.pad(cb, PADC, mode="edge"),
-                      jnp.pad(cr, PADC, mode="edge")])
-    return luma16, cpad
+_MC_TAB_FLAT = _MC_TAB.reshape(16, 6)
 
 
 def _mc_luma_list(stackL, sidx, mvx, mvy, gx4, gy4):
-    """Luma MC for one list over all 4x4 cells.  stackL [S,16,ph,pw] uint8
-    quarter-pel phase planes; sidx/mvx/mvy [BH,BW] int32; gx4/gy4 [BH,BW]
+    """Luma MC for one list over all 4x4 cells.  stackL [S,4,ph,pw_b]
+    uint8 half-pel planes; sidx/mvx/mvy [BH,BW] int32; gx4/gy4 [BH,BW]
     cell top-left full-pel coords.  Returns [16H,16W]."""
-    ph, pw = stackL.shape[2], stackL.shape[3]
+    S, _, ph, pw_b = stackL.shape
+    flat = stackL.reshape(S * 4, ph, pw_b)
     px = gx4 + (mvx >> 2)
     py = gy4 + (mvy >> 2)
     phase = (mvy & 3) * 4 + (mvx & 3)
-    px = jnp.clip(px + PADL, 0, pw - 6)
+    px = jnp.clip(px + PADL, 0, pw_b - 6)
     py = jnp.clip(py + PADL, 0, ph - 6)
     BH, BW = px.shape
-    # one slice-gather start per 4x4 cell (measured ~1.6x faster on TPU
-    # than per-pixel advanced indexing)
-    starts = jnp.stack([sidx, phase, py, px], -1).reshape(-1, 4)
-    dn = lax.GatherDimensionNumbers(offset_dims=(1, 2, 3, 4),
-                                    collapsed_slice_dims=(),
-                                    start_index_map=(0, 1, 2, 3))
-    v = lax.gather(stackL, starts, dn, slice_sizes=(1, 1, 4, 4),
-                   mode=lax.GatherScatterMode.CLIP)
-    v = v.reshape(BH, BW, 4, 4).astype(jnp.int32)
+    tab = jnp.asarray(_MC_TAB_FLAT)
+    sel = tab[phase]                          # [BH,BW,6]
+    dn = lax.GatherDimensionNumbers(offset_dims=(1, 2),
+                                    collapsed_slice_dims=(0,),
+                                    start_index_map=(0, 1, 2))
+    acc = None
+    for pc, oxc, oyc in ((0, 1, 2), (3, 4, 5)):
+        starts = jnp.stack([sidx * 4 + sel[..., pc],
+                            py + sel[..., oyc],
+                            px + sel[..., oxc]], -1).reshape(-1, 3)
+        v = lax.gather(flat, starts, dn, slice_sizes=(1, 4, 4),
+                       mode=lax.GatherScatterMode.CLIP).astype(jnp.int32)
+        acc = v if acc is None else acc + v + 1
+    v = (acc >> 1).reshape(BH, BW, 4, 4)
     return v.transpose(0, 2, 1, 3).reshape(BH * 4, BW * 4)
 
 
 def _mc_chroma_list(stackC, sidx, mvx, mvy, gx2, gy2):
     """Chroma MC (bilinear eighth-pel) for one list over all 2x2 chroma
-    cells.  Returns ([8H,8W] cb, [8H,8W] cr)."""
-    phc, pwc = stackC.shape[2], stackC.shape[3]
+    cells.  stackC [S, phc, 2*pwc_pad] uint8 Cb/Cr-interleaved.
+    Returns ([8H,8W] cb, [8H,8W] cr)."""
+    phc, pwc2 = stackC.shape[1], stackC.shape[2]
+    pwc = pwc2 // 2
     px = gx2 + (mvx >> 3)
     py = gy2 + (mvy >> 3)
     dx = (mvx & 7)[..., None, None]
@@ -1972,14 +2000,15 @@ def _mc_chroma_list(stackC, sidx, mvx, mvy, gx2, gy2):
     px = jnp.clip(px + PADC, 0, pwc - 4)
     py = jnp.clip(py + PADC, 0, phc - 4)
     BH, BW = px.shape
-    # one 3x3x{cb,cr} slice-gather per 2x2 cell replaces 8 point gathers
-    starts = jnp.stack([sidx, py, px], -1).reshape(-1, 3)
-    dn = lax.GatherDimensionNumbers(offset_dims=(1, 2, 3),
+    # one 2x(3x3 both-component) interleaved slice-gather per 2x2 cell
+    starts = jnp.stack([sidx, py, 2 * px], -1).reshape(-1, 3)
+    dn = lax.GatherDimensionNumbers(offset_dims=(1, 2),
                                     collapsed_slice_dims=(0,),
-                                    start_index_map=(0, 2, 3))
-    w = lax.gather(stackC, starts, dn, slice_sizes=(1, 2, 3, 3),
+                                    start_index_map=(0, 1, 2))
+    w = lax.gather(stackC, starts, dn, slice_sizes=(1, 3, 6),
                    mode=lax.GatherScatterMode.CLIP)
-    w = w.reshape(BH, BW, 2, 3, 3).astype(jnp.int32)
+    w = w.reshape(BH, BW, 3, 3, 2).astype(jnp.int32)
+    w = w.transpose(0, 1, 4, 2, 3)                       # [BH,BW,2,3,3]
     dx = dx[..., None]
     dy = dy[..., None]
     A = w[..., 0:2, 0:2]
