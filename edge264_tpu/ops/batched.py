@@ -59,9 +59,14 @@ def _decode_batch_step_impl(arenas, sm4, sm8, mc_in, itabs, *, layout,
 
     if mc_in is not None:
         refL, refC, slot_maps = mc_in
-        pred = jax.vmap(
-            lambda pp, rl, rc, sm: J.mc_frame(pp, rl, rc, sm, has_b)
-        )(p, refL, refC, slot_maps)
+        from . import pallas_mc
+        if J.use_pallas() and pallas_mc.fits_pallas(refL):
+            pred = pallas_mc.mc_frame_batch(p, refL, refC, slot_maps,
+                                            has_b, mbW, mbH)
+        else:
+            pred = jax.vmap(
+                lambda pp, rl, rc, sm: J.mc_frame(pp, rl, rc, sm, has_b)
+            )(p, refL, refC, slot_maps)
         pred_y, pred_cb, pred_cr, mask_y, mask_c = pred
         y = jnp.where(mask_y, jnp.clip(pred_y + res_y, 0, 255), 0)
         cb = jnp.where(mask_c, jnp.clip(pred_cb + res_cb, 0, 255), 0)

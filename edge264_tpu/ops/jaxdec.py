@@ -1491,8 +1491,17 @@ def _dense_arena_impl(arena, sm4, sm8, mc_in=None, *, layout, mbW, mbH,
                                            has_t8)
     if mc_in is not None:
         stackL, stackC, slot_map = mc_in
-        pred_y, pred_cb, pred_cr, mask_y, mask_c = mc_frame(
-            p, stackL, stackC, slot_map, has_b)
+        from . import pallas_mc
+        if use_pallas() and pallas_mc.fits_pallas(stackL):
+            one = lambda a: a[None]                       # noqa: E731
+            pred = pallas_mc.mc_frame_batch(
+                {k: one(v) for k, v in p.items()}, one(stackL),
+                one(stackC), one(slot_map), has_b, mbW, mbH)
+            pred_y, pred_cb, pred_cr, mask_y, mask_c = (
+                v[0] for v in pred)
+        else:
+            pred_y, pred_cb, pred_cr, mask_y, mask_c = mc_frame(
+                p, stackL, stackC, slot_map, has_b)
         y = jnp.where(mask_y, jnp.clip(pred_y + res_y, 0, 255), 0)
         cb = jnp.where(mask_c, jnp.clip(pred_cb + res_cb, 0, 255), 0)
         cr = jnp.where(mask_c, jnp.clip(pred_cr + res_cr, 0, 255), 0)
@@ -2029,18 +2038,41 @@ def _expand_cell(a, n):
     return jnp.repeat(jnp.repeat(a, n, axis=0), n, axis=1)
 
 
+def _mc_meta(p, slot_map, l):
+    """(used, sidx, mvx, mvy) per 4x4 cell for list `l` (all [BH,BW])."""
+    refslot = p["refslot"]                    # [BH,BW,2]
+    mvs = p["mvs"]                            # [BH,BW,2,2]
+    used = refslot[..., l] >= 0
+    sidx = slot_map[jnp.clip(refslot[..., l], 0, 31)]
+    return used, sidx, mvs[..., l, 0], mvs[..., l, 1]
+
+
 def mc_frame(p, stackL, stackC, slot_map, has_b=True):
     """Motion-compensated prediction planes for all inter cells of a frame.
     slot_map [32] int32: DPB slot -> index into the ref stacks.  has_b
     False (static) skips the list-1 gathers entirely (P frames).
     Returns (pred_y, pred_cb, pred_cr, inter_mask_pix)."""
-    refslot = p["refslot"]                    # [BH,BW,2]
-    mvs = p["mvs"]                            # [BH,BW,2,2]
-    BH, BW = refslot.shape[0], refslot.shape[1]
+    BH, BW = p["refslot"].shape[0], p["refslot"].shape[1]
     gx4 = jax.lax.broadcasted_iota(I32, (BH, BW), 1) * 4
     gy4 = jax.lax.broadcasted_iota(I32, (BH, BW), 0) * 4
     gx2 = jax.lax.broadcasted_iota(I32, (BH, BW), 1) * 2
     gy2 = jax.lax.broadcasted_iota(I32, (BH, BW), 0) * 2
+
+    preds = []
+    for l in (0, 1) if has_b else (0,):
+        used, sidx, mvx, mvy = _mc_meta(p, slot_map, l)
+        py_ = _mc_luma_list(stackL, sidx, mvx, mvy, gx4, gy4)
+        pcb, pcr = _mc_chroma_list(stackC, sidx, mvx, mvy, gx2, gy2)
+        preds.append((used, py_, pcb, pcr))
+    return _mc_combine(p, preds, has_b)
+
+
+def _mc_combine(p, preds, has_b=True):
+    """Weighted-prediction combine (§8.4.2.3) of the per-list prediction
+    planes.  preds: [(used [BH,BW] bool, y [H,W] i32, cb, cr i32)]."""
+    if not has_b:
+        f = jnp.zeros_like(preds[0][0])
+        preds = [preds[0], (f, preds[0][1], preds[0][2], preds[0][3])]
 
     wp = p["wp"]                              # [H,W,24]
     mode = _mb_to_blk4(wp[..., 0])
@@ -2049,18 +2081,6 @@ def mc_frame(p, stackL, stackC, slot_map, has_b=True):
     # per-cell weights from the per-8x8 plane
     w8 = p["wp8"]                             # [2H,2W,2,3,2]
     w8c = jnp.repeat(jnp.repeat(w8, 2, 0), 2, 1)   # [BH,BW,2,3,2]
-
-    preds = []
-    for l in (0, 1) if has_b else (0,):
-        used = refslot[..., l] >= 0
-        sidx = slot_map[jnp.clip(refslot[..., l], 0, 31)]
-        mvx, mvy = mvs[..., l, 0], mvs[..., l, 1]
-        py_ = _mc_luma_list(stackL, sidx, mvx, mvy, gx4, gy4)
-        pcb, pcr = _mc_chroma_list(stackC, sidx, mvx, mvy, gx2, gy2)
-        preds.append((used, py_, pcb, pcr))
-    if not has_b:
-        f = jnp.zeros_like(preds[0][0])
-        preds.append((f, preds[0][1], preds[0][2], preds[0][3]))
 
     u0, y0_, cb0, cr0 = preds[0]
     u1, y1_, cb1, cr1 = preds[1]
