@@ -180,8 +180,10 @@ def worker():
         jax.config.update("jax_platforms",
                           os.environ["E264T_BENCH_PLATFORM"])
     deadline = time.monotonic() + BUDGET_S
-    checkpoint(stage="build_stream", host_entropy_ms=None, fps_runs=[],
-               bitexact=None)
+    # do NOT clobber a previous attempt's partials (the parent restarts
+    # the worker on tunnel failures; fps_runs from an earlier attempt
+    # still count for the fallback)
+    checkpoint(stage="build_stream")
     data = build_stream()
     digest, n_ref = golden_digest(data)
     sys.stderr.write(f"stream: {len(data)/1e6:.1f} MB, {n_ref} frames "
@@ -204,8 +206,10 @@ def worker():
                      f"reference binary: {ok}\n")
     checkpoint(stage="timed_runs", bitexact=bool(ok), warmup_s=round(dt, 1))
     if n != n_ref or not ok:
+        # deterministic failure: tell the parent NOT to retry
         emit(0.0, 0.0, error=f"output mismatch (frames {n}/{n_ref}, "
-                             f"exact={ok})", host_entropy_ms=round(host_ms, 2))
+                             f"exact={ok})", fatal=True,
+             host_entropy_ms=round(host_ms, 2))
         return
 
     runs = []
@@ -272,29 +276,57 @@ def parent():
 
 
 def _parent_locked():
+    """Run the worker, RESTARTING it on failure while budget remains: a
+    single axon-tunnel drop mid-compile (r03: remote_compile 'response
+    body closed') must not eat the round's one measurement.  Stream,
+    golden digest and compiled executables are all cached on disk, so a
+    restarted worker fast-forwards to where the last one died."""
     try:
         os.remove(PARTIAL)
     except OSError:
         pass
     t0 = time.monotonic()
-    child = subprocess.Popen(
-        [sys.executable, os.path.abspath(__file__), "--worker"],
-        stdout=subprocess.PIPE, stderr=sys.stderr, text=True,
-        start_new_session=True, cwd=REPO)
-    try:
-        out, _ = child.communicate(timeout=BUDGET_S)
-    except subprocess.TimeoutExpired:
-        # kill the exact process group we started (never by pattern)
-        os.killpg(child.pid, signal.SIGKILL)
-        out, _ = child.communicate()
-        _fallback(out, f"timeout after {time.monotonic()-t0:.0f}s")
-        return
-    line = _last_json_line(out)
-    if child.returncode == 0 and line:
-        print(line)
-        sys.stdout.flush()
-        return
-    _fallback(out, f"worker exited rc={child.returncode}")
+    attempt = 0
+    why = "no attempt ran"
+    while True:
+        attempt += 1
+        remain = BUDGET_S - (time.monotonic() - t0)
+        if attempt > 1 and remain < 180:
+            break
+        env = dict(os.environ, E264T_BENCH_BUDGET_S=str(max(60, remain)))
+        child = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker"],
+            stdout=subprocess.PIPE, stderr=sys.stderr, text=True,
+            start_new_session=True, cwd=REPO, env=env)
+        try:
+            out, _ = child.communicate(
+                timeout=max(60, BUDGET_S - (time.monotonic() - t0)))
+        except subprocess.TimeoutExpired:
+            # kill the exact process group we started (never by pattern)
+            os.killpg(child.pid, signal.SIGKILL)
+            out, _ = child.communicate()
+            _fallback(out, f"timeout after {time.monotonic()-t0:.0f}s",
+                      attempt)
+            return
+        line = _last_json_line(out)
+        if child.returncode == 0 and line:
+            rec = json.loads(line)
+            if attempt > 1:
+                rec["attempts"] = attempt
+                line = json.dumps(rec)
+            if (rec.get("value", 0) > 0 or not rec.get("error")
+                    or rec.get("fatal")):
+                print(line)
+                sys.stdout.flush()
+                return
+            why = rec.get("error", "worker emitted 0 fps")
+        else:
+            why = f"worker exited rc={child.returncode}"
+        sys.stderr.write(f"attempt {attempt} failed ({why}); "
+                         f"{BUDGET_S - (time.monotonic()-t0):.0f}s of "
+                         "budget left, restarting worker\n")
+        time.sleep(15)     # give a flapping tunnel a moment
+    _fallback(None, why, attempt)
 
 
 def _last_json_line(out: str):
@@ -309,7 +341,7 @@ def _last_json_line(out: str):
     return None
 
 
-def _fallback(out, why):
+def _fallback(out, why, attempts=1):
     part = {}
     if os.path.exists(PARTIAL):
         try:
@@ -319,11 +351,11 @@ def _fallback(out, why):
     runs = part.get("fps_runs") or []
     if runs:        # timed runs completed before the failure: report them
         best = max(runs)
-        emit(best, best / BASELINE_FPS, error=why, **{
+        emit(best, best / BASELINE_FPS, error=why, attempts=attempts, **{
             k: v for k, v in part.items() if k != "fps_runs"}, runs=runs)
         return
     emit(0.0, 0.0, error=f"{why} at stage {part.get('stage', '?')}",
-         host_entropy_ms=part.get("host_entropy_ms"))
+         attempts=attempts, host_entropy_ms=part.get("host_entropy_ms"))
 
 
 if __name__ == "__main__":
