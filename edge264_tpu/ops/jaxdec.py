@@ -1701,7 +1701,8 @@ _ARENA_POOL = _threading.local()
 
 def _arena_buf(n):
     import jax
-    if jax.default_backend() == "cpu":
+    if (jax.default_backend() == "cpu"
+            or os.environ.get("E264T_NO_ARENA_POOL")):
         return np.empty(n, np.uint8)
     pool = getattr(_ARENA_POOL, "pool", None)
     if pool is None:

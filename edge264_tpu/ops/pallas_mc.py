@@ -48,7 +48,8 @@ _F_USED0, _F_USED1, _F_UNIFORM = 1, 2, 4
 # VMEM gate: band scratch + out blocks must fit under the raised
 # scoped-VMEM limit (100 MB); beyond this the caller falls back to the
 # XLA gather path.
-_VMEM_BYTES = 100 * 1024 * 1024
+_VMEM_BYTES = int(__import__("os").environ.get(
+    "E264T_MC_VMEM_MB", "100")) * 1024 * 1024
 _BAND_BYTES_MAX = 88 * 1024 * 1024
 
 
@@ -195,12 +196,15 @@ def _aligned_load(scratch, pk, ph, pw_b):
 
 def _luma_kernel(flags_ref, pk_ref, band_hbm, out0_ref, out1_ref,
                  scratch, sem, *, ph, pw_b, GROUPS, has_b):
-    k = pl.program_id(0)
-    r = pl.program_id(1)
+    # ONE lane per pallas_call: a (K, rows) grid with a per-k band DMA
+    # into one shared scratch faults the chip for K >= 2 (the runtime
+    # overlaps grid steps across k); the caller loops lanes instead
+    # (tools/repro_mc_fault.py)
+    r = pl.program_id(0)
 
     @pl.when(r == 0)
     def _dma():
-        cp = pltpu.make_async_copy(band_hbm.at[k], scratch, sem)
+        cp = pltpu.make_async_copy(band_hbm, scratch, sem)
         cp.start()
         cp.wait()
 
@@ -212,7 +216,7 @@ def _luma_kernel(flags_ref, pk_ref, band_hbm, out0_ref, out1_ref,
         gbase = g * 16
 
         def blk(j, accs):
-            f = flags_ref[0, 0, 0, gbase + j]
+            f = flags_ref[0, 0, gbase + j]
             off = (gbase + j) * 16
 
             def do_list(l, acc):
@@ -229,14 +233,14 @@ def _luma_kernel(flags_ref, pk_ref, band_hbm, out0_ref, out1_ref,
                     return sel, v
 
                 def uni(acc):
-                    sel, v = sample(pk_ref[0, 0, 0, lo],
-                                    pk_ref[0, 0, 0, lo + 1], 8, 0, 0)
+                    sel, v = sample(pk_ref[0, 0, lo],
+                                    pk_ref[0, 0, lo + 1], 8, 0, 0)
                     return jnp.where(sel, v, acc)
 
                 def quad(acc):
                     for q in range(4):
-                        pka = pk_ref[0, 0, 0, lo + 2 * q]
-                        pkb = pk_ref[0, 0, 0, lo + 2 * q + 1]
+                        pka = pk_ref[0, 0, lo + 2 * q]
+                        pkb = pk_ref[0, 0, lo + 2 * q + 1]
 
                         def one(acc, pka=pka, pkb=pkb, q=q):
                             sel, v = sample(pka, pkb, 4,
@@ -258,9 +262,9 @@ def _luma_kernel(flags_ref, pk_ref, band_hbm, out0_ref, out1_ref,
             return acc0, acc1
 
         acc0, acc1 = jax.lax.fori_loop(0, 16, blk, (zero, zero))
-        out0_ref[0, :, pl.ds(g * 128, 128)] = acc0.astype(jnp.uint8)
+        out0_ref[:, pl.ds(g * 128, 128)] = acc0.astype(jnp.uint8)
         if has_b:
-            out1_ref[0, :, pl.ds(g * 128, 128)] = acc1.astype(jnp.uint8)
+            out1_ref[:, pl.ds(g * 128, 128)] = acc1.astype(jnp.uint8)
         return 0
 
     jax.lax.fori_loop(0, GROUPS, group, 0)
@@ -268,12 +272,11 @@ def _luma_kernel(flags_ref, pk_ref, band_hbm, out0_ref, out1_ref,
 
 def _chroma_kernel(flags_ref, pk_ref, band_hbm, out0_ref, out1_ref,
                    scratch, sem, *, phc, pwc2, BC, GROUPS, has_b):
-    k = pl.program_id(0)
-    r = pl.program_id(1)
+    r = pl.program_id(0)
 
     @pl.when(r == 0)
     def _dma():
-        cp = pltpu.make_async_copy(band_hbm.at[k], scratch, sem)
+        cp = pltpu.make_async_copy(band_hbm, scratch, sem)
         cp.start()
         cp.wait()
 
@@ -286,7 +289,7 @@ def _chroma_kernel(flags_ref, pk_ref, band_hbm, out0_ref, out1_ref,
             jr = j >> 4                      # block row within the pair
             jc = j & 15
             bidx = jr * BC + g * 16 + jc     # lane offset uses jc only
-            f = flags_ref[0, 0, 0, bidx]
+            f = flags_ref[0, 0, bidx]
             off = bidx * 16
 
             def do_list(l, acc):
@@ -310,14 +313,14 @@ def _chroma_kernel(flags_ref, pk_ref, band_hbm, out0_ref, out1_ref,
                     return sel, v
 
                 def uni(acc):
-                    sel, v = sample(pk_ref[0, 0, 0, lo],
-                                    pk_ref[0, 0, 0, lo + 1], 4, 0, 0)
+                    sel, v = sample(pk_ref[0, 0, lo],
+                                    pk_ref[0, 0, lo + 1], 4, 0, 0)
                     return jnp.where(sel, v, acc)
 
                 def quad(acc):
                     for q in range(4):
-                        pka = pk_ref[0, 0, 0, lo + 2 * q]
-                        pkb = pk_ref[0, 0, 0, lo + 2 * q + 1]
+                        pka = pk_ref[0, 0, lo + 2 * q]
+                        pkb = pk_ref[0, 0, lo + 2 * q + 1]
 
                         def one(acc, pka=pka, pkb=pkb, q=q):
                             sel, v = sample(pka, pkb, 2,
@@ -339,9 +342,9 @@ def _chroma_kernel(flags_ref, pk_ref, band_hbm, out0_ref, out1_ref,
             return acc0, acc1
 
         acc0, acc1 = jax.lax.fori_loop(0, 32, blk, (zero, zero))
-        out0_ref[0, :, pl.ds(g * 128, 128)] = acc0.astype(jnp.uint8)
+        out0_ref[:, pl.ds(g * 128, 128)] = acc0.astype(jnp.uint8)
         if has_b:
-            out1_ref[0, :, pl.ds(g * 128, 128)] = acc1.astype(jnp.uint8)
+            out1_ref[:, pl.ds(g * 128, 128)] = acc1.astype(jnp.uint8)
         return 0
 
     jax.lax.fori_loop(0, GROUPS, group, 0)
@@ -350,11 +353,13 @@ def _chroma_kernel(flags_ref, pk_ref, band_hbm, out0_ref, out1_ref,
 # ---------------------------------------------------------------------------
 # Host-callable entry
 
-def mc_frame_batch(p, refL, refC, slot_maps, has_b, mbW, mbH,
+def run_mc_kernels(flg, pkl, pkc, refL, refC, has_b, mbW, mbH,
                    interpret=False):
-    """Pallas MC over K lockstep lanes.  p: stacked plane dict [K,...];
-    refL [K,S1,4,ph,pw_b] u8; refC [K,S1,phc,2*pwc_pad] u8;
-    slot_maps [K,32] i32.  Returns what vmapped jaxdec.mc_frame returns."""
+    """The Mosaic luma+chroma kernel calls alone (params from
+    pack_mc_params).  Returns flat per-list (y [K,H,W] i32,
+    c [K,H/2,W/2,2] i32) pairs.  Kept OUT of larger jit programs: the
+    axon compiler (2026-08) miscompiles big combined programs around
+    these custom calls (tools/repro_mc_fault.py)."""
     K = refL.shape[0]
     S1 = refL.shape[1]
     ph, pw_b, phc, pwc_pad = J.mc_band_dims(mbW, mbH)
@@ -365,7 +370,6 @@ def mc_frame_batch(p, refL, refC, slot_maps, has_b, mbW, mbH,
     GROUPS = W_b // 128
     NRG, NRGc = H // 8, H // 16
 
-    flg, pkl, pkc = pack_mc_params(p, slot_maps, has_b, mbW, mbH)
     bandL = refL.reshape(K, S1 * 4, ph, pw_b)
 
     n_out = 2 if has_b else 1
@@ -374,26 +378,37 @@ def mc_frame_batch(p, refL, refC, slot_maps, has_b, mbW, mbH,
     if not has_b:
         def kern(fr, pr, br, o0, sc, se, _k=kern):     # noqa: E306
             return _k(fr, pr, br, o0, None, sc, se)
-    outs = pl.pallas_call(
+    luma_call = pl.pallas_call(
         kern,
-        grid=(K, NRG),
+        grid=(NRG,),
         in_specs=[
-            pl.BlockSpec((1, 1, 1, BC), lambda k, r: (k, r, 0, 0),
+            pl.BlockSpec((1, 1, BC), lambda r: (r, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, BC * 16), lambda k, r: (k, r, 0, 0),
+            pl.BlockSpec((1, 1, BC * 16), lambda r: (r, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[pl.BlockSpec((1, 8, W_b), lambda k, r: (k, r, 0))
-                   ] * n_out,
-        out_shape=[jax.ShapeDtypeStruct((K, H, W_b), jnp.uint8)] * n_out,
+        out_specs=[pl.BlockSpec((8, W_b), lambda r: (r, 0))] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((H, W_b), jnp.uint8)] * n_out,
         scratch_shapes=[pltpu.VMEM((S1 * 4, ph, pw_b), jnp.uint8),
                         pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
             vmem_limit_bytes=_VMEM_BYTES),
         interpret=interpret,
-    )(flg, pkl, bandL)
+    )
+    # one call per lane: a (K, rows) grid with a per-k whole-band DMA
+    # into shared VMEM scratch faults on-chip for K >= 2.  The barrier
+    # keeps the K-stack from fusing into the kernels' outputs (that
+    # fusion tries to hold the whole [K,H,W] batch in scoped VMEM).
+    import os as _os
+    if _os.environ.get("E264T_MC_SKIP_LUMA"):      # fault bisect knob
+        outs = [jnp.zeros((K, H, W_b), jnp.uint8)] * n_out
+    else:
+        per_lane = [jax.lax.optimization_barrier(
+            tuple(luma_call(flg[k], pkl[k], bandL[k]))) for k in range(K)]
+        outs = [jnp.stack([pk[i] for pk in per_lane])
+                for i in range(n_out)]
     y_lists = [o[:, :, :W].astype(I32) for o in outs]
 
     flg_c = flg.reshape(K, NRGc, 1, 2 * BC)
@@ -402,30 +417,46 @@ def mc_frame_batch(p, refL, refC, slot_maps, has_b, mbW, mbH,
     if not has_b:
         def ckern(fr, pr, br, o0, sc, se, _k=ckern):   # noqa: E306
             return _k(fr, pr, br, o0, None, sc, se)
-    outs_c = pl.pallas_call(
+    chroma_call = pl.pallas_call(
         ckern,
-        grid=(K, NRGc),
+        grid=(NRGc,),
         in_specs=[
-            pl.BlockSpec((1, 1, 1, 2 * BC), lambda k, r: (k, r, 0, 0),
+            pl.BlockSpec((1, 1, 2 * BC), lambda r: (r, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, 2 * BC * 16), lambda k, r: (k, r, 0, 0),
+            pl.BlockSpec((1, 1, 2 * BC * 16), lambda r: (r, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[pl.BlockSpec((1, 8, W_b), lambda k, r: (k, r, 0))
-                   ] * n_out,
-        out_shape=[jax.ShapeDtypeStruct((K, H // 2, W_b), jnp.uint8)
+        out_specs=[pl.BlockSpec((8, W_b), lambda r: (r, 0))] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((H // 2, W_b), jnp.uint8)
                    ] * n_out,
         scratch_shapes=[pltpu.VMEM((S1, phc, pwc2), jnp.uint8),
                         pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
             vmem_limit_bytes=_VMEM_BYTES),
         interpret=interpret,
-    )(flg_c, pkc, refC)
+    )
+    if _os.environ.get("E264T_MC_SKIP_CHROMA"):    # fault bisect knob
+        outs_c = [jnp.zeros((K, H // 2, W_b), jnp.uint8)] * n_out
+    else:
+        per_lane_c = [jax.lax.optimization_barrier(
+            tuple(chroma_call(flg_c[k], pkc[k], refC[k])))
+            for k in range(K)]
+        outs_c = [jnp.stack([pk[i] for pk in per_lane_c])
+                  for i in range(n_out)]
     c_lists = [o[:, :, :W].reshape(K, H // 2, W // 2, 2).astype(I32)
                for o in outs_c]
 
+    flat = []
+    for l in range(len(y_lists)):
+        flat += [y_lists[l], c_lists[l]]
+    return tuple(flat)
+
+
+def combine_mc(p, slot_maps, flat, has_b):
+    """Weighted-prediction combine of the kernels' per-list planes
+    (XLA; jaxdec._mc_combine semantics)."""
     def combine(pp, sm, *flat):
         preds = []
         for l in (0, 1) if has_b else (0,):
@@ -434,8 +465,16 @@ def mc_frame_batch(p, refL, refC, slot_maps, has_b, mbW, mbH,
             preds.append((used, yl, ci[..., 0], ci[..., 1]))
         return J._mc_combine(pp, preds, has_b)
 
-    flat = []
-    for l in range(len(y_lists)):
-        flat += [y_lists[l], c_lists[l]]
     return jax.vmap(combine, in_axes=({k: 0 for k in p}, 0)
                     + (0,) * len(flat))(p, slot_maps, *flat)
+
+
+def mc_frame_batch(p, refL, refC, slot_maps, has_b, mbW, mbH,
+                   interpret=False):
+    """Pallas MC over K lockstep lanes.  p: stacked plane dict [K,...];
+    refL [K,S1,4,ph,pw_b] u8; refC [K,S1,phc,2*pwc_pad] u8;
+    slot_maps [K,32] i32.  Returns what vmapped jaxdec.mc_frame returns."""
+    flg, pkl, pkc = pack_mc_params(p, slot_maps, has_b, mbW, mbH)
+    flat = run_mc_kernels(flg, pkl, pkc, refL, refC, has_b, mbW, mbH,
+                          interpret=interpret)
+    return combine_mc(p, slot_maps, flat, has_b)

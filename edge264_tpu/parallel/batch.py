@@ -184,7 +184,10 @@ def decode_gops_batched(stream: bytes, *, lanes: int = 4, mesh: Mesh = None,
     the mesh devices (lanes must be a multiple of the mesh size)."""
     gops = split_gops(stream)
     results = [[] for _ in gops]
-    S = 8                       # per-lane reference ring slots
+    # per-lane reference ring slots; grows by doubling on demand.  The
+    # Pallas MC kernel's VMEM band scratch scales with S, so a smaller
+    # start is cheaper when streams use few references.
+    S = int(os.environ.get("E264T_RING_S", "8"))
 
     sharding = None
     if mesh is not None:
@@ -368,7 +371,7 @@ def _decode_group(group, results, base, S, lanes, sharding):
             arenas = jax.device_put(arenas, sharding)
 
         mc_in = None
-        if step > 0:
+        if step > 0 and not os.environ.get("E264T_NO_MC"):
             mc_in = (refL, refC, jnp.asarray(np.stack(slot_maps)))
         if prof:
             prof["pack"] += _clk() - t0
@@ -377,7 +380,7 @@ def _decode_group(group, results, base, S, lanes, sharding):
                       os.environ.get("E264T_FORCE_PALLAS_INTRA")
                       else "sheared")
         itabs = None
-        if intra_mode == "sheared":
+        if intra_mode == "sheared" and not os.environ.get("E264T_NO_LEVELS"):
             itabs = _stack_level_tables(lane_tabs, planes_list)
             if itabs is not None:
                 intra_mode = "levels"
@@ -394,8 +397,19 @@ def _decode_group(group, results, base, S, lanes, sharding):
                 arenas, sm4b, sm8b, mc_in, itabs, layout=layout, mbW=mbW,
                 mbH=mbH, has_b=True, make_refs=True,
                 intra_mode=intra_mode)
-        refL, refC = B.update_refs(refL, refC, newL, newC,
-                                   jnp.asarray(np.array(ring_slots)))
+        if os.environ.get("E264T_SYNC_STEPS"):
+            t0 = _clk()
+            jax.block_until_ready(y)
+            sys.stderr.write(f"[sync-step] step {step} main program ready "
+                             f"in {_clk()-t0:.3f}s\n")
+        if not os.environ.get("E264T_NO_UPDATE_REFS"):
+            refL, refC = B.update_refs(refL, refC, newL, newC,
+                                       jnp.asarray(np.array(ring_slots)))
+        if os.environ.get("E264T_SYNC_STEPS"):
+            t0 = _clk()
+            jax.block_until_ready(refL)
+            sys.stderr.write(f"[sync-step] step {step} update_refs ready "
+                             f"in {_clk()-t0:.3f}s\n")
         if prof:
             prof["dispatch"] += _clk() - t0
             prof["steps"] += 1
@@ -408,10 +422,19 @@ def _decode_group(group, results, base, S, lanes, sharding):
         # costs ~100-200 ms per transfer, so per-plane or per-frame
         # copies would dominate the decode) ------------------------------
         flat = _flatten_out(y, cb, cr)
-        try:
-            flat.copy_to_host_async()
-        except Exception:
-            pass                           # backend without async copies
+        if os.environ.get("E264T_SYNC_STEPS"):
+            # debug/profiling: surface device faults AT the faulting step
+            # (async dispatch otherwise defers them to the output D2H)
+            t0 = _clk()
+            jax.block_until_ready(flat)
+            sys.stderr.write(f"[sync-step] step {step} "
+                             f"({len(live)} live lanes) ready "
+                             f"in {_clk()-t0:.3f}s\n")
+        if not os.environ.get("E264T_NO_ASYNC_D2H"):
+            try:
+                flat.copy_to_host_async()
+            except Exception:
+                pass                       # backend without async copies
         step_out.append((flat, y.shape, cb.shape))
         for i, ln in enumerate(lane_objs):
             if planes_list[i] is not None:
