@@ -182,54 +182,309 @@ def _kernel_choices():
             up and not os.environ.get("E264T_NO_PALLAS_DEBLOCK"))
 
 
-def decode_batch_step(arenas, sm4, sm8, mc_in, itabs, *, layout, mbW,
-                      mbH, has_b, make_refs, intra_mode):
-    """One lockstep step over K frames, as a pipeline of per-stage
-    programs (async dispatch chains them without host syncs).
+# ---------------------------------------------------------------------------
+# frame digests: a 64-bit (2x uint32) position-weighted checksum computed
+# ON DEVICE, so the bench's steady state ships 8 bytes/frame over the
+# host link instead of 3 MB of YUV.  host_frame_digest is the exact
+# numpy twin, applied to the reference decoder's YUV to derive golden
+# values — every timed frame stays bit-exactness-checked.
 
-    arenas   [K, L] uint8 packed syntax planes (shared `layout`)
-    sm4/sm8  [K, 6, 16] / [K, 6, 64] per-lane scaling matrices
-    mc_in    None (intra-only) or (refL [K,S1,4,ph,pw_b] u8,
-             refC [K,S1,phc,2*pwc_pad] u8, slot_maps [K,32] i32)
-    itabs    None or level-compressed intra tables stacked per lane
-             (mxs [K,Lb,Nb], mys, valid)
-    intra_mode  "levels" (vmapped gather scan over itabs),
-                "pallas" (lockstep Mosaic wavefront), or
-                "sheared" (vmapped scan over anti-diagonal waves)
-    make_refs   also return the new frames' MC phase planes
+DIG_MULS = (2654435761, 2246822519)          # Knuth / xxhash odd primes
 
-    Returns (y [K,16mbH,16mbW] u8, cb, cr, newL | None, newC | None).
-    """
+
+def _digest3(y8, cb8, cr8, crop):
+    """Digest of ONE frame over its CROPPED planes (uint8 2-D each)."""
+    ct, cr_, cb_, cl = crop
+    H, W = y8.shape
+    y = y8[ct:H - cb_, cl:W - cr_]
+    c0 = cb8[ct // 2:(H - cb_) // 2, cl // 2:(W - cr_) // 2]
+    c1 = cr8[ct // 2:(H - cb_) // 2, cl // 2:(W - cr_) // 2]
+    outs = []
+    for mul in DIG_MULS:
+        acc = jnp.uint32(0)
+        base = 1
+        for p in (y, c0, c1):
+            n = p.size
+            i = ((jax.lax.iota(jnp.uint32, n) + jnp.uint32(base))
+                 * jnp.uint32(mul))
+            acc = acc + jnp.sum((p.reshape(-1).astype(jnp.uint32) + 1) * i,
+                                dtype=jnp.uint32)
+            base += n
+        outs.append(acc)
+    return jnp.stack(outs)
+
+
+def host_frame_digest(y, cb, cr):
+    """numpy twin of _digest3 over an ALREADY-CROPPED frame; returns a
+    (d0, d1) int tuple."""
+    outs = []
+    for mul in DIG_MULS:
+        acc = 0
+        base = 1
+        for p in (y, cb, cr):
+            n = p.size
+            with np.errstate(over="ignore"):
+                i = ((np.arange(n, dtype=np.uint32) + np.uint32(base))
+                     * np.uint32(mul))
+                s = ((np.ascontiguousarray(p).reshape(-1)
+                      .astype(np.uint32) + 1) * i).sum(dtype=np.uint32)
+            acc = (acc + int(s)) & 0xFFFFFFFF
+            base += n
+        outs.append(acc)
+    return tuple(outs)
+
+
+def _emit_aux(y8, cb8, cr8, emit, crop):
+    if emit == "flat":
+        K = y8.shape[0]
+        return jnp.concatenate([y8.reshape(K, -1), cb8.reshape(K, -1),
+                                cr8.reshape(K, -1)], axis=1)
+    if emit == "digest":
+        return jax.vmap(lambda a, b, c: _digest3(a, b, c, crop))(
+            y8, cb8, cr8)
+    return None
+
+
+# ---------------------------------------------------------------------------
+# per-step metadata rides the arena transfer: scaling matrices, the
+# DPB-slot -> ring map and the destination ring slot are ~2 KB/lane of
+# int32 appended to the packed planes (pack_planes_batch `extra`), so a
+# lockstep step costs ONE device_put (each put pays the tunnel's ~25 ms
+# fixed cost, tools/profile_h2d.py).
+
+META_WORDS = 96 + 384 + 32 + 1          # sm4 | sm8 | slot_map | ring
+
+
+def pack_meta(sm4s, sm8s, slot_maps, ring_slots):
+    """Host side: [K, META_WORDS] int32 -> [K, 4*META_WORDS] uint8 rows
+    for pack_planes_batch(extra=...)."""
+    K = len(sm4s)
+    m = np.empty((K, META_WORDS), np.int32)
+    m[:, :96] = np.asarray(sm4s, np.int32).reshape(K, 96)
+    m[:, 96:480] = np.asarray(sm8s, np.int32).reshape(K, 384)
+    m[:, 480:512] = np.asarray(slot_maps, np.int32).reshape(K, 32)
+    m[:, 512] = np.asarray(ring_slots, np.int32)
+    return m.view(np.uint8)
+
+
+def _meta_parts(arenas, meta_off):
+    """Device side: slice + bitcast the meta block back out (fuses into
+    consumers like _unpack_planes)."""
+    K = arenas.shape[0]
+    raw = jax.lax.slice(arenas, (0, meta_off),
+                        (K, meta_off + 4 * META_WORDS))
+    m = jax.lax.bitcast_convert_type(
+        raw.reshape(K, META_WORDS, 4), jnp.int32)
+    return (m[:, :96].reshape(K, 6, 16), m[:, 96:480].reshape(K, 6, 64),
+            m[:, 480:512], m[:, 512])
+
+
+# ---------------------------------------------------------------------------
+# grouped step programs.  The step runs as AT MOST three dispatches —
+#   A. _front: residual IQ/IDCT + the Mosaic MC kernels' param pack
+#   B. _stage_mc_kernels: the Mosaic MC custom calls, ISOLATED (embedding
+#      them in a larger XLA program trips the 2026-08 axon miscompile,
+#      tools/repro_mc_fault.py)
+#   C. _main: MC combine + intra + deblock + output emit + in-place ring
+#      update (donated)
+# — because over the axon tunnel every program dispatch costs a host
+# round trip that dwarfs the device time of any single stage.
+# E264T_SPLIT_STAGES=1 switches back to one-program-per-stage for fault
+# bisection on hardware.
+
+def _front_impl(arenas, *, layout, meta_off, has_t8, mcmode, has_b, mbW,
+                mbH):
+    norm4, norm8 = _stage_norms()
+    sm4, sm8, slot_maps, _ = _meta_parts(arenas, meta_off)
+    p = _unpack(arenas, layout)
+    res = jax.vmap(
+        lambda pp, s4, s8: J.residual_frame(pp, s4, s8, norm4, norm8,
+                                            has_t8))(p, sm4, sm8)
+    if mcmode == "pallas":
+        from . import pallas_mc
+        return res, pallas_mc.pack_mc_params(p, slot_maps, has_b, mbW,
+                                             mbH)
+    return res, None
+
+
+_front = functools.partial(jax.jit, static_argnames=(
+    "layout", "meta_off", "has_t8", "mcmode", "has_b", "mbW",
+    "mbH"))(_front_impl)
+
+
+def _main_impl(arenas, res, mcflat, refL, refC, itabs, *, layout,
+               meta_off, mbW, mbH, has_b, intra_mode, has_t8, has_pcm,
+               emit, crop, mcmode, update, pallas_db):
+    res_y, res_cb, res_cr = res
+    _, _, slot_maps, ring_slots = _meta_parts(arenas, meta_off)
+    p = _unpack(arenas, layout)
+    if mcmode == "none":
+        K = arenas.shape[0]
+        y = jnp.zeros((K, 16 * mbH, 16 * mbW), jnp.int32)
+        cb = jnp.zeros((K, 8 * mbH, 8 * mbW), jnp.int32)
+        cr = jnp.zeros((K, 8 * mbH, 8 * mbW), jnp.int32)
+    else:
+        if mcmode == "xla":
+            pred = jax.vmap(
+                lambda pp, rl, rc, sm: J.mc_frame(pp, rl, rc, sm, has_b)
+            )(p, refL, refC, slot_maps)
+        else:                              # Mosaic kernels' flat output
+            from . import pallas_mc
+            pred = pallas_mc.combine_mc(p, slot_maps, mcflat, has_b)
+        pred_y, pred_cb, pred_cr, mask_y, mask_c = pred
+        y = jnp.where(mask_y, jnp.clip(pred_y + res_y, 0, 255), 0)
+        cb = jnp.where(mask_c, jnp.clip(pred_cb + res_cb, 0, 255), 0)
+        cr = jnp.where(mask_c, jnp.clip(pred_cr + res_cr, 0, 255), 0)
+    if intra_mode == "levels":
+        y, cb, cr = jax.vmap(
+            lambda yy, cc, rr, ry, rcb, rcr, pp, tt:
+            J.intra_scan(yy, cc, rr, ry, rcb, rcr, pp,
+                         (tt[0], tt[1], tt[2].astype(bool)))
+        )(y, cb, cr, res_y, res_cb, res_cr, p, itabs)
+    elif intra_mode == "pallas":
+        from .pallas_intra import intra_pallas_batch
+        y, cb, cr = intra_pallas_batch(y, cb, cr, res_y, res_cb, res_cr,
+                                       p, mbW, mbH)
+    else:
+        y, cb, cr = jax.vmap(
+            lambda yy, cc, rr, ry, rcb, rcr, pp:
+            J.intra_scan_sheared(yy, cc, rr, ry, rcb, rcr, pp, mbW, mbH,
+                                 has_t8, has_pcm)
+        )(y, cb, cr, res_y, res_cb, res_cr, p)
+    bs_v, bs_h = jax.vmap(J.deblock_bs)(p)
+    if pallas_db:
+        from .pallas_deblock import deblock_pallas_batch
+        y, cb, cr = deblock_pallas_batch(y, cb, cr, p, bs_v, bs_h,
+                                         mbW, mbH)
+    else:
+        y, cb, cr = jax.vmap(
+            lambda yy, cc, rr, pp, bv, bh:
+            J.deblock_scan(yy, cc, rr, pp, bv, bh, mbW, mbH)
+        )(y, cb, cr, p, bs_v, bs_h)
+    y8 = y.astype(jnp.uint8)
+    cb8 = cb.astype(jnp.uint8)
+    cr8 = cr.astype(jnp.uint8)
+    aux = _emit_aux(y8, cb8, cr8, emit, crop)
+    if update:
+        newL, newC = jax.vmap(J.make_ref_planes)(y8, cb8, cr8)
+        lanes = jnp.arange(refL.shape[0])
+        refL = refL.at[lanes, ring_slots].set(newL)
+        refC = refC.at[lanes, ring_slots].set(newC)
+    return y8, cb8, cr8, aux, refL, refC
+
+
+_MAIN_STATICS = ("layout", "meta_off", "mbW", "mbH", "has_b",
+                 "intra_mode", "has_t8", "has_pcm", "emit", "crop",
+                 "mcmode", "update", "pallas_db")
+_main = functools.partial(jax.jit, static_argnames=_MAIN_STATICS,
+                          donate_argnums=(3, 4))(_main_impl)
+
+
+def _mode_flags(layout, refL, mc):
     present = {k for k, _, _, off in layout if off >= 0}
     has_t8 = "coef_y8" in present
     has_pcm = "pcm_y" in present
     pallas_mc_on, pallas_db_on = _kernel_choices()
-    if pallas_mc_on and mc_in is not None:
+    if not mc:
+        mcmode = "none"
+    else:
         from . import pallas_mc
-        pallas_mc_on = pallas_mc.fits_pallas(mc_in[0])
+        mcmode = ("pallas" if pallas_mc_on and pallas_mc.fits_pallas(refL)
+                  else "xla")
+    return has_t8, has_pcm, mcmode, pallas_db_on
 
+
+def decode_batch_step(arenas, refs, itabs, *, layout, meta_off, mbW,
+                      mbH, has_b, intra_mode, mc, emit="flat",
+                      crop=(0, 0, 0, 0), update=True):
+    """One lockstep step over K frames.
+
+    arenas     [K, L] uint8: packed syntax planes (shared `layout`) +
+               the meta block at meta_off (pack_meta: sm4 | sm8 |
+               slot_map | ring slot) — ONE transfer per step
+    refs       (refL [K,S1,4,ph,pw_b] u8, refC [K,S1,phc,2*pwc_pad] u8)
+               persistent rings — DONATED and returned updated
+    itabs      None or level-compressed intra tables [3, K, Lb, Nb] i32
+    mc         False for intra-only steps (step 0)
+    intra_mode "levels" | "pallas" | "sheared"
+    emit       "flat" (one [K, Y+C+C] u8 output buffer) | "digest"
+               ([K, 2] u32 per-frame checksums) | "none"
+    crop       (top, right, bottom, left) for the digest
+
+    Returns (y8, cb8, cr8, aux, refL', refC').
+    """
+    refL, refC = refs
+    has_t8, has_pcm, mcmode, pallas_db = _mode_flags(layout, refL, mc)
+    if os.environ.get("E264T_SPLIT_STAGES"):
+        return _split_pipeline(arenas, refL, refC, itabs, layout,
+                               meta_off, mbW, mbH, has_b, intra_mode,
+                               emit, crop, update, has_t8, has_pcm,
+                               mcmode, pallas_db)
+    res, pk = _front(arenas, layout=layout, meta_off=meta_off,
+                     has_t8=has_t8, mcmode=mcmode, has_b=has_b, mbW=mbW,
+                     mbH=mbH)
+    mcflat = None
+    if mcmode == "pallas":
+        mcflat = _stage_mc_kernels(*pk, refL, refC, has_b=has_b,
+                                   mbW=mbW, mbH=mbH)
+    return _main(arenas, res, mcflat, refL, refC, itabs, layout=layout,
+                 meta_off=meta_off, mbW=mbW, mbH=mbH, has_b=has_b,
+                 intra_mode=intra_mode, has_t8=has_t8, has_pcm=has_pcm,
+                 emit=emit, crop=crop, mcmode=mcmode, update=update,
+                 pallas_db=pallas_db)
+
+
+@functools.partial(jax.jit, static_argnames=("emit", "crop"))
+def _stage_emit(y8, cb8, cr8, *, emit, crop):
+    return _emit_aux(y8, cb8, cr8, emit, crop)
+
+
+@functools.partial(jax.jit, static_argnames=("meta_off",))
+def _stage_meta(arenas, *, meta_off):
+    return _meta_parts(arenas, meta_off)
+
+
+def _split_pipeline(arenas, refL, refC, itabs, layout, meta_off, mbW,
+                    mbH, has_b, intra_mode, emit, crop, update, has_t8,
+                    has_pcm, mcmode, pallas_db):
+    """One-program-per-stage fallback (E264T_SPLIT_STAGES=1) for fault
+    bisection on hardware; same contract as decode_batch_step."""
+    sm4, sm8, slot_maps, ring_slots = _stage_meta(arenas,
+                                                  meta_off=meta_off)
     res_y, res_cb, res_cr = _stage_residual(arenas, sm4, sm8,
                                             layout=layout, has_t8=has_t8)
     pred = None
-    if mc_in is not None:
-        refL, refC, slot_maps = mc_in
-        if pallas_mc_on:
-            pred = _mc_pallas(arenas, res_y, res_cb, res_cr, refL, refC,
-                              slot_maps, layout, has_b, mbW, mbH)
-        else:
-            pred = _stage_mc(arenas, res_y, res_cb, res_cr, refL, refC,
-                             slot_maps, layout=layout, has_b=has_b,
-                             mbW=mbW, mbH=mbH)
-    y, cb, cr = _stage_intra(pred, res_y, res_cb, res_cr, arenas, itabs,
+    if mcmode == "pallas":
+        pred = _mc_pallas(arenas, res_y, res_cb, res_cr, refL, refC,
+                          slot_maps, layout, has_b, mbW, mbH)
+    elif mcmode == "xla":
+        pred = _stage_mc(arenas, res_y, res_cb, res_cr, refL, refC,
+                         slot_maps, layout=layout, has_b=has_b,
+                         mbW=mbW, mbH=mbH)
+    itabs3 = None
+    if itabs is not None:
+        itabs3 = (itabs[:, 0], itabs[:, 1], itabs[:, 2].astype(bool))
+    y, cb, cr = _stage_intra(pred, res_y, res_cb, res_cr, arenas, itabs3,
                              layout=layout, mbW=mbW, mbH=mbH,
                              intra_mode=intra_mode, has_t8=has_t8,
                              has_pcm=has_pcm)
     y8, cb8, cr8 = _stage_deblock(y, cb, cr, arenas, layout=layout,
-                                  mbW=mbW, mbH=mbH, pallas=pallas_db_on)
-    if make_refs:
-        newL, newC = _stage_refs(y8, cb8, cr8)
-        return y8, cb8, cr8, newL, newC
-    return y8, cb8, cr8, None, None
+                                  mbW=mbW, mbH=mbH, pallas=pallas_db)
+    aux = None
+    if emit != "none":
+        aux = _stage_emit(y8, cb8, cr8, emit=emit, crop=crop)
+    if update:
+        refL, refC = refs_update(refL, refC, y8, cb8, cr8, ring_slots)
+    return y8, cb8, cr8, aux, refL, refC
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def refs_update(refL, refC, y8, cb8, cr8, ring_slots):
+    """Fused make_ref_planes + in-place ring write (donated)."""
+    newL, newC = jax.vmap(J.make_ref_planes)(y8, cb8, cr8)
+    lanes = jnp.arange(refL.shape[0])
+    return (refL.at[lanes, ring_slots].set(newL),
+            refC.at[lanes, ring_slots].set(newC))
 
 
 # ---------------------------------------------------------------------------
@@ -242,68 +497,39 @@ def decode_batch_step(arenas, sm4, sm8, mc_in, itabs, *, layout, mbW,
 # partitioner.
 
 @functools.lru_cache(maxsize=None)
-def _shmapped(fn, mesh, axis, n_args, **static_kw):
+def _shmapped(fn, mesh, axis, n_args, donate=(), **static_kw):
     spec = P(axis)
     local = functools.partial(fn.__wrapped__ if hasattr(fn, "__wrapped__")
                               else fn, **static_kw)
     return jax.jit(jax.shard_map(local, mesh=mesh,
                                  in_specs=(spec,) * n_args,
-                                 out_specs=spec, check_vma=False))
+                                 out_specs=spec, check_vma=False),
+                   donate_argnums=donate)
 
 
-def decode_batch_step_sharded(arenas, sm4, sm8, mc_in, itabs, *, layout,
-                              mbW, mbH, has_b, make_refs, intra_mode,
-                              mesh, axis="gop"):
-    """Multi-chip lockstep step: lane axis sharded over `mesh`'s `axis`;
-    every stage runs shard-mapped on each device's LOCAL lanes."""
-    assert make_refs, "sharded lockstep always maintains the ref rings"
-    present = {k for k, _, _, off in layout if off >= 0}
-    has_t8 = "coef_y8" in present
-    has_pcm = "pcm_y" in present
-    pallas_mc_on, pallas_db_on = _kernel_choices()
-    if pallas_mc_on and mc_in is not None:
-        from . import pallas_mc
-        pallas_mc_on = pallas_mc.fits_pallas(mc_in[0])
-
-    res = _shmapped(_stage_residual, mesh, axis, 3, layout=layout,
-                    has_t8=has_t8)(arenas, sm4, sm8)
-    res_y, res_cb, res_cr = res
-    pred = None
-    if mc_in is not None:
-        refL, refC, slot_maps = mc_in
-        if pallas_mc_on:
-            flg, pkl, pkc = _shmapped(
-                _stage_mc_pack, mesh, axis, 2, layout=layout,
-                has_b=has_b, mbW=mbW, mbH=mbH)(arenas, slot_maps)
-            flat = _shmapped(
-                _stage_mc_kernels, mesh, axis, 5, has_b=has_b,
-                mbW=mbW, mbH=mbH)(flg, pkl, pkc, refL, refC)
-            pred = _shmapped(
-                _stage_mc_combine, mesh, axis, 6, layout=layout,
-                has_b=has_b)(arenas, slot_maps, flat, res_y, res_cb,
-                             res_cr)
-        else:
-            pred = _shmapped(_stage_mc, mesh, axis, 7, layout=layout,
-                             has_b=has_b, mbW=mbW, mbH=mbH)(
-                arenas, res_y, res_cb, res_cr, refL, refC, slot_maps)
-
-    # shard_map in_specs must mirror the pytree structure, so the
-    # pred/itabs None-vs-tuple cases are distinct wrappers
-    def intra_fn(pred, res_y, res_cb, res_cr, arenas, itabs):
-        return _stage_intra.__wrapped__(
-            pred, res_y, res_cb, res_cr, arenas, itabs, layout=layout,
-            mbW=mbW, mbH=mbH, intra_mode=intra_mode, has_t8=has_t8,
-            has_pcm=has_pcm)
-
-    spec = P(axis)
-    y, cb, cr = jax.jit(jax.shard_map(
-        intra_fn, mesh=mesh, in_specs=(spec,) * 6, out_specs=spec,
-        check_vma=False))(pred, res_y, res_cb, res_cr, arenas, itabs)
-    y8, cb8, cr8 = _shmapped(_stage_deblock, mesh, axis, 4,
-                             layout=layout, mbW=mbW, mbH=mbH,
-                             pallas=pallas_db_on)(y, cb, cr, arenas)
-    newL, newC = _shmapped(_stage_refs, mesh, axis, 3)(y8, cb8, cr8)
-    return y8, cb8, cr8, newL, newC
+def decode_batch_step_sharded(arenas, refs, itabs, *, layout, meta_off,
+                              mbW, mbH, has_b, intra_mode, mc, emit,
+                              crop, mesh, update=True, axis="gop"):
+    """Multi-chip lockstep step (same contract as decode_batch_step):
+    lane axis sharded over `mesh`'s `axis`; every grouped program runs
+    shard-mapped on each device's LOCAL lanes (GOP lanes are
+    reference-closed, so no collectives are needed)."""
+    refL, refC = refs
+    has_t8, has_pcm, mcmode, pallas_db = _mode_flags(layout, refL, mc)
+    res, pk = _shmapped(_front_impl, mesh, axis, 1, layout=layout,
+                        meta_off=meta_off, has_t8=has_t8, mcmode=mcmode,
+                        has_b=has_b, mbW=mbW, mbH=mbH)(arenas)
+    mcflat = None
+    if mcmode == "pallas":
+        mcflat = _shmapped(_stage_mc_kernels, mesh, axis, 5,
+                           has_b=has_b, mbW=mbW, mbH=mbH)(
+            *pk, refL, refC)
+    return _shmapped(_main_impl, mesh, axis, 6, donate=(3, 4),
+                     layout=layout, meta_off=meta_off, mbW=mbW, mbH=mbH,
+                     has_b=has_b, intra_mode=intra_mode, has_t8=has_t8,
+                     has_pcm=has_pcm, emit=emit, crop=crop,
+                     mcmode=mcmode, update=update, pallas_db=pallas_db)(
+        arenas, res, mcflat, refL, refC, itabs)
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))

@@ -1648,6 +1648,17 @@ def pack_planes(planes, keep=frozenset(), coef8=False):
     coef_fits_int8): the levels are ~3/4 of the arena, so this cuts the
     H2D volume by ~37%; _unpack_planes widens by the layout dtype, so
     device programs are unchanged apart from the layout signature."""
+    layout, size = plan_layout(planes, keep=keep, coef8=coef8)
+    arena = _arena_buf(size)
+    pack_into(planes, layout, arena)
+    return jnp.asarray(arena), layout
+
+
+def plan_layout(planes, keep=frozenset(), coef8=False):
+    """First pass of pack_planes: the static (key, dtype, shape, offset)
+    layout plus the arena byte size, WITHOUT copying any plane.  Lets a
+    caller pack many frames of the same layout into one batched buffer
+    (pack_into) for a single H2D transfer."""
     flags = np.asarray(planes.mb_flags)
     skip = set()
     if not (flags & MBF_T8x8).any():
@@ -1657,33 +1668,43 @@ def pack_planes(planes, keep=frozenset(), coef8=False):
     if not (flags & MBF_BLEND).any():
         skip |= {"mb_errors", "slice_id"}
     skip -= set(keep)
-    # two passes: size the layout, then copy each plane ONCE into a
-    # single arena (tobytes + join copied every byte twice — ~2 ms/frame
-    # at 1080p on a 4-core host where entropy runs at ~11 ms/frame)
-    views = []
     layout = []
     off = 0
     for k in PLANE_KEYS:
-        a = np.asarray(getattr(planes, k))
+        a = getattr(planes, k)
+        shape = tuple(a.shape)
         if k == "coef_c_dc":
-            a = a.reshape(a.shape[0], a.shape[1], 2, 4)
-        if coef8 and k in COEF_PLANES:
-            a = a.astype(np.int8)
+            shape = (shape[0], shape[1], 2, 4)
+        dt = np.dtype(np.int8) if (coef8 and k in COEF_PLANES) \
+            else np.dtype(a.dtype)
         if k in skip:
-            layout.append((k, str(a.dtype), a.shape, -1))
+            layout.append((k, str(dt), shape, -1))
             continue
         off += (-off) % 8
-        layout.append((k, str(a.dtype), a.shape, off))
-        views.append((off, a))
-        off += a.nbytes
-    arena = _arena_buf(off)
+        layout.append((k, str(dt), shape, off))
+        off += int(np.prod(shape)) * dt.itemsize
+    return tuple(layout), off
+
+
+def pack_into(planes, layout, out):
+    """Copy each live plane ONCE into `out` (a 1-D uint8 view sized by
+    plan_layout; tobytes + join would copy every byte twice — ~2
+    ms/frame at 1080p on a 4-core host where entropy runs at ~11
+    ms/frame)."""
     prev_end = 0
-    for o, a in views:
-        if o > prev_end:
-            arena[prev_end:o] = 0            # alignment padding
-        arena[o:o + a.nbytes] = a.reshape(-1).view(np.uint8)
-        prev_end = o + a.nbytes
-    return jnp.asarray(arena), tuple(layout)
+    for k, dt, shape, off in layout:
+        if off < 0:
+            continue
+        a = np.asarray(getattr(planes, k))
+        if k == "coef_c_dc":
+            a = a.reshape(shape)
+        if a.dtype != np.dtype(dt):
+            a = a.astype(dt)
+        if off > prev_end:
+            out[prev_end:off] = 0            # alignment padding
+        n = a.nbytes
+        out[off:off + n] = a.reshape(-1).view(np.uint8)
+        prev_end = off + n
 
 
 # Host staging buffers for pack_planes, pooled per size: a fresh np.empty
@@ -1699,18 +1720,46 @@ import threading as _threading
 _ARENA_POOL = _threading.local()
 
 
-def _arena_buf(n):
+def _arena_buf(n, rows=None):
     import jax
+    shape = n if rows is None else (rows, n)
     if (jax.default_backend() == "cpu"
             or os.environ.get("E264T_NO_ARENA_POOL")):
-        return np.empty(n, np.uint8)
+        return np.empty(shape, np.uint8)
     pool = getattr(_ARENA_POOL, "pool", None)
     if pool is None:
         pool = _ARENA_POOL.pool = {}
-    bufs, idx = pool.get(n) or ([np.empty(n, np.uint8),
-                                 np.empty(n, np.uint8)], 0)
-    pool[n] = (bufs, idx ^ 1)
+    bufs, idx = pool.get(shape) or ([np.empty(shape, np.uint8),
+                                     np.empty(shape, np.uint8)], 0)
+    pool[shape] = (bufs, idx ^ 1)
     return bufs[idx]
+
+
+def pack_planes_batch(planes_list, ref_planes, keep=frozenset(),
+                      coef8=False, extra=None):
+    """Pack K frames' planes into ONE [K, L] host buffer (a single H2D
+    transfer for a whole lockstep step; per-put tunnel cost is high).
+    `ref_planes` sizes the shared layout; entries of planes_list that are
+    None (dead lanes) pack as all-zero rows.  Callers must have folded
+    every lane's conditional planes into `keep` so the layout fits all
+    lanes.  `extra` ([K, E] uint8) is appended per row — the lockstep
+    driver rides its per-step metadata (scaling matrices, slot maps,
+    ring slots) in the same transfer, since every separate device_put
+    pays the tunnel's ~25 ms fixed cost.  Returns (buf [K, L+pad+E]
+    uint8 numpy, layout, extra_off)."""
+    layout, size = plan_layout(ref_planes, keep=keep, coef8=coef8)
+    extra_off = size + (-size) % 8
+    total = extra_off + (extra.shape[1] if extra is not None else 0)
+    buf = _arena_buf(total, rows=len(planes_list))
+    for k, pl in enumerate(planes_list):
+        if pl is None:
+            buf[k, :extra_off] = 0
+        else:
+            pack_into(pl, layout, buf[k])
+            buf[k, size:extra_off] = 0
+    if extra is not None:
+        buf[:, extra_off:] = extra
+    return buf, layout, extra_off
 
 
 _JDT = {"uint8": jnp.uint8, "int8": jnp.int8, "int16": jnp.int16,

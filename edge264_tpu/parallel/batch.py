@@ -123,38 +123,44 @@ class _Lane:
         return True
 
 
-@jax.jit
-def _flatten_out(y, cb, cr):
-    """[K,H,W] u8 x3 -> one [K, H*W + 2*(H/2*W/2)] u8 buffer so the
-    step's host copy is a single transfer."""
-    K = y.shape[0]
-    return jnp.concatenate([y.reshape(K, -1), cb.reshape(K, -1),
-                            cr.reshape(K, -1)], axis=1)
+class DigestFrame:
+    """Lightweight per-frame record yielded by sink="digest": the pixels
+    stay in device HBM (the TPU-native delivery — the consumer of a
+    TPU decoder is a TPU model); `digest` is the 64-bit device checksum
+    whose numpy twin (ops.batched.host_frame_digest) derives golden
+    values from the reference decoder's YUV."""
+
+    __slots__ = ("frame_id", "digest", "frame_id_mvc", "digest_mvc")
+
+    def __init__(self, frame_id, digest):
+        self.frame_id = frame_id
+        self.digest = digest
+        self.frame_id_mvc = None
+        self.digest_mvc = None
 
 
 def _stack_level_tables(lane_tabs, planes_list):
-    """Stack per-lane level-compressed intra tables into one [K, Lb, Nb]
-    batch, padding every lane to the largest bucket in the group (bucket
-    menus in jaxdec.intra_level_tables keep the jit-variant count
-    bounded).  Returns None when any LIVE lane is intra-dense (no table):
-    the whole step then uses the sheared scan, keeping one program per
-    step."""
+    """Stack per-lane level-compressed intra tables into one
+    [K, 3, Lb, Nb] int32 batch (mxs | mys | valid — ONE device transfer,
+    lane-major so the mesh path shards it like every other batch),
+    padding every lane to the largest bucket in the group (bucket menus
+    in jaxdec.intra_level_tables keep the jit-variant count bounded).
+    Returns None when any LIVE lane is intra-dense (no table): the whole
+    step then uses the sheared scan, keeping one program per step."""
     live = [t for t, pl in zip(lane_tabs, planes_list) if pl is not None]
     if any(t is None for t in live):
         return None
     Lb = max(t[0].shape[0] for t in live)
     Nb = max(t[0].shape[1] for t in live)
-    mxs = np.zeros((len(lane_tabs), Lb, Nb), np.int32)
-    mys = np.zeros((len(lane_tabs), Lb, Nb), np.int32)
-    valid = np.zeros((len(lane_tabs), Lb, Nb), bool)
+    tabs = np.zeros((len(lane_tabs), 3, Lb, Nb), np.int32)
     for k, (t, pl) in enumerate(zip(lane_tabs, planes_list)):
         if pl is None:
             continue                    # dead lane: all-invalid tables
         tl, tn = t[0].shape
-        mxs[k, :tl, :tn] = t[0]
-        mys[k, :tl, :tn] = t[1]
-        valid[k, :tl, :tn] = t[2]
-    return jnp.asarray(mxs), jnp.asarray(mys), jnp.asarray(valid)
+        tabs[k, 0, :tl, :tn] = t[0]
+        tabs[k, 1, :tl, :tn] = t[1]
+        tabs[k, 2, :tl, :tn] = t[2]
+    return tabs
 
 
 def _return_packed(ln: _Lane, step: int):
@@ -178,10 +184,16 @@ def _return_packed(ln: _Lane, step: int):
 
 
 def decode_gops_batched(stream: bytes, *, lanes: int = 4, mesh: Mesh = None,
-                        axis: str = "gop"):
+                        axis: str = "gop", sink: str = "frames"):
     """Decode a whole Annex-B stream with GOPs in K-lane lockstep; yields
     Frames in stream order.  With `mesh`, the lane axis is sharded over
-    the mesh devices (lanes must be a multiple of the mesh size)."""
+    the mesh devices (lanes must be a multiple of the mesh size).
+
+    sink="frames": frames are copied to host and yielded as Frames.
+    sink="digest": frames STAY IN DEVICE HBM; yields DigestFrames
+    carrying only the 64-bit device checksum per frame (the TPU-native
+    delivery — consumers of a TPU decoder are TPU models; the host link
+    then carries 8 bytes/frame instead of 3 MB)."""
     gops = split_gops(stream)
     results = [[] for _ in gops]
     # per-lane reference ring slots; grows by doubling on demand.  The
@@ -197,12 +209,13 @@ def decode_gops_batched(stream: bytes, *, lanes: int = 4, mesh: Mesh = None,
 
     for base in range(0, len(gops), lanes):
         group = gops[base:base + lanes]
-        _decode_group(group, results, base, S, lanes, sharding)
+        _decode_group(group, results, base, S, lanes, sharding, sink)
     for frames in results:
         yield from frames
 
 
-def _decode_group(group, results, base, S, lanes, sharding):
+def _decode_group(group, results, base, S, lanes, sharding,
+                  sink="frames"):
     import sys
     import time as _time
     prof = (dict(entropy=0.0, pack=0.0, dispatch=0.0, d2h=0.0, frames=0,
@@ -351,28 +364,30 @@ def _decode_group(group, results, base, S, lanes, sharding):
             _return_packed(ln, step - 1)
         threads = start_parsing(step + 1)
 
-        # dead lanes contribute an all-zero arena of the shared layout
+        # ONE device transfer per step: all lanes' planes + the per-step
+        # meta block (scaling matrices, slot maps, ring slots) in a
+        # single [K, L] put — each separate put pays the tunnel's ~25 ms
+        # fixed cost (tools/profile_h2d.py).  Dead lanes are all-zero
+        # rows of the shared layout.
         ref_pl = next(p for p in planes_list if p is not None)
-        packed = []
-        layout = None
-        for pl in planes_list:
-            a, layout = J.pack_planes(pl if pl is not None else ref_pl,
-                                      keep=keep, coef8=coef8)
-            packed.append(a if pl is not None else jnp.zeros_like(a))
-        arenas = jnp.stack(packed)
-        sm4b = jnp.asarray(np.stack(sm4s))
-        sm8b = jnp.asarray(np.stack(sm8s))
+        meta = B.pack_meta(sm4s, sm8s, slot_maps, ring_slots)
+        bufnp, layout, meta_off = J.pack_planes_batch(
+            planes_list, ref_pl, keep=keep, coef8=coef8, extra=meta)
+        if sharding is not None:
+            arenas = jax.device_put(bufnp, sharding)
+        else:
+            arenas = jnp.asarray(bufnp)
         if refL is None:
             refL, refC = B.alloc_ref_rings(K, S, mbW, mbH)
             if sharding is not None:
                 refL = jax.device_put(refL, sharding)
                 refC = jax.device_put(refC, sharding)
-        if sharding is not None:
-            arenas = jax.device_put(arenas, sharding)
 
-        mc_in = None
-        if step > 0 and not os.environ.get("E264T_NO_MC"):
-            mc_in = (refL, refC, jnp.asarray(np.stack(slot_maps)))
+        mc = step > 0 and not os.environ.get("E264T_NO_MC")
+        fmt = lane_objs[live[0]].fmt
+        crop = (fmt["crop_top"], fmt["crop_right"],
+                fmt["crop_bottom"], fmt["crop_left"])
+        emit = "digest" if sink == "digest" else "flat"
         if prof:
             prof["pack"] += _clk() - t0
             t0 = _clk()
@@ -384,78 +399,68 @@ def _decode_group(group, results, base, S, lanes, sharding):
             itabs = _stack_level_tables(lane_tabs, planes_list)
             if itabs is not None:
                 intra_mode = "levels"
-                if sharding is not None:
-                    itabs = tuple(jax.device_put(t, sharding)
-                                  for t in itabs)
+                itabs = (jax.device_put(itabs, sharding)
+                         if sharding is not None else jnp.asarray(itabs))
+        update = not os.environ.get("E264T_NO_UPDATE_REFS")
         if sharding is not None:
-            y, cb, cr, newL, newC = B.decode_batch_step_sharded(
-                arenas, sm4b, sm8b, mc_in, itabs, layout=layout, mbW=mbW,
-                mbH=mbH, has_b=True, make_refs=True,
-                intra_mode=intra_mode, mesh=sharding.mesh)
+            y, cb, cr, aux, refL, refC = B.decode_batch_step_sharded(
+                arenas, (refL, refC), itabs, layout=layout,
+                meta_off=meta_off, mbW=mbW, mbH=mbH, has_b=True,
+                intra_mode=intra_mode, mc=mc, emit=emit, crop=crop,
+                update=update, mesh=sharding.mesh)
         else:
-            y, cb, cr, newL, newC = B.decode_batch_step(
-                arenas, sm4b, sm8b, mc_in, itabs, layout=layout, mbW=mbW,
-                mbH=mbH, has_b=True, make_refs=True,
-                intra_mode=intra_mode)
+            y, cb, cr, aux, refL, refC = B.decode_batch_step(
+                arenas, (refL, refC), itabs, layout=layout,
+                meta_off=meta_off, mbW=mbW, mbH=mbH, has_b=True,
+                intra_mode=intra_mode, mc=mc, emit=emit, crop=crop,
+                update=update)
         if os.environ.get("E264T_SYNC_STEPS"):
-            t0 = _clk()
-            jax.block_until_ready(y)
-            sys.stderr.write(f"[sync-step] step {step} main program ready "
-                             f"in {_clk()-t0:.3f}s\n")
-        if not os.environ.get("E264T_NO_UPDATE_REFS"):
-            refL, refC = B.update_refs(refL, refC, newL, newC,
-                                       jnp.asarray(np.array(ring_slots)))
-        if os.environ.get("E264T_SYNC_STEPS"):
-            t0 = _clk()
-            jax.block_until_ready(refL)
-            sys.stderr.write(f"[sync-step] step {step} update_refs ready "
-                             f"in {_clk()-t0:.3f}s\n")
+            # debug/profiling: surface device faults AT the faulting step
+            # (async dispatch otherwise defers them to the output D2H)
+            t0s = _clk()
+            jax.block_until_ready((aux, refL))
+            sys.stderr.write(f"[sync-step] step {step} "
+                             f"({len(live)} live lanes) ready "
+                             f"in {_clk()-t0s:.3f}s\n")
         if prof:
             prof["dispatch"] += _clk() - t0
             prof["steps"] += 1
             prof["frames"] += len(live)
 
         # --- hand decoded frames back to their lanes (keyed by frame_id:
-        # DPB slots are reused within a lane).  The step's WHOLE batch is
-        # flattened into a SINGLE buffer and copied to host
-        # asynchronously: one D2H round trip per STEP (the axon tunnel
-        # costs ~100-200 ms per transfer, so per-plane or per-frame
-        # copies would dominate the decode) ------------------------------
-        flat = _flatten_out(y, cb, cr)
-        if os.environ.get("E264T_SYNC_STEPS"):
-            # debug/profiling: surface device faults AT the faulting step
-            # (async dispatch otherwise defers them to the output D2H)
-            t0 = _clk()
-            jax.block_until_ready(flat)
-            sys.stderr.write(f"[sync-step] step {step} "
-                             f"({len(live)} live lanes) ready "
-                             f"in {_clk()-t0:.3f}s\n")
+        # DPB slots are reused within a lane).  The step's aux output
+        # (ONE flattened [K, Y+C+C] buffer, or [K, 2] digests) starts an
+        # async host copy; per-plane or per-frame copies would pay the
+        # tunnel's per-transfer cost many times over --------------------
         if not os.environ.get("E264T_NO_ASYNC_D2H"):
             try:
-                flat.copy_to_host_async()
+                aux.copy_to_host_async()
             except Exception:
                 pass                       # backend without async copies
-        step_out.append((flat, y.shape, cb.shape))
+        step_out.append((aux, y.shape, cb.shape))
         for i, ln in enumerate(lane_objs):
             if planes_list[i] is not None:
                 ln.store[ln.done_slots[step][1]] = (step, i)
         step += 1
 
     # --- output in stream order ------------------------------------------
-    host_steps = {}        # step -> (y, cb, cr) numpy batches
+    host_steps = {}        # step -> (y, cb, cr) numpy batches | digests
 
     def step_np(s):
         """ONE D2H per STEP (the whole flattened [K, ...] batch, already
         in flight from copy_to_host_async), not one per plane/frame."""
         if s not in host_steps:
             t0 = _clk() if prof else 0.0
-            flat, yshape, cshape = step_out[s]
-            a = np.asarray(flat)
-            ny = yshape[1] * yshape[2]
-            nc = cshape[1] * cshape[2]
-            host_steps[s] = (a[:, :ny].reshape(yshape),
-                             a[:, ny:ny + nc].reshape(cshape),
-                             a[:, ny + nc:].reshape(cshape))
+            aux, yshape, cshape = step_out[s]
+            a = np.asarray(aux)
+            if sink == "digest":
+                host_steps[s] = a                       # [K, 2] uint32
+            else:
+                ny = yshape[1] * yshape[2]
+                nc = cshape[1] * cshape[2]
+                host_steps[s] = (a[:, :ny].reshape(yshape),
+                                 a[:, ny:ny + nc].reshape(cshape),
+                                 a[:, ny + nc:].reshape(cshape))
             if prof:
                 prof["d2h"] += _clk() - t0
         return host_steps[s]
@@ -481,6 +486,18 @@ def _decode_group(group, results, base, S, lanes, sharding):
 
         for info in ln.out_frames:
             frame_id = info["frame_id"]
+            if sink == "digest":
+                s, lane = ln.store[frame_id]
+                f = DigestFrame(frame_id, tuple(int(v) for v in
+                                                step_np(s)[lane]))
+                if info["slot_mvc"] >= 0:
+                    mfid = info["frame_id_mvc"]
+                    s, lane = ln.store[mfid]
+                    f.frame_id_mvc = mfid
+                    f.digest_mvc = tuple(int(v) for v in
+                                         step_np(s)[lane])
+                results[base + i].append(f)
+                continue
             ya, cba, cra = crop(*ln.store[frame_id])
             f = Frame(
                 y=ya, cb=cba, cr=cra,

@@ -191,3 +191,37 @@ def test_lockstep_coef8_bit_exact(monkeypatch):
     monkeypatch.setenv("E264T_COEF8", "1")
     data = _multi_gop_ipb(n_gops=3, seed=7)
     _check(_serial(data), decode_gops_batched(data, lanes=3), "coef8")
+
+
+def test_lockstep_digest_sink():
+    """sink="digest": frames stay in device HBM; the yielded 64-bit
+    device checksums must equal host_frame_digest over the serially
+    decoded (cropped) frames — the bench's steady-state bit-exactness
+    check without full-frame D2H."""
+    from edge264_tpu.ops.batched import host_frame_digest
+    data = _multi_gop_ipb(n_gops=3, seed=21)
+    serial = list(decode_annexb(data, backend="numpy"))
+    got = list(decode_gops_batched(data, lanes=3, sink="digest"))
+    assert len(got) == len(serial) > 0
+    for f, g in zip(serial, got):
+        want = host_frame_digest(np.asarray(f.y), np.asarray(f.cb),
+                                 np.asarray(f.cr))
+        assert g.digest == want, (f.frame_id, g.digest, want)
+
+
+def test_lockstep_digest_sink_mvc():
+    from tools.avcgen import gen_random_mvc_stream
+    from edge264_tpu.ops.batched import host_frame_digest
+    data = gen_random_mvc_stream(4, 3, n_aus=2, seed=7)
+    serial = list(decode_annexb(data, backend="numpy"))
+    got = list(decode_gops_batched(data, lanes=1, sink="digest"))
+    assert len(got) == len(serial) > 0
+    for f, g in zip(serial, got):
+        want = host_frame_digest(np.asarray(f.y), np.asarray(f.cb),
+                                 np.asarray(f.cr))
+        assert g.digest == want
+        if f.y_mvc is not None:
+            want = host_frame_digest(np.asarray(f.y_mvc),
+                                     np.asarray(f.cb_mvc),
+                                     np.asarray(f.cr_mvc))
+            assert g.digest_mvc == want

@@ -1,8 +1,7 @@
 #!/usr/bin/env python3
 """Split one real 1080p K-lane lockstep step into H2D / device-compute /
-D2H on the real chip.  The bench's lane-prof lumps all three into one
-blocking bucket (batch.py step_np); this tool answers which one owns the
-~1 s/frame measured in round 3.
+D2H on the real chip.  The bench's lane-prof lumps phases into blocking
+buckets; this tool answers which one owns the per-step wall time.
 
 Uses the bench stream (tools cache beside bench.py's CACHE path), parses
 the first two frames of each of the first K GOPs through the native front
@@ -41,7 +40,6 @@ def main():
         ln.ring_free = list(range(S))
 
     def step_inputs(step, keep, coef8):
-        mbW = lanes[0].fmt["mb_w"] if lanes[0].fmt else None
         planes_list, sm4s, sm8s, ring_slots, slot_maps, tabs = \
             [], [], [], [], [], []
         for ln in lanes:
@@ -67,16 +65,12 @@ def main():
                 smap[s_] = min(r_, S - 1)
             slot_maps.append(smap)
         t0 = time.perf_counter()
-        packed = []
-        layout = None
-        for pl in planes_list:
-            a, layout = J.pack_planes(pl, keep=keep, coef8=coef8)
-            packed.append(a)
-        arenas_h = np.stack([np.asarray(a) for a in packed])
+        meta = B.pack_meta(sm4s, sm8s, slot_maps, ring_slots)
+        bufnp, layout, meta_off = J.pack_planes_batch(
+            planes_list, planes_list[0], keep=keep, coef8=coef8,
+            extra=meta)
         pack_s = time.perf_counter() - t0
-        return (arenas_h, np.stack(sm4s), np.stack(sm8s),
-                np.array(ring_slots), np.stack(slot_maps), tabs,
-                planes_list, layout, pack_s)
+        return bufnp, tabs, planes_list, layout, meta_off, pack_s
 
     for ln in lanes:
         ln.parse_next_frame()
@@ -96,8 +90,8 @@ def main():
     print(f"K={K} geom {mbW}x{mbH} coef8={coef8} keep={sorted(keep)}",
           flush=True)
 
-    (arenas_h, sm4_h, sm8_h, ring_h, smap_h, tabs, planes_list, layout,
-     pack_s) = step_inputs(0, keep, coef8)
+    arenas_h, tabs, planes_list, layout, meta_off, pack_s = \
+        step_inputs(0, keep, coef8)
     print(f"arena: {arenas_h.nbytes/1e6:.1f} MB for K={K} "
           f"({arenas_h.nbytes/K/1e6:.2f} MB/frame); pack {pack_s:.2f}s",
           flush=True)
@@ -125,8 +119,6 @@ def main():
           f"({arenas_h.nbytes/1e6/(time.perf_counter()-t0):.1f} MB/s)",
           flush=True)
     arenas = timed("H2D arena", h2d, arenas_h)
-    sm4b, sm8b = h2d(sm4_h), h2d(sm8_h)
-    ring_d, smap_d = h2d(ring_h), h2d(smap_h)
 
     refL, refC = B.alloc_ref_rings(K, S, mbW, mbH)
     jax.block_until_ready((refL, refC))
@@ -134,58 +126,69 @@ def main():
     itabs = _stack_level_tables(tabs, planes_list)
     mode0 = "sheared" if itabs is None else "levels"
     print(f"step-0 intra_mode={mode0}", flush=True)
+    emit = os.environ.get("E264T_PROF_EMIT", "flat")
 
-    def step(a, s4, s8, mc, it, mode):
-        return B.decode_batch_step(a, s4, s8, mc, it, layout=layout,
-                                   mbW=mbW, mbH=mbH, has_b=True,
-                                   make_refs=True, intra_mode=mode)
+    def step(a, refs, it, mode, mc):
+        return B.decode_batch_step(a, refs, it, layout=layout,
+                                   meta_off=meta_off, mbW=mbW, mbH=mbH,
+                                   has_b=True, intra_mode=mode, mc=mc,
+                                   emit=emit, update=True)
 
+    def timed_step(label, a, it, mode, mc, refs, n=3):
+        # rings are DONATED: chain each call's returned rings into the
+        # next call instead of reusing a consumed buffer
+        out = step(a, refs, it, mode, mc)
+        jax.block_until_ready(out)
+        best = 1e30
+        for _ in range(n):
+            refs = out[4:6]
+            t0 = time.perf_counter()
+            out = step(a, refs, it, mode, mc)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        print(f"{label}: {best*1e3:8.1f} ms  "
+              f"({best/K*1e3:6.1f} ms/frame)", flush=True)
+        return out
+
+    it0 = None if itabs is None else h2d(itabs)
     t0 = time.perf_counter()
-    out = step(arenas, sm4b, sm8b, None, None if itabs is None else
-               tuple(map(h2d, (np.asarray(t) for t in itabs))), mode0)
+    out = step(arenas, (refL, refC), it0, mode0, False)
     jax.block_until_ready(out)
-    print(f"step-0 compile+run: {time.perf_counter()-t0:.1f} s", flush=True)
-    y, cb, cr, newL, newC = timed("device step-0 (IDR)", step, arenas,
-                                  sm4b, sm8b, None, None if itabs is None
-                                  else tuple(map(h2d, (np.asarray(t) for t
-                                                       in itabs))), mode0)
-    refL, refC = B.update_refs(refL, refC, newL, newC, ring_d)
-    jax.block_until_ready((refL, refC))
+    print(f"step-0 compile+run: {time.perf_counter()-t0:.1f} s",
+          flush=True)
+    y, cb, cr, aux, refL, refC = timed_step(
+        "device step-0 (IDR)", arenas, it0, mode0, False, out[4:6])
 
     # D2H phase
-    from edge264_tpu.parallel.batch import _flatten_out
-    flat = jax.block_until_ready(_flatten_out(y, cb, cr))
-
     def d2h(x):
         return np.asarray(jax.device_get(x))
 
     t0 = time.perf_counter()
-    _ = d2h(flat)
+    _ = d2h(aux)
     dt = time.perf_counter() - t0
-    print(f"D2H flat out: {dt*1e3:8.1f} ms ({flat.nbytes/1e6:.1f} MB, "
-          f"{flat.nbytes/1e6/dt:.1f} MB/s)", flush=True)
-    del y, cb, cr, newL, newC, out, flat   # HBM headroom for step-1
+    print(f"D2H aux ({emit}): {dt*1e3:8.1f} ms ({aux.nbytes/1e6:.1f} MB, "
+          f"{aux.nbytes/1e6/dt:.1f} MB/s)", flush=True)
+    del y, cb, cr, out, aux   # HBM headroom for step-1
 
     # step 1 (P/B): parse one more frame per lane
     for ln in lanes:
         ln.parse_next_frame()
-    (arenas_h1, sm4_h1, sm8_h1, ring_h1, smap_h1, tabs1, planes1, layout1,
-     pack_s1) = step_inputs(1, keep, coef8)
+    arenas_h1, tabs1, planes1, layout1, meta_off1, pack_s1 = \
+        step_inputs(1, keep, coef8)
     print(f"step-1 pack {pack_s1:.2f}s "
           f"({arenas_h1.nbytes/1e6:.1f} MB)", flush=True)
     arenas1 = timed("H2D arena step-1", h2d, arenas_h1)
     itabs1 = _stack_level_tables(tabs1, planes1)
     mode1 = "sheared" if itabs1 is None else "levels"
-    it1 = None if itabs1 is None else tuple(
-        map(h2d, (np.asarray(t) for t in itabs1)))
-    mc = (refL, refC, h2d(smap_h1))
+    it1 = None if itabs1 is None else h2d(itabs1)
     print(f"step-1 intra_mode={mode1}", flush=True)
     t0 = time.perf_counter()
-    out1 = step(arenas1, h2d(sm4_h1), h2d(sm8_h1), mc, it1, mode1)
+    out1 = step(arenas1, (refL, refC), it1, mode1, True)
     jax.block_until_ready(out1)
-    print(f"step-1 compile+run: {time.perf_counter()-t0:.1f} s", flush=True)
-    timed("device step-1 (P/B)", step, arenas1, h2d(sm4_h1), h2d(sm8_h1),
-          mc, it1, mode1)
+    print(f"step-1 compile+run: {time.perf_counter()-t0:.1f} s",
+          flush=True)
+    timed_step("device step-1 (P/B)", arenas1, it1, mode1, True,
+               out1[4:6])
     for ln in lanes:
         ln.nd.close()
 
