@@ -158,27 +158,49 @@ def host_only_pass(data: bytes) -> float:
     return dt / n * 1e3
 
 
-def device_health_check(deadline: float) -> None:
+def device_health_check(deadline: float, probe_timeout: float = 240.0):
     """Block until a tiny jit runs on the device (the axon tunnel dies
-    and recovers on 15-40 min scales; retry within budget), else raise."""
-    import jax
-    import jax.numpy as jnp
+    and recovers on 15-40 min scales; retry within budget), else raise.
+
+    The probe runs under a WATCHDOG thread: on a wedged tunnel the jit
+    call HANGS rather than raising (observed after a miscompiled-program
+    chip fault), and recovery needs a fresh process — so a hung probe
+    raises immediately instead of silently eating the whole budget."""
+    import queue
+    import threading
+
+    def probe(out):
+        try:
+            import jax
+            import jax.numpy as jnp
+            import numpy as np
+            x = jax.jit(lambda a: a * 2 + 1)(jnp.arange(8.0))
+            assert np.asarray(x)[3] == 7.0       # real D2H = real sync
+            out.put(None)
+        except Exception as e:                   # pragma: no cover
+            out.put(e)
+
     attempt = 0
     while True:
         attempt += 1
+        out = queue.Queue()
+        threading.Thread(target=probe, args=(out,), daemon=True).start()
         try:
-            x = jax.jit(lambda a: a * 2 + 1)(jnp.arange(8.0))
-            import numpy as np
-            assert np.asarray(x)[3] == 7.0       # real D2H = real sync
+            err = out.get(timeout=min(probe_timeout,
+                                      max(30, deadline - time.monotonic())))
+        except queue.Empty:
+            raise TimeoutError(
+                f"device probe hung >{probe_timeout:.0f}s (wedged "
+                "tunnel; needs a fresh process)")
+        if err is None:
             sys.stderr.write(f"device healthy (attempt {attempt})\n")
             return
-        except Exception as e:
-            remain = deadline - time.monotonic()
-            sys.stderr.write(f"health check failed ({type(e).__name__}: "
-                             f"{e}); {remain:.0f}s of budget left\n")
-            if remain < 120:
-                raise
-            time.sleep(min(60, remain - 90))
+        remain = deadline - time.monotonic()
+        sys.stderr.write(f"health check failed ({type(err).__name__}: "
+                         f"{err}); {remain:.0f}s of budget left\n")
+        if remain < 120:
+            raise err
+        time.sleep(min(60, remain - 90))
 
 
 def run_once(data: bytes, check_digest):

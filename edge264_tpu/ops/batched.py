@@ -380,6 +380,86 @@ _main = functools.partial(jax.jit, static_argnames=_MAIN_STATICS,
                           donate_argnums=(3, 4))(_main_impl)
 
 
+# intermediate fusion granularity (E264T_FUSE=recon): _main split at the
+# deblock boundary — _recon (MC combine + intra) and _db_tail (deblock +
+# emit + ring update), two dispatches instead of one, for when the axon
+# compiler miscompiles the fully fused main at a given geometry.
+
+def _recon_impl(arenas, res, mcflat, itabs, *, layout, meta_off, mbW,
+                mbH, has_b, intra_mode, has_t8, has_pcm, mcmode):
+    res_y, res_cb, res_cr = res
+    _, _, slot_maps, _ = _meta_parts(arenas, meta_off)
+    p = _unpack(arenas, layout)
+    if mcmode == "none":
+        K = arenas.shape[0]
+        y = jnp.zeros((K, 16 * mbH, 16 * mbW), jnp.int32)
+        cb = jnp.zeros((K, 8 * mbH, 8 * mbW), jnp.int32)
+        cr = jnp.zeros((K, 8 * mbH, 8 * mbW), jnp.int32)
+    else:
+        if mcmode == "xla":
+            raise AssertionError("recon split is a TPU fallback; the "
+                                 "XLA MC path uses fused main")
+        from . import pallas_mc
+        pred = pallas_mc.combine_mc(p, slot_maps, mcflat, has_b)
+        pred_y, pred_cb, pred_cr, mask_y, mask_c = pred
+        y = jnp.where(mask_y, jnp.clip(pred_y + res_y, 0, 255), 0)
+        cb = jnp.where(mask_c, jnp.clip(pred_cb + res_cb, 0, 255), 0)
+        cr = jnp.where(mask_c, jnp.clip(pred_cr + res_cr, 0, 255), 0)
+    if intra_mode == "levels":
+        y, cb, cr = jax.vmap(
+            lambda yy, cc, rr, ry, rcb, rcr, pp, tt:
+            J.intra_scan(yy, cc, rr, ry, rcb, rcr, pp,
+                         (tt[0], tt[1], tt[2].astype(bool)))
+        )(y, cb, cr, res_y, res_cb, res_cr, p, itabs)
+    elif intra_mode == "pallas":
+        from .pallas_intra import intra_pallas_batch
+        y, cb, cr = intra_pallas_batch(y, cb, cr, res_y, res_cb, res_cr,
+                                       p, mbW, mbH)
+    else:
+        y, cb, cr = jax.vmap(
+            lambda yy, cc, rr, ry, rcb, rcr, pp:
+            J.intra_scan_sheared(yy, cc, rr, ry, rcb, rcr, pp, mbW, mbH,
+                                 has_t8, has_pcm)
+        )(y, cb, cr, res_y, res_cb, res_cr, p)
+    return y, cb, cr
+
+
+_recon = functools.partial(jax.jit, static_argnames=(
+    "layout", "meta_off", "mbW", "mbH", "has_b", "intra_mode", "has_t8",
+    "has_pcm", "mcmode"))(_recon_impl)
+
+
+def _db_tail_impl(y, cb, cr, arenas, refL, refC, *, layout, meta_off,
+                  mbW, mbH, emit, crop, update, pallas_db):
+    _, _, _, ring_slots = _meta_parts(arenas, meta_off)
+    p = _unpack(arenas, layout)
+    bs_v, bs_h = jax.vmap(J.deblock_bs)(p)
+    if pallas_db:
+        from .pallas_deblock import deblock_pallas_batch
+        y, cb, cr = deblock_pallas_batch(y, cb, cr, p, bs_v, bs_h,
+                                         mbW, mbH)
+    else:
+        y, cb, cr = jax.vmap(
+            lambda yy, cc, rr, pp, bv, bh:
+            J.deblock_scan(yy, cc, rr, pp, bv, bh, mbW, mbH)
+        )(y, cb, cr, p, bs_v, bs_h)
+    y8 = y.astype(jnp.uint8)
+    cb8 = cb.astype(jnp.uint8)
+    cr8 = cr.astype(jnp.uint8)
+    aux = _emit_aux(y8, cb8, cr8, emit, crop)
+    if update:
+        newL, newC = jax.vmap(J.make_ref_planes)(y8, cb8, cr8)
+        lanes = jnp.arange(refL.shape[0])
+        refL = refL.at[lanes, ring_slots].set(newL)
+        refC = refC.at[lanes, ring_slots].set(newC)
+    return y8, cb8, cr8, aux, refL, refC
+
+
+_db_tail = functools.partial(jax.jit, static_argnames=(
+    "layout", "meta_off", "mbW", "mbH", "emit", "crop", "update",
+    "pallas_db"), donate_argnums=(4, 5))(_db_tail_impl)
+
+
 def _mode_flags(layout, refL, mc):
     present = {k for k, _, _, off in layout if off >= 0}
     has_t8 = "coef_y8" in present
@@ -427,6 +507,14 @@ def decode_batch_step(arenas, refs, itabs, *, layout, meta_off, mbW,
     if mcmode == "pallas":
         mcflat = _stage_mc_kernels(*pk, refL, refC, has_b=has_b,
                                    mbW=mbW, mbH=mbH)
+    if os.environ.get("E264T_FUSE") == "recon" and mcmode != "xla":
+        y, cb, cr = _recon(arenas, res, mcflat, itabs, layout=layout,
+                           meta_off=meta_off, mbW=mbW, mbH=mbH,
+                           has_b=has_b, intra_mode=intra_mode,
+                           has_t8=has_t8, has_pcm=has_pcm, mcmode=mcmode)
+        return _db_tail(y, cb, cr, arenas, refL, refC, layout=layout,
+                        meta_off=meta_off, mbW=mbW, mbH=mbH, emit=emit,
+                        crop=crop, update=update, pallas_db=pallas_db)
     return _main(arenas, res, mcflat, refL, refC, itabs, layout=layout,
                  meta_off=meta_off, mbW=mbW, mbH=mbH, has_b=has_b,
                  intra_mode=intra_mode, has_t8=has_t8, has_pcm=has_pcm,

@@ -1660,13 +1660,19 @@ def plan_layout(planes, keep=frozenset(), coef8=False):
     caller pack many frames of the same layout into one batched buffer
     (pack_into) for a single H2D transfer."""
     flags = np.asarray(planes.mb_flags)
-    skip = set()
+    skip = {"nz_c"}         # never read by any device op (deblock chroma
+                            # bS reuses the luma edge bS per §8.7.2.1)
     if not (flags & MBF_T8x8).any():
         skip |= {"coef_y8", "i8_modes"}
     if not (flags & MBF_IPCM).any():
         skip |= {"pcm_y", "pcm_c"}
     if not (flags & MBF_BLEND).any():
         skip |= {"mb_errors", "slice_id"}
+    if not (np.asarray(planes.wp).any() or np.asarray(planes.wp8).any()):
+        # all-zero weight planes reproduce the default combine exactly
+        # (_mc_combine mode==0), so unweighted frames skip the ~0.6
+        # MB/frame of weight planes
+        skip |= {"wp", "wp8"}
     skip -= set(keep)
     layout = []
     off = 0
@@ -1867,6 +1873,8 @@ class JaxBackend:
             self._keep |= {"coef_y8", "i8_modes"}
         if (flags & MBF_IPCM).any():
             self._keep |= {"pcm_y", "pcm_c"}
+        if np.asarray(planes.wp).any() or np.asarray(planes.wp8).any():
+            self._keep |= {"wp", "wp8"}
         arena, layout = pack_planes(planes, keep=self._keep)
         # the Pallas wavefront kernel covers intra on TPU with one fixed
         # program; the level-compressed gather scan stays a CPU-path

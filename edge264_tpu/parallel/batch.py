@@ -317,6 +317,9 @@ def _decode_group(group, results, base, S, lanes, sharding,
                     keep |= {"pcm_y", "pcm_c"}
                 if (flags & 256).any():        # MBF_BLEND
                     keep |= {"mb_errors", "slice_id"}
+                if (np.asarray(pl.wp).any()
+                        or np.asarray(pl.wp8).any()):
+                    keep |= {"wp", "wp8"}
                 # level-compressed intra tables: P/B frames with sparse
                 # intra mbs collapse the 254-wave sheared scan to the
                 # longest intra->intra chain (jaxdec.intra_level_tables);

@@ -96,6 +96,10 @@ def main():
           f"({arenas_h.nbytes/K/1e6:.2f} MB/frame); pack {pack_s:.2f}s",
           flush=True)
 
+    # a fault from a previous process wedges the chip for a while; wait
+    # until it answers a tiny jit before measuring anything
+    bench.device_health_check(time.monotonic() + 1200)
+
     def h2d(x):
         return jax.block_until_ready(jnp.asarray(x))
 
