@@ -495,7 +495,17 @@ def decode_batch_step(arenas, refs, itabs, *, layout, meta_off, mbW,
     """
     refL, refC = refs
     has_t8, has_pcm, mcmode, pallas_db = _mode_flags(layout, refL, mc)
+    # program grouping: "split" is the TPU default — the 2026-08 axon
+    # compiler MISCOMPILES the fully fused main program at 1080p (wedges
+    # the chip; tools/profile_fuse.py r4 measurements), and split vs
+    # recon vs main is perf-neutral because dispatch is async (~0.2
+    # ms/frame) and the wall is device execution.  CPU (tests, XLA MC)
+    # defaults to the fused main: fewest programs, fastest compiles.
+    fuse = os.environ.get("E264T_FUSE") or \
+        ("split" if J.use_pallas() else "main")
     if os.environ.get("E264T_SPLIT_STAGES"):
+        fuse = "split"
+    if fuse == "split":
         return _split_pipeline(arenas, refL, refC, itabs, layout,
                                meta_off, mbW, mbH, has_b, intra_mode,
                                emit, crop, update, has_t8, has_pcm,
@@ -507,7 +517,7 @@ def decode_batch_step(arenas, refs, itabs, *, layout, meta_off, mbW,
     if mcmode == "pallas":
         mcflat = _stage_mc_kernels(*pk, refL, refC, has_b=has_b,
                                    mbW=mbW, mbH=mbH)
-    if os.environ.get("E264T_FUSE") == "recon" and mcmode != "xla":
+    if fuse == "recon" and mcmode != "xla":
         y, cb, cr = _recon(arenas, res, mcflat, itabs, layout=layout,
                            meta_off=meta_off, mbW=mbW, mbH=mbH,
                            has_b=has_b, intra_mode=intra_mode,

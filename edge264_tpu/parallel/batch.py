@@ -222,6 +222,12 @@ def _decode_group(group, results, base, S, lanes, sharding,
                  steps=0)
             if os.environ.get("E264T_LANE_PROF") else None)
     _clk = _time.perf_counter
+    # the level-compressed gather scan is CPU-only: on the TPU its
+    # dynamic-index gathers serialize — measured 276 ms/frame vs the
+    # static-slice sheared scan's ~25 ms/frame at 1080p K=8
+    # (tools/profile_stages2.py, r4) — 80% of the whole step
+    use_levels = ((not J.use_pallas() or os.environ.get("E264T_LEVELS"))
+                  and not os.environ.get("E264T_NO_LEVELS"))
     if sharding is not None:
         # shardings need the full lane count; missing GOPs become dead
         # lanes (empty streams decode to nothing)
@@ -245,6 +251,8 @@ def _decode_group(group, results, base, S, lanes, sharding,
         return [i for i, ln in enumerate(lane_objs)
                 if len(ln.done_slots) > at_step]
 
+    from concurrent.futures import ThreadPoolExecutor
+    fetcher = ThreadPoolExecutor(max_workers=1)
     refL = refC = None
     keep = set()
     # residual levels ship as int8 while every frame fits (~37% less
@@ -324,8 +332,11 @@ def _decode_group(group, results, base, S, lanes, sharding,
                 # intra mbs collapse the 254-wave sheared scan to the
                 # longest intra->intra chain (jaxdec.intra_level_tables);
                 # any intra-dense lane (IDRs) falls the STEP back to the
-                # sheared scan (lanes share one program per step)
-                lane_tabs.append(J.intra_level_tables(flags, mbW, mbH))
+                # sheared scan (lanes share one program per step).
+                # CPU-only — see the use_levels comment below.
+                lane_tabs.append(
+                    J.intra_level_tables(flags, mbW, mbH)
+                    if use_levels else None)
                 if coef8 and not J.coef_fits_int8(pl):
                     coef8 = False
                 planes_list.append(pl)
@@ -398,7 +409,7 @@ def _decode_group(group, results, base, S, lanes, sharding,
                       os.environ.get("E264T_FORCE_PALLAS_INTRA")
                       else "sheared")
         itabs = None
-        if intra_mode == "sheared" and not os.environ.get("E264T_NO_LEVELS"):
+        if intra_mode == "sheared" and use_levels:
             itabs = _stack_level_tables(lane_tabs, planes_list)
             if itabs is not None:
                 intra_mode = "levels"
@@ -432,15 +443,15 @@ def _decode_group(group, results, base, S, lanes, sharding,
 
         # --- hand decoded frames back to their lanes (keyed by frame_id:
         # DPB slots are reused within a lane).  The step's aux output
-        # (ONE flattened [K, Y+C+C] buffer, or [K, 2] digests) starts an
-        # async host copy; per-plane or per-frame copies would pay the
-        # tunnel's per-transfer cost many times over --------------------
-        if not os.environ.get("E264T_NO_ASYNC_D2H"):
-            try:
-                aux.copy_to_host_async()
-            except Exception:
-                pass                       # backend without async copies
-        step_out.append((aux, y.shape, cb.shape))
+        # (ONE flattened [K, Y+C+C] buffer, or [K, 2] digests) is FETCHED
+        # BY A BACKGROUND THREAD immediately: the axon backend dispatches
+        # lazily (nothing executes until a result is demanded), so
+        # without an eager demand every step's device work would
+        # serialize AFTER the host loop instead of overlapping the next
+        # steps' entropy + pack.  One fetcher thread keeps fetches in
+        # step order. ---------------------------------------------------
+        step_out.append((fetcher.submit(np.asarray, aux),
+                         y.shape, cb.shape))
         for i, ln in enumerate(lane_objs):
             if planes_list[i] is not None:
                 ln.store[ln.done_slots[step][1]] = (step, i)
@@ -454,8 +465,8 @@ def _decode_group(group, results, base, S, lanes, sharding,
         in flight from copy_to_host_async), not one per plane/frame."""
         if s not in host_steps:
             t0 = _clk() if prof else 0.0
-            aux, yshape, cshape = step_out[s]
-            a = np.asarray(aux)
+            fut, yshape, cshape = step_out[s]
+            a = fut.result()
             if sink == "digest":
                 host_steps[s] = a                       # [K, 2] uint32
             else:
@@ -514,6 +525,7 @@ def _decode_group(group, results, base, S, lanes, sharding,
                 f.frame_id_mvc = mfid
             results[base + i].append(f)
         ln.nd.close()
+    fetcher.shutdown(wait=True)
     if prof and prof["frames"]:
         n = prof["frames"]
         sys.stderr.write(
