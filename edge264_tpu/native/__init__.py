@@ -101,6 +101,11 @@ def load():
         lib.e264t_set_threads.argtypes = [C.c_void_p, C.c_int]
         lib.e264t_wait_frame.argtypes = [C.c_void_p]
         lib.e264t_wait_frame.restype = C.c_int
+        lib.e264t_dirty.argtypes = [C.c_void_p, C.c_int,
+                                    C.POINTER(C.POINTER(C.c_uint64)),
+                                    C.POINTER(C.c_size_t),
+                                    C.POINTER(C.c_int)]
+        lib.e264t_dirty.restype = C.c_int
         _lib = lib
     return _lib
 
@@ -162,6 +167,19 @@ class SyntaxPlanes:
         self.sm8 = arr(s.sm8, (2, 64), np.uint8)
         self.mb_errors = arr(s.mb_errors, (H, W), np.uint8)
         self.slice_id = arr(s.slice_id, (H, W), np.uint16)
+        # dirty-block records (tag<<48 | element offset, one per coded
+        # coefficient block — free from the entropy pass's lazy-clear
+        # bookkeeping); dirty_all=True means a recovery cleared ranges
+        # wholesale and the list is unreliable
+        dp = C.POINTER(C.c_uint64)()
+        dn = C.c_size_t()
+        da = C.c_int()
+        lib.e264t_dirty(handle, slot, C.byref(dp), C.byref(dn),
+                        C.byref(da))
+        n = int(dn.value)
+        self.dirty = (np.ctypeslib.as_array(dp, (n,)).copy() if n
+                      else np.empty(0, np.uint64))
+        self.dirty_all = bool(da.value)
 
 
 class NativeDecoder:

@@ -100,6 +100,24 @@ int e264t_planes(void *h, int slot, E264tPlanes *out) {
 	return 0;
 }
 
+// Expose one frame's dirty-block records (tag<<48 | element offset, one
+// per coded coefficient block — the entropy pass records them for lazy
+// clearing, so this is free).  Valid until the slot's planes are
+// cleared at its next reuse.  *all_out = 1 when the list is unreliable
+// (dirty_all: a recovery cleared ranges wholesale) — callers must then
+// treat every block as potentially coded.
+int e264t_dirty(void *h, int slot, const uint64_t **ptr, size_t *len,
+                int *all_out) {
+	Decoder *d = (Decoder *)h;
+	if (slot < 0 || slot >= Decoder::MAX_SLOTS)
+		return -1;
+	Planes &p = d->planes[slot];
+	*ptr = p.dirty.data();
+	*len = p.dirty.size();
+	*all_out = p.dirty_all ? 1 : 0;
+	return 0;
+}
+
 // frame geometry of the active SPS: [mb_w, mb_h, crop l/r/t/b, chroma_idc,
 // num_units_in_tick, time_scale] (VUI timing, 0 when absent)
 void e264t_format(void *h, int32_t *out9) {

@@ -461,7 +461,7 @@ _db_tail = functools.partial(jax.jit, static_argnames=(
 
 
 def _mode_flags(layout, refL, mc):
-    present = {k for k, _, _, off in layout if off >= 0}
+    present = {k for k, _, _, off, _m in layout if off != -1}
     has_t8 = "coef_y8" in present
     has_pcm = "pcm_y" in present
     pallas_mc_on, pallas_db_on = _kernel_choices()

@@ -1483,7 +1483,7 @@ def _dense_arena_impl(arena, sm4, sm8, mc_in=None, *, layout, mbW, mbH,
                       has_b=True):
     """Residual + (optional) MC: the dense stages."""
     p = _unpack_planes(arena, layout)
-    present = {k for k, _, _, off in layout if off >= 0}
+    present = {k for k, _, _, off, _m in layout if off != -1}
     has_t8 = "coef_y8" in present
     norm4 = jnp.asarray(_o.NORM_ADJUST_4x4.reshape(6, 16))
     norm8 = jnp.asarray(_o.NORM_ADJUST_8x8.reshape(6, 64))
@@ -1516,7 +1516,7 @@ def _intra_arena_impl(arena, y, cb, cr, res_y, res_cb, res_cr,
                       itab=None, *, layout, mbW, mbH):
     """Intra reconstruction wavefront."""
     p = _unpack_planes(arena, layout)
-    present = {k for k, _, _, off in layout if off >= 0}
+    present = {k for k, _, _, off, _m in layout if off != -1}
     if itab is not None:
         return intra_scan(y, cb, cr, res_y, res_cb, res_cr, p, itab)
     # The Mosaic intra kernel intermittently faults the TPU on real
@@ -1569,7 +1569,7 @@ def _deblock_arena(arena, y, cb, cr, *, layout, mbW, mbH):
         y, cb, cr = deblock_pallas(y, cb, cr, p, bs_v, bs_h, mbW, mbH)
     else:
         y, cb, cr = deblock_scan(y, cb, cr, p, bs_v, bs_h, mbW, mbH)
-    present = {k for k, _, _, off in layout if off >= 0}
+    present = {k for k, _, _, off, _m in layout if off != -1}
     if "mb_errors" in present:
         y, cb, cr = blend_recovered(y, cb, cr, p)
     return y.astype(jnp.uint8), cb.astype(jnp.uint8), cr.astype(jnp.uint8)
@@ -1617,6 +1617,30 @@ def planes_to_jax(planes):
     return p
 
 
+# gatherable planes: key -> (native dirty tag Planes::DP_*, row elems).
+# The native entropy pass records every coded coefficient block in the
+# per-frame dirty list (its lazy-clear bookkeeping), which doubles as
+# the free coded-row index for sparse shipping.
+GAT_TAGS = {"coef_y": (0, 16), "coef_y8": (1, 64), "coef_y_dc": (2, 16),
+            "coef_c_dc": (3, 8), "coef_cb": (4, 16), "coef_cr": (5, 16)}
+
+
+def gat_masks(planes):
+    """Per-plane SORTED UNIQUE coded-row indices from the native dirty
+    list (int64 arrays — integer row gathers beat boolean masks by ~10x
+    on the pack path), or None when the list is unreliable (dirty_all
+    after a recovery)."""
+    if getattr(planes, "dirty_all", True):
+        return None
+    d = planes.dirty
+    tags = (d >> np.uint64(48)).astype(np.int32)
+    offs = (d & np.uint64((1 << 48) - 1)).astype(np.int64)
+    masks = {}
+    for k, (tag, row_elems) in GAT_TAGS.items():
+        masks[k] = np.unique(offs[tags == tag] // row_elems)
+    return masks
+
+
 COEF_PLANES = frozenset({"coef_y", "coef_y8", "coef_y_dc", "coef_c_dc",
                          "coef_cb", "coef_cr"})
 
@@ -1654,11 +1678,25 @@ def pack_planes(planes, keep=frozenset(), coef8=False):
     return jnp.asarray(arena), layout
 
 
-def plan_layout(planes, keep=frozenset(), coef8=False):
-    """First pass of pack_planes: the static (key, dtype, shape, offset)
-    layout plus the arena byte size, WITHOUT copying any plane.  Lets a
-    caller pack many frames of the same layout into one batched buffer
-    (pack_into) for a single H2D transfer."""
+def plan_layout(planes, keep=frozenset(), coef8=False, gat=None):
+    """First pass of pack_planes: the static layout plus the arena byte
+    size, WITHOUT copying any plane.  Lets a caller pack many frames of
+    the same layout into one batched buffer (pack_into) for a single
+    H2D transfer.
+
+    Entries are (key, dtype, shape, off, meta):
+      off >= 0   dense plane at byte offset off (meta None)
+      off == -1  skipped — device reads zeros (meta None)
+      off == -2  GATHERED: only nonzero rows ship; meta =
+                 (bm_off, tab_off, rows, row_elems, U) — a U-row
+                 little-endian bitmap at bm_off plus a [rows, row_elems]
+                 table at tab_off, expanded on device by
+                 bitmap -> exclusive cumsum -> row gather.
+    `gat` maps a GAT_TAGS key to its row bucket (or None for dense);
+    the host transfer cost is dominated by per-byte compression, so the
+    sparse coefficient planes (~3/4 of the dense arena) shipping as
+    ~1-5% of their rows is the difference between ~5.6 and ~2 MB/frame.
+    """
     flags = np.asarray(planes.mb_flags)
     skip = {"nz_c"}         # never read by any device op (deblock chroma
                             # bS reuses the luma edge bS per §8.7.2.1)
@@ -1684,26 +1722,60 @@ def plan_layout(planes, keep=frozenset(), coef8=False):
         dt = np.dtype(np.int8) if (coef8 and k in COEF_PLANES) \
             else np.dtype(a.dtype)
         if k in skip:
-            layout.append((k, str(dt), shape, -1))
+            layout.append((k, str(dt), shape, -1, None))
+            continue
+        rows = (gat or {}).get(k)
+        if rows is not None:
+            _tag, row_elems = GAT_TAGS[k]
+            U = int(np.prod(shape)) // row_elems
+            off += (-off) % 8
+            bm_off = off
+            off += (U + 7) // 8
+            off += (-off) % 8
+            tab_off = off
+            off += rows * row_elems * dt.itemsize
+            layout.append((k, str(dt), shape, -2,
+                           (bm_off, tab_off, rows, row_elems, U)))
             continue
         off += (-off) % 8
-        layout.append((k, str(dt), shape, off))
+        layout.append((k, str(dt), shape, off, None))
         off += int(np.prod(shape)) * dt.itemsize
     return tuple(layout), off
 
 
-def pack_into(planes, layout, out):
+def pack_into(planes, layout, out, masks=None):
     """Copy each live plane ONCE into `out` (a 1-D uint8 view sized by
     plan_layout; tobytes + join would copy every byte twice — ~2
     ms/frame at 1080p on a 4-core host where entropy runs at ~11
-    ms/frame)."""
+    ms/frame).  Gathered entries need `masks[key]` (bool [U] coded-row
+    mask, see gat_masks)."""
     prev_end = 0
-    for k, dt, shape, off in layout:
-        if off < 0:
+    for k, dt, shape, off, meta in layout:
+        if off == -1:
             continue
         a = np.asarray(getattr(planes, k))
         if k == "coef_c_dc":
             a = a.reshape(shape)
+        if off == -2:
+            bm_off, tab_off, rows, row_elems, U = meta
+            idx = masks[k]                     # sorted unique row indices
+            if bm_off > prev_end:
+                out[prev_end:bm_off] = 0
+            mask = np.zeros(U, bool)
+            mask[idx] = True
+            bm = np.packbits(mask, bitorder="little")
+            out[bm_off:bm_off + bm.nbytes] = bm
+            out[bm_off + bm.nbytes:tab_off] = 0
+            sel = a.reshape(U, row_elems)[idx]
+            if sel.dtype != np.dtype(dt):
+                sel = sel.astype(dt)
+            assert sel.shape[0] <= rows, (k, sel.shape, rows)
+            n = sel.nbytes
+            out[tab_off:tab_off + n] = \
+                np.ascontiguousarray(sel).reshape(-1).view(np.uint8)
+            prev_end = tab_off + rows * row_elems * np.dtype(dt).itemsize
+            out[tab_off + n:prev_end] = 0
+            continue
         if a.dtype != np.dtype(dt):
             a = a.astype(dt)
         if off > prev_end:
@@ -1742,7 +1814,7 @@ def _arena_buf(n, rows=None):
 
 
 def pack_planes_batch(planes_list, ref_planes, keep=frozenset(),
-                      coef8=False, extra=None):
+                      coef8=False, extra=None, gat_state=None):
     """Pack K frames' planes into ONE [K, L] host buffer (a single H2D
     transfer for a whole lockstep step; per-put tunnel cost is high).
     `ref_planes` sizes the shared layout; entries of planes_list that are
@@ -1751,9 +1823,51 @@ def pack_planes_batch(planes_list, ref_planes, keep=frozenset(),
     lanes.  `extra` ([K, E] uint8) is appended per row — the lockstep
     driver rides its per-step metadata (scaling matrices, slot maps,
     ring slots) in the same transfer, since every separate device_put
-    pays the tunnel's ~25 ms fixed cost.  Returns (buf [K, L+pad+E]
-    uint8 numpy, layout, extra_off)."""
-    layout, size = plan_layout(ref_planes, keep=keep, coef8=coef8)
+    pays the tunnel's ~25 ms fixed cost.
+
+    `gat_state` (a caller-owned dict, one per stream/group) enables
+    SPARSE shipping of the coefficient planes: coded-row masks come free
+    from the native dirty lists, and each plane ships as bitmap + the
+    coded rows when that's under half its dense size.  Buckets grow
+    sticky (powers of two) so the layout — and therefore the jit
+    program set — stays bounded per stream.
+
+    Returns (buf [K, L+pad+E] uint8 numpy, layout, extra_off)."""
+    gat = None
+    masks_list = [None] * len(planes_list)
+    if gat_state is not None and not os.environ.get("E264T_NO_GATHER"):
+        counts = {k: 0 for k in GAT_TAGS}
+        all_masks = []
+        ok = True
+        for pl in planes_list:
+            if pl is None:
+                all_masks.append(None)
+                continue
+            m = gat_masks(pl)
+            if m is None:          # recovery made the dirty list
+                ok = False         # unreliable: dense fallback
+                break
+            all_masks.append(m)
+            for k, mm in m.items():
+                counts[k] = max(counts[k], len(mm))
+        if ok:
+            gat = {}
+            itemsize = 1 if coef8 else 2
+            for k, (_tag, row_elems) in GAT_TAGS.items():
+                a = getattr(ref_planes, k)
+                U = int(np.prod(a.shape)) // row_elems
+                b = max(gat_state.get(k, 0), 128)
+                while b < counts[k]:
+                    b *= 2
+                if (U + 7) // 8 + b * row_elems * itemsize \
+                        <= U * row_elems * itemsize // 2:
+                    gat[k] = b
+                    gat_state[k] = b       # sticky growth only when used
+                else:
+                    gat[k] = None          # dense step (e.g. IDR)
+            masks_list = all_masks
+    layout, size = plan_layout(ref_planes, keep=keep, coef8=coef8,
+                               gat=gat)
     extra_off = size + (-size) % 8
     total = extra_off + (extra.shape[1] if extra is not None else 0)
     buf = _arena_buf(total, rows=len(planes_list))
@@ -1761,7 +1875,7 @@ def pack_planes_batch(planes_list, ref_planes, keep=frozenset(),
         if pl is None:
             buf[k, :extra_off] = 0
         else:
-            pack_into(pl, layout, buf[k])
+            pack_into(pl, layout, buf[k], masks=masks_list[k])
             buf[k, size:extra_off] = 0
     if extra is not None:
         buf[:, extra_off:] = extra
@@ -1788,13 +1902,35 @@ def use_pallas() -> bool:
 
 def _unpack_planes(arena, layout):
     """Device-side arena -> int32 plane dict (slices + bitcasts fuse into
-    the consumers; dropped planes come back as zeros)."""
+    the consumers; dropped planes come back as zeros; gathered planes
+    expand via bitmap -> exclusive cumsum -> one row gather, ~0.8
+    ms/frame at 1080p vs ~20 ms/frame of transfer for the dense rows,
+    tools/profile_gather.py)."""
     p = {}
-    for k, dt, shape, off in layout:
-        if off < 0:
+    for k, dt, shape, off, meta in layout:
+        if off == -1:
             p[k] = jnp.zeros(shape, I32)
             continue
         dtype = np.dtype(dt)
+        if off == -2:
+            bm_off, tab_off, rows, row_elems, U = meta
+            bm = lax.slice(arena, (bm_off,), (bm_off + (U + 7) // 8,))
+            bits = (bm[:, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
+            coded = bits.reshape(-1)[:U].astype(I32)
+            seg = lax.slice(arena, (tab_off,),
+                            (tab_off + rows * row_elems * dtype.itemsize,))
+            if dtype.itemsize > 1:
+                seg = lax.bitcast_convert_type(
+                    seg.reshape(rows * row_elems, dtype.itemsize),
+                    _JDT[dt])
+            elif dt == "int8":
+                seg = lax.bitcast_convert_type(seg, jnp.int8)
+            tab = jnp.concatenate(
+                [seg.reshape(rows, row_elems),
+                 jnp.zeros((1, row_elems), seg.dtype)], axis=0)
+            idx = jnp.where(coded > 0, jnp.cumsum(coded) - 1, rows)
+            p[k] = jnp.take(tab, idx, axis=0).astype(I32).reshape(shape)
+            continue
         n = int(np.prod(shape))
         seg = lax.slice(arena, (off,), (off + n * dtype.itemsize,))
         if dtype.itemsize > 1:

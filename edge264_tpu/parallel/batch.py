@@ -255,6 +255,7 @@ def _decode_group(group, results, base, S, lanes, sharding,
     fetcher = ThreadPoolExecutor(max_workers=1)
     refL = refC = None
     keep = set()
+    gat_state = {}      # sticky sparse-coefficient buckets (pack_planes_batch)
     # residual levels ship as int8 while every frame fits (~37% less
     # H2D); the first over-range lane drops the group to int16 for good
     # (one layout change, bounded program count).  Default on only for
@@ -386,7 +387,8 @@ def _decode_group(group, results, base, S, lanes, sharding,
         ref_pl = next(p for p in planes_list if p is not None)
         meta = B.pack_meta(sm4s, sm8s, slot_maps, ring_slots)
         bufnp, layout, meta_off = J.pack_planes_batch(
-            planes_list, ref_pl, keep=keep, coef8=coef8, extra=meta)
+            planes_list, ref_pl, keep=keep, coef8=coef8, extra=meta,
+            gat_state=gat_state)
         if sharding is not None:
             arenas = jax.device_put(bufnp, sharding)
         else:

@@ -81,7 +81,7 @@ def main():
     norm4 = jnp.asarray(_o.NORM_ADJUST_4x4.reshape(6, 16))
     norm8 = jnp.asarray(_o.NORM_ADJUST_8x8.reshape(6, 64))
 
-    present = {k for k, _, _, off in layout if off >= 0}
+    present = {k for k, _, _, off, _m in layout if off != -1}
     has_t8 = "coef_y8" in present
     has_pcm = "pcm_y" in present
 
