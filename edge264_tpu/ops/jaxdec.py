@@ -1625,6 +1625,26 @@ GAT_TAGS = {"coef_y": (0, 16), "coef_y8": (1, 64), "coef_y_dc": (2, 16),
             "coef_c_dc": (3, 8), "coef_cb": (4, 16), "coef_cr": (5, 16)}
 
 
+# base+exception planes: per-4x4-cell data that is USUALLY uniform
+# across its macroblock (single-partition inter mbs, skips, intra).
+# Ships as a dense per-MB base (1/16 the cells) + exception rows for
+# split mbs, gathered like the coefficient planes.  key -> per-cell
+# element count.
+BASE_EXC = {"mvs": 4, "refslot": 2}
+
+
+def split_mb_idx(planes):
+    """Per-plane sorted mb indices whose 4x4-cell field is NOT uniform
+    within the mb (numpy scan; ~2 ms/frame at 1080p)."""
+    H, W = planes.mb_h, planes.mb_w
+    mv = np.asarray(planes.mvs).reshape(H, 4, W, 4, 4)
+    uni_mv = (mv == mv[:, :1, :, :1]).all(axis=(1, 3, 4))
+    rs = np.asarray(planes.refslot).reshape(H, 4, W, 4, 2)
+    uni_rs = (rs == rs[:, :1, :, :1]).all(axis=(1, 3, 4))
+    return {"mvs": np.flatnonzero(~uni_mv.reshape(-1)),
+            "refslot": np.flatnonzero(~uni_rs.reshape(-1))}
+
+
 def gat_masks(planes):
     """Per-plane SORTED UNIQUE coded-row indices from the native dirty
     list (int64 arrays — integer row gathers beat boolean masks by ~10x
@@ -1725,7 +1745,7 @@ def plan_layout(planes, keep=frozenset(), coef8=False, gat=None):
             layout.append((k, str(dt), shape, -1, None))
             continue
         rows = (gat or {}).get(k)
-        if rows is not None:
+        if rows is not None and k in GAT_TAGS:
             _tag, row_elems = GAT_TAGS[k]
             U = int(np.prod(shape)) // row_elems
             off += (-off) % 8
@@ -1736,6 +1756,21 @@ def plan_layout(planes, keep=frozenset(), coef8=False, gat=None):
             off += rows * row_elems * dt.itemsize
             layout.append((k, str(dt), shape, -2,
                            (bm_off, tab_off, rows, row_elems, U)))
+            continue
+        if rows is not None and k in BASE_EXC:
+            be = BASE_EXC[k]
+            U = int(np.prod(shape)) // (16 * be)      # mb count
+            off += (-off) % 8
+            base_off = off
+            off += U * be * dt.itemsize
+            off += (-off) % 8
+            bm_off = off
+            off += (U + 7) // 8
+            off += (-off) % 8
+            tab_off = off
+            off += rows * 16 * be * dt.itemsize
+            layout.append((k, str(dt), shape, -3,
+                           (base_off, bm_off, tab_off, rows, be, U)))
             continue
         off += (-off) % 8
         layout.append((k, str(dt), shape, off, None))
@@ -1774,6 +1809,34 @@ def pack_into(planes, layout, out, masks=None):
             out[tab_off:tab_off + n] = \
                 np.ascontiguousarray(sel).reshape(-1).view(np.uint8)
             prev_end = tab_off + rows * row_elems * np.dtype(dt).itemsize
+            out[tab_off + n:prev_end] = 0
+            continue
+        if off == -3:
+            base_off, bm_off, tab_off, rows, be, U = meta
+            idx = masks[k]                  # sorted split-mb indices
+            H, W = shape[0] // 4, shape[1] // 4
+            a6 = a.reshape(H, 4, W, 4, be)
+            base = np.ascontiguousarray(a6[:, 0, :, 0])
+            if base.dtype != np.dtype(dt):
+                base = base.astype(dt)
+            if base_off > prev_end:
+                out[prev_end:base_off] = 0
+            out[base_off:base_off + base.nbytes] = \
+                base.reshape(-1).view(np.uint8)
+            mask = np.zeros(U, bool)
+            mask[idx] = True
+            bm = np.packbits(mask, bitorder="little")
+            out[base_off + base.nbytes:bm_off] = 0
+            out[bm_off:bm_off + bm.nbytes] = bm
+            out[bm_off + bm.nbytes:tab_off] = 0
+            sel = a6[idx // W, :, idx % W]        # [N, 4, 4, be]
+            if sel.dtype != np.dtype(dt):
+                sel = sel.astype(dt)
+            assert sel.shape[0] <= rows, (k, sel.shape, rows)
+            n = sel.nbytes
+            out[tab_off:tab_off + n] = \
+                np.ascontiguousarray(sel).reshape(-1).view(np.uint8)
+            prev_end = tab_off + rows * 16 * be * np.dtype(dt).itemsize
             out[tab_off + n:prev_end] = 0
             continue
         if a.dtype != np.dtype(dt):
@@ -1839,6 +1902,13 @@ def pack_planes_batch(planes_list, ref_planes, keep=frozenset(),
         counts = {k: 0 for k in GAT_TAGS}
         all_masks = []
         ok = True
+        counts.update({k: 0 for k in BASE_EXC})
+        # the split-mb scan costs ~2 ms/frame; when the content keeps
+        # choosing dense (sub-mb partitions everywhere), probe only
+        # every 8th step instead of paying the scan for nothing
+        tick = gat_state.get("_bx_tick", 0)
+        gat_state["_bx_tick"] = tick + 1
+        do_bx = gat_state.get("_bx_on", True) or tick % 8 == 0
         for pl in planes_list:
             if pl is None:
                 all_masks.append(None)
@@ -1847,9 +1917,14 @@ def pack_planes_batch(planes_list, ref_planes, keep=frozenset(),
             if m is None:          # recovery made the dirty list
                 ok = False         # unreliable: dense fallback
                 break
+            if do_bx:
+                m.update(split_mb_idx(pl))
             all_masks.append(m)
             for k, mm in m.items():
                 counts[k] = max(counts[k], len(mm))
+        if ok and not do_bx:
+            for k in BASE_EXC:
+                counts[k] = 1 << 30          # force dense between probes
         if ok:
             gat = {}
             itemsize = 1 if coef8 else 2
@@ -1865,6 +1940,22 @@ def pack_planes_batch(planes_list, ref_planes, keep=frozenset(),
                     gat_state[k] = b       # sticky growth only when used
                 else:
                     gat[k] = None          # dense step (e.g. IDR)
+            for k, be in BASE_EXC.items():
+                a = np.asarray(getattr(ref_planes, k))
+                isz = a.dtype.itemsize
+                U = int(np.prod(a.shape)) // (16 * be)   # mbs
+                b = max(gat_state.get(k, 0), 128)
+                while b < counts[k]:
+                    b *= 2
+                sparse = (U * be * isz + (U + 7) // 8
+                          + b * 16 * be * isz)
+                if sparse <= U * 16 * be * isz // 2:
+                    gat[k] = b
+                    gat_state[k] = b
+                else:
+                    gat[k] = None
+            gat_state["_bx_on"] = any(
+                gat.get(k) is not None for k in BASE_EXC)
             masks_list = all_masks
     layout, size = plan_layout(ref_planes, keep=keep, coef8=coef8,
                                gat=gat)
@@ -1930,6 +2021,35 @@ def _unpack_planes(arena, layout):
                  jnp.zeros((1, row_elems), seg.dtype)], axis=0)
             idx = jnp.where(coded > 0, jnp.cumsum(coded) - 1, rows)
             p[k] = jnp.take(tab, idx, axis=0).astype(I32).reshape(shape)
+            continue
+        if off == -3:
+            base_off, bm_off, tab_off, rows, be, U = meta
+            H, W = shape[0] // 4, shape[1] // 4
+
+            def seg_at(o, n_elems):
+                s = lax.slice(arena, (o,), (o + n_elems * dtype.itemsize,))
+                if dtype.itemsize > 1:
+                    s = lax.bitcast_convert_type(
+                        s.reshape(n_elems, dtype.itemsize), _JDT[dt])
+                elif dt == "int8":
+                    s = lax.bitcast_convert_type(s, jnp.int8)
+                return s
+
+            base = seg_at(base_off, U * be).reshape(H, W, be)
+            dense0 = jnp.repeat(jnp.repeat(base, 4, 0), 4, 1)
+            bm = lax.slice(arena, (bm_off,), (bm_off + (U + 7) // 8,))
+            bits = (bm[:, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
+            coded = bits.reshape(-1)[:U].astype(I32)
+            tab = jnp.concatenate(
+                [seg_at(tab_off, rows * 16 * be).reshape(rows, 16 * be),
+                 jnp.zeros((1, 16 * be), _JDT[dt])], axis=0)
+            idx = jnp.where(coded > 0, jnp.cumsum(coded) - 1, rows)
+            exc = (jnp.take(tab, idx, axis=0)
+                   .reshape(H, W, 4, 4, be).transpose(0, 2, 1, 3, 4)
+                   .reshape(4 * H, 4 * W, be))
+            m4 = jnp.repeat(jnp.repeat(coded.reshape(H, W) > 0, 4, 0),
+                            4, 1)[..., None]
+            p[k] = jnp.where(m4, exc, dense0).astype(I32).reshape(shape)
             continue
         n = int(np.prod(shape))
         seg = lax.slice(arena, (off,), (off + n * dtype.itemsize,))
