@@ -54,6 +54,12 @@ METRIC = ("1080p CABAC IPB end-to-end decode, 8 closed GOPs in "
           "vs the reference binary)")
 
 
+def _median(runs):
+    s = sorted(runs)
+    n = len(s)
+    return s[n // 2] if n % 2 else round((s[n // 2 - 1] + s[n // 2]) / 2, 2)
+
+
 def emit(value, vs, **extra):
     print(json.dumps({"metric": METRIC, "value": round(value, 2),
                       "unit": "frames/sec",
@@ -292,8 +298,8 @@ def worker():
                      f"{host_fps:.1f} fps\n")
 
     runs = []
-    for _ in range(3):
-        if time.monotonic() > deadline - 60 and runs:
+    for _ in range(5):      # median of 5, like the reference's
+        if time.monotonic() > deadline - 60 and runs:   # benchmarks.yml
             break
         n, dt, ok = run_digest(data, fdigs)
         if n != n_ref or not ok:
@@ -306,8 +312,8 @@ def worker():
         checkpoint(fps_runs=runs)
         sys.stderr.write(f"digest run: {n} frames in {dt:.2f}s = "
                          f"{fps:.1f} fps (all frames digest-verified)\n")
-    best = max(runs)
-    emit(best, best / BASELINE_FPS, host_entropy_ms=round(host_ms, 2),
+    head = _median(runs)
+    emit(head, head / BASELINE_FPS, host_entropy_ms=round(host_ms, 2),
          runs=runs, host_delivery_fps=host_fps, bitexact=True)
 
 
@@ -435,7 +441,7 @@ def _fallback(out, why, attempts=1):
             part = {}
     runs = part.get("fps_runs") or []
     if runs:        # timed runs completed before the failure: report them
-        best = max(runs)
+        best = _median(runs)
         emit(best, best / BASELINE_FPS, error=why, attempts=attempts, **{
             k: v for k, v in part.items() if k != "fps_runs"}, runs=runs)
         return

@@ -174,12 +174,18 @@ class SyntaxPlanes:
         dp = C.POINTER(C.c_uint64)()
         dn = C.c_size_t()
         da = C.c_int()
-        lib.e264t_dirty(handle, slot, C.byref(dp), C.byref(dn),
-                        C.byref(da))
-        n = int(dn.value)
-        self.dirty = (np.ctypeslib.as_array(dp, (n,)).copy() if n
-                      else np.empty(0, np.uint64))
-        self.dirty_all = bool(da.value)
+        rc = lib.e264t_dirty(handle, slot, C.byref(dp), C.byref(dn),
+                             C.byref(da))
+        if rc != 0:
+            # fail-safe: an empty-but-"reliable" list would make the
+            # sparse packer ship all-zero coefficient planes silently
+            self.dirty = np.empty(0, np.uint64)
+            self.dirty_all = True
+        else:
+            n = int(dn.value)
+            self.dirty = (np.ctypeslib.as_array(dp, (n,)).copy() if n
+                          else np.empty(0, np.uint64))
+            self.dirty_all = bool(da.value)
 
 
 class NativeDecoder:

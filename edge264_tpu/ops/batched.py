@@ -200,13 +200,18 @@ def _digest3(y8, cb8, cr8, crop):
     c0 = cb8[ct // 2:(H - cb_) // 2, cl // 2:(W - cr_) // 2]
     c1 = cr8[ct // 2:(H - cb_) // 2, cl // 2:(W - cr_) // 2]
     outs = []
-    for mul in DIG_MULS:
+    for k, mul in enumerate(DIG_MULS):
         acc = jnp.uint32(0)
         base = 1
         for p in (y, c0, c1):
             n = p.size
             i = ((jax.lax.iota(jnp.uint32, n) + jnp.uint32(base))
                  * jnp.uint32(mul))
+            if k == 1:
+                # quadratic weights: word 1 would otherwise be word 0
+                # times a constant (both are mul*S of the same weighted
+                # sum S), i.e. a 32-bit checksum dressed as 64
+                i = i * i
             acc = acc + jnp.sum((p.reshape(-1).astype(jnp.uint32) + 1) * i,
                                 dtype=jnp.uint32)
             base += n
@@ -218,7 +223,7 @@ def host_frame_digest(y, cb, cr):
     """numpy twin of _digest3 over an ALREADY-CROPPED frame; returns a
     (d0, d1) int tuple."""
     outs = []
-    for mul in DIG_MULS:
+    for k, mul in enumerate(DIG_MULS):
         acc = 0
         base = 1
         for p in (y, cb, cr):
@@ -226,6 +231,8 @@ def host_frame_digest(y, cb, cr):
             with np.errstate(over="ignore"):
                 i = ((np.arange(n, dtype=np.uint32) + np.uint32(base))
                      * np.uint32(mul))
+                if k == 1:
+                    i = i * i   # quadratic word (see _digest3)
                 s = ((np.ascontiguousarray(p).reshape(-1)
                       .astype(np.uint32) + 1) * i).sum(dtype=np.uint32)
             acc = (acc + int(s)) & 0xFFFFFFFF

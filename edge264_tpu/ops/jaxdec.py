@@ -33,14 +33,35 @@ import jax.numpy as jnp
 from jax import lax
 
 # the big sheared-wavefront programs are expensive to compile: persist
-# compiled executables across processes (huge win for CLI runs / benches)
-try:
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("E264T_JAX_CACHE",
-                                     "/tmp/e264t_jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-except Exception:
-    pass
+# compiled executables across processes (huge win for CLI runs / benches).
+# CPU is EXCLUDED: XLA:CPU serializes executables with the build machine's
+# CPU features baked in, and deserializing one compiled elsewhere aborts
+# the process (observed as a SIGABRT in backend.deserialize_executable
+# mid-suite) or risks SIGILL.  The cache only exists to amortize TPU
+# compiles, so enable it exactly when this process may reach a TPU:
+# JAX_PLATFORMS=cpu (what tests/conftest.py forces) disables it.
+def _enable_persistent_cache():
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    if plats and set(plats.replace(" ", "").split(",")) <= {"cpu"}:
+        return
+    if "host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+        return      # virtual CPU mesh (tests / multichip dryrun)
+    try:
+        import platform as _pf
+        # key the dir per machine so NFS/tmp shared across heterogeneous
+        # hosts never mixes incompatible executables
+        tag = f"{_pf.machine()}"
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("E264T_JAX_CACHE",
+                           f"/tmp/e264t_jax_cache-{tag}"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          2.0)
+    except Exception:
+        pass
+
+
+_enable_persistent_cache()
 
 from . import oracle as _o
 from .intra_tables import I4_IDX, I16_DIR_IDX, CH_DIR_IDX, \
@@ -1922,9 +1943,6 @@ def pack_planes_batch(planes_list, ref_planes, keep=frozenset(),
             all_masks.append(m)
             for k, mm in m.items():
                 counts[k] = max(counts[k], len(mm))
-        if ok and not do_bx:
-            for k in BASE_EXC:
-                counts[k] = 1 << 30          # force dense between probes
         if ok:
             gat = {}
             itemsize = 1 if coef8 else 2
@@ -1941,6 +1959,9 @@ def pack_planes_batch(planes_list, ref_planes, keep=frozenset(),
                 else:
                     gat[k] = None          # dense step (e.g. IDR)
             for k, be in BASE_EXC.items():
+                if not do_bx:
+                    gat[k] = None          # dense between probes
+                    continue
                 a = np.asarray(getattr(ref_planes, k))
                 isz = a.dtype.itemsize
                 U = int(np.prod(a.shape)) // (16 * be)   # mbs

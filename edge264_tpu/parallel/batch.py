@@ -29,7 +29,9 @@ output pairs the views per access unit like the reference
 
 from __future__ import annotations
 
+import concurrent.futures
 import os
+import queue
 import threading
 
 import numpy as np
@@ -163,6 +165,42 @@ def _stack_level_tables(lane_tabs, planes_list):
     return tabs
 
 
+class _DaemonFetcher:
+    """Single-thread executor on a DAEMON thread, used for eager in-order
+    D2H fetches.  A ThreadPoolExecutor worker blocked in np.asarray on a
+    wedged tunnel is non-daemon and prevents process exit (the exact hang
+    the bench watchdog exists to avoid); a daemon thread cannot."""
+
+    def __init__(self):
+        self._q = queue.SimpleQueue()
+        self._t = threading.Thread(target=self._run, daemon=True,
+                                   name="e264t-fetcher")
+        self._t.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            fn, args, fut = item
+            if not fut.set_running_or_notify_cancel():
+                continue
+            try:
+                fut.set_result(fn(*args))
+            except BaseException as e:          # noqa: BLE001
+                fut.set_exception(e)
+
+    def submit(self, fn, *args):
+        fut = concurrent.futures.Future()
+        self._q.put((fn, args, fut))
+        return fut
+
+    def shutdown(self, wait=True):
+        self._q.put(None)
+        if wait:
+            self._t.join(timeout=60.0)
+
+
 def _return_packed(ln: _Lane, step: int):
     """Release output borrows whose planes were packed at done index
     <= step (both views for MVC pairs): the native DPB may then reuse
@@ -251,8 +289,7 @@ def _decode_group(group, results, base, S, lanes, sharding,
         return [i for i, ln in enumerate(lane_objs)
                 if len(ln.done_slots) > at_step]
 
-    from concurrent.futures import ThreadPoolExecutor
-    fetcher = ThreadPoolExecutor(max_workers=1)
+    fetcher = _DaemonFetcher()
     refL = refC = None
     keep = set()
     gat_state = {}      # sticky sparse-coefficient buckets (pack_planes_batch)
