@@ -122,6 +122,39 @@ def _mc_pallas(arenas, res_y, res_cb, res_cr, refL, refC, slot_maps,
                              res_cr, layout=layout, has_b=has_b)
 
 
+def _intra_dispatch(y, cb, cr, res_y, res_cb, res_cr, p, itabs,
+                    intra_mode, mbW, mbH, has_t8, has_pcm):
+    """Shared intra-mode dispatch.  `itabs` is mode-specific: level
+    tables [K, 3, Lb, Nb] for "levels", the dependency-depth plane
+    [K, mbH, mbW] for "rounds{R}" (see jaxdec.intra_rounds), None
+    otherwise.  "skip" = the step has no intra/PCM macroblock in any
+    lane, so the stage is the identity."""
+    if intra_mode == "skip":
+        return y, cb, cr
+    if intra_mode.startswith("rounds"):
+        R = int(intra_mode[len("rounds"):])
+        return jax.vmap(
+            lambda yy, cc, rr, ry, rcb, rcr, pp:
+            J.intra_rounds(yy, cc, rr, ry, rcb, rcr, pp, None, mbW, mbH,
+                           R, has_t8, has_pcm)
+        )(y, cb, cr, res_y, res_cb, res_cr, p)
+    if intra_mode == "levels":
+        return jax.vmap(
+            lambda yy, cc, rr, ry, rcb, rcr, pp, tt:
+            J.intra_scan(yy, cc, rr, ry, rcb, rcr, pp,
+                         (tt[0], tt[1], tt[2].astype(bool)))
+        )(y, cb, cr, res_y, res_cb, res_cr, p, itabs)
+    if intra_mode == "pallas":
+        from .pallas_intra import intra_pallas_batch
+        return intra_pallas_batch(y, cb, cr, res_y, res_cb, res_cr,
+                                  p, mbW, mbH)
+    return jax.vmap(
+        lambda yy, cc, rr, ry, rcb, rcr, pp:
+        J.intra_scan_sheared(yy, cc, rr, ry, rcb, rcr, pp, mbW, mbH,
+                             has_t8, has_pcm)
+    )(y, cb, cr, res_y, res_cb, res_cr, p)
+
+
 @functools.partial(jax.jit, static_argnames=("layout", "mbW", "mbH",
                                              "intra_mode", "has_t8",
                                              "has_pcm"))
@@ -137,20 +170,8 @@ def _stage_intra(pred, res_y, res_cb, res_cr, arenas, itabs, *, layout,
         cr = jnp.zeros((K, 8 * mbH, 8 * mbW), jnp.int32)
     else:
         y, cb, cr = pred
-    if intra_mode == "levels":
-        return jax.vmap(
-            lambda yy, cc, rr, ry, rcb, rcr, pp, t0, t1, t2:
-            J.intra_scan(yy, cc, rr, ry, rcb, rcr, pp, (t0, t1, t2))
-        )(y, cb, cr, res_y, res_cb, res_cr, p, *itabs)
-    if intra_mode == "pallas":
-        from .pallas_intra import intra_pallas_batch
-        return intra_pallas_batch(y, cb, cr, res_y, res_cb, res_cr,
-                                  p, mbW, mbH)
-    return jax.vmap(
-        lambda yy, cc, rr, ry, rcb, rcr, pp:
-        J.intra_scan_sheared(yy, cc, rr, ry, rcb, rcr, pp, mbW, mbH,
-                             has_t8, has_pcm)
-    )(y, cb, cr, res_y, res_cb, res_cr, p)
+    return _intra_dispatch(y, cb, cr, res_y, res_cb, res_cr, p, itabs,
+                           intra_mode, mbW, mbH, has_t8, has_pcm)
 
 
 @functools.partial(jax.jit, static_argnames=("layout", "mbW", "mbH",
@@ -342,22 +363,9 @@ def _main_impl(arenas, res, mcflat, refL, refC, itabs, *, layout,
         y = jnp.where(mask_y, jnp.clip(pred_y + res_y, 0, 255), 0)
         cb = jnp.where(mask_c, jnp.clip(pred_cb + res_cb, 0, 255), 0)
         cr = jnp.where(mask_c, jnp.clip(pred_cr + res_cr, 0, 255), 0)
-    if intra_mode == "levels":
-        y, cb, cr = jax.vmap(
-            lambda yy, cc, rr, ry, rcb, rcr, pp, tt:
-            J.intra_scan(yy, cc, rr, ry, rcb, rcr, pp,
-                         (tt[0], tt[1], tt[2].astype(bool)))
-        )(y, cb, cr, res_y, res_cb, res_cr, p, itabs)
-    elif intra_mode == "pallas":
-        from .pallas_intra import intra_pallas_batch
-        y, cb, cr = intra_pallas_batch(y, cb, cr, res_y, res_cb, res_cr,
-                                       p, mbW, mbH)
-    else:
-        y, cb, cr = jax.vmap(
-            lambda yy, cc, rr, ry, rcb, rcr, pp:
-            J.intra_scan_sheared(yy, cc, rr, ry, rcb, rcr, pp, mbW, mbH,
-                                 has_t8, has_pcm)
-        )(y, cb, cr, res_y, res_cb, res_cr, p)
+    y, cb, cr = _intra_dispatch(y, cb, cr, res_y, res_cb, res_cr, p,
+                                itabs, intra_mode, mbW, mbH, has_t8,
+                                has_pcm)
     bs_v, bs_h = jax.vmap(J.deblock_bs)(p)
     if pallas_db:
         from .pallas_deblock import deblock_pallas_batch
@@ -412,22 +420,9 @@ def _recon_impl(arenas, res, mcflat, itabs, *, layout, meta_off, mbW,
         y = jnp.where(mask_y, jnp.clip(pred_y + res_y, 0, 255), 0)
         cb = jnp.where(mask_c, jnp.clip(pred_cb + res_cb, 0, 255), 0)
         cr = jnp.where(mask_c, jnp.clip(pred_cr + res_cr, 0, 255), 0)
-    if intra_mode == "levels":
-        y, cb, cr = jax.vmap(
-            lambda yy, cc, rr, ry, rcb, rcr, pp, tt:
-            J.intra_scan(yy, cc, rr, ry, rcb, rcr, pp,
-                         (tt[0], tt[1], tt[2].astype(bool)))
-        )(y, cb, cr, res_y, res_cb, res_cr, p, itabs)
-    elif intra_mode == "pallas":
-        from .pallas_intra import intra_pallas_batch
-        y, cb, cr = intra_pallas_batch(y, cb, cr, res_y, res_cb, res_cr,
-                                       p, mbW, mbH)
-    else:
-        y, cb, cr = jax.vmap(
-            lambda yy, cc, rr, ry, rcb, rcr, pp:
-            J.intra_scan_sheared(yy, cc, rr, ry, rcb, rcr, pp, mbW, mbH,
-                                 has_t8, has_pcm)
-        )(y, cb, cr, res_y, res_cb, res_cr, p)
+    y, cb, cr = _intra_dispatch(y, cb, cr, res_y, res_cb, res_cr, p,
+                                itabs, intra_mode, mbW, mbH, has_t8,
+                                has_pcm)
     return y, cb, cr
 
 
@@ -566,10 +561,7 @@ def _split_pipeline(arenas, refL, refC, itabs, layout, meta_off, mbW,
         pred = _stage_mc(arenas, res_y, res_cb, res_cr, refL, refC,
                          slot_maps, layout=layout, has_b=has_b,
                          mbW=mbW, mbH=mbH)
-    itabs3 = None
-    if itabs is not None:
-        itabs3 = (itabs[:, 0], itabs[:, 1], itabs[:, 2].astype(bool))
-    y, cb, cr = _stage_intra(pred, res_y, res_cb, res_cr, arenas, itabs3,
+    y, cb, cr = _stage_intra(pred, res_y, res_cb, res_cr, arenas, itabs,
                              layout=layout, mbW=mbW, mbH=mbH,
                              intra_mode=intra_mode, has_t8=has_t8,
                              has_pcm=has_pcm)

@@ -724,6 +724,319 @@ def intra_scan_sheared(y, cb, cr, res_y, res_cb, res_cr, p, mbW, mbH,
     return y, cb, cr
 
 
+def intra_round_plane(flags, mbW, mbH, caps=(2, 4, 8)):
+    """Host-side dependency-depth plane for intra_rounds().
+
+    An intra macroblock only waits on *intra* causal neighbours (left,
+    top, top-left, top-right) — inter neighbours are reconstructed by the
+    dense MC+residual pass before any intra work.  Depth 1 = no intra
+    neighbour; depth d = 1 + max(depth of intra neighbours).  P/B frames
+    with sparse intra collapse the ~(mbW+2*mbH) wavefront to 2-4 rounds.
+
+    Returns (lvl int32 [mbH, mbW], R) with R the smallest bucket from
+    `caps` covering max depth (bucketing keeps the jit program count
+    bounded), or None when the frame is too intra-dense (caller uses the
+    sheared wavefront scan instead)."""
+    M = (flags & MBF_INTRA) > 0
+    if M.mean() > 0.4:          # dense: chains won't fit any bucket
+        return None
+    lvl = M.astype(np.int32)
+    for _ in range(caps[-1] + 1):
+        left = np.pad(lvl, ((0, 0), (1, 0)))[:, :-1]
+        top = np.pad(lvl, ((1, 0), (0, 0)))[:-1, :]
+        tl = np.pad(lvl, ((1, 0), (1, 0)))[:-1, :-1]
+        tr = np.pad(lvl, ((1, 0), (0, 1)))[:-1, 1:]
+        new = np.where(M, 1 + np.maximum.reduce([left, top, tl, tr]), 0)
+        if np.array_equal(new, lvl):
+            break
+        lvl = new
+    else:
+        return None
+    R = next((b for b in caps if int(lvl.max()) <= b), None)
+    if R is None:
+        return None
+    return lvl.astype(np.int32), R
+
+
+def intra_rounds(y, cb, cr, res_y, res_cb, res_cr, p, lvl, mbW, mbH,
+                 rounds, has_t8=True, has_pcm=True):
+    """Masked level-rounds intra reconstruction for intra-SPARSE frames.
+
+    The TPU-native replacement for the level-compressed gather scan
+    (whose dynamic-index gathers serialize on TPU, ~276 ms/frame): each
+    round reconstructs EVERY intra macroblock of that dependency depth
+    simultaneously as full-frame tensor work, with all neighbour reads
+    as STATIC slices of zero-padded shifted tile stacks — no gathers, no
+    scatters, no scan.  2-4 rounds replace the ~254-wave sheared scan on
+    typical P/B frames; intra-dense frames (IDR) keep
+    intra_scan_sheared.  Arithmetic is copied 1:1 from the sheared scan
+    (bit-exact against ops/oracle.py); reference mode kernels:
+    edge264_intra.c:291-765."""
+    N = mbH * mbW
+
+    def tile(img, ts):
+        return (img.reshape(mbH, ts, mbW, ts).transpose(0, 2, 1, 3)
+                .reshape(N, ts, ts))
+
+    def untile(X, ts):
+        return (X.reshape(mbH, mbW, ts, ts).transpose(0, 2, 1, 3)
+                .reshape(mbH * ts, mbW * ts))
+
+    Xf = tile(y, 16)
+    Xcbf = tile(cb, 8)
+    Xcrf = tile(cr, 8)
+    ryf = tile(res_y, 16)
+    rcbf = tile(res_cb, 8)
+    rcrf = tile(res_cr, 8)
+    if has_pcm:
+        pyf = tile(p["pcm_y"], 16)
+        pcbf = tile(p["pcm_c"][0], 8)
+        pcrf = tile(p["pcm_c"][1], 8)
+    i4m = tile(p["i4_modes"], 4)                       # [N, 4, 4]
+    if has_t8:
+        i8m = tile(p["i8_modes"], 2)                   # [N, 2, 2]
+    i16m = p["i16_modes"].reshape(N)
+    chm = p["ch_modes"].reshape(N)
+    flags = p["mb_flags"].reshape(N)
+    if lvl is None:
+        # recompute the depth plane on device (R static fixpoint
+        # iterations over the tiny [mbH, mbW] plane) — cheaper than a
+        # second H2D transfer per step on the tunnel.  The host has
+        # already verified max depth <= rounds (intra_round_plane).
+        Mp = (p["mb_flags"].reshape(mbH, mbW) & MBF_INTRA) > 0
+        lv = Mp.astype(I32)
+        for _ in range(rounds):
+            left = jnp.pad(lv, ((0, 0), (1, 0)))[:, :-1]
+            top = jnp.pad(lv, ((1, 0), (0, 0)))[:-1, :]
+            tl_ = jnp.pad(lv, ((1, 0), (1, 0)))[:-1, :-1]
+            tr_ = jnp.pad(lv, ((1, 0), (0, 1)))[:-1, 1:]
+            lv = jnp.where(Mp, 1 + jnp.maximum(jnp.maximum(left, top),
+                                               jnp.maximum(tl_, tr_)), 0)
+        lvl = lv
+    lvl_f = lvl.reshape(N)
+
+    is_pcm = (flags & MBF_IPCM) > 0
+    is_i16 = (flags & MBF_I16x16) > 0
+    is_t8f = (flags & MBF_T8x8) > 0
+    is_intra = (flags & MBF_INTRA) > 0
+    is_i4 = is_intra & ~is_i16 & ~is_pcm & ~is_t8f
+    is_i8 = is_intra & is_t8f & ~is_pcm
+
+    ones = jnp.ones((N, 1), I32)
+    xx16 = jnp.tile(jnp.arange(16, dtype=I32), (16,)).reshape(16, 16)
+    yy16 = xx16.T
+    xx8 = jnp.tile(jnp.arange(8, dtype=I32), (8,)).reshape(8, 8)
+    yy8 = xx8.T
+
+    def nbr_rows(Xf_, ts):
+        """Zero-padded neighbour snapshots from the round-start frame:
+        (top mb bottom row, left mb right col, top-right mb bottom row,
+        top-left mb corner pixel), each [N, ts] / [N]."""
+        X = Xf_.reshape(mbH, mbW, ts, ts)
+        bot = X[:, :, ts - 1, :]
+        rgt = X[:, :, :, ts - 1]
+        T = jnp.pad(bot, ((1, 0), (0, 0), (0, 0)))[:-1]
+        Lc = jnp.pad(rgt, ((0, 0), (1, 0), (0, 0)))[:, :-1]
+        TR = jnp.pad(bot, ((1, 0), (0, 1), (0, 0)))[:-1, 1:]
+        TL = jnp.pad(X[:, :, ts - 1, ts - 1], ((1, 0), (1, 0)))[:-1, :-1]
+        return (T.reshape(N, ts), Lc.reshape(N, ts), TR.reshape(N, ts),
+                TL.reshape(N))
+
+    for r in range(1, rounds + 1):
+        act_mb = lvl_f == r
+        T, Lc, TR, TLp = nbr_rows(Xf, 16)
+
+        # ---- I4x4: 16 quad-order substeps -------------------------------
+        for k in range(16):
+            bx, by = int(BLK4_X[k]), int(BLK4_Y[k])
+            r0, c0 = by * 4, bx * 4
+            m = i4m[:, by, bx]
+            mode = m & 15
+            aA, aB, aC = (m >> 4) & 1, (m >> 5) & 1, (m >> 6) & 1
+            if by == 0:
+                t4 = T[:, c0:c0 + 4]
+                tr = TR[:, 0:4] if bx == 3 else T[:, c0 + 4:c0 + 8]
+            else:
+                t4 = Xf[:, r0 - 1, c0:c0 + 4]
+                if bx == 3:
+                    tr = jnp.broadcast_to(t4[:, 3:4], (N, 4))
+                else:
+                    tr = Xf[:, r0 - 1, c0 + 4:c0 + 8]
+            t = jnp.concatenate(
+                [t4, jnp.where((aC > 0)[:, None], tr, t4[:, 3:4])], 1)
+            l = Lc[:, r0:r0 + 4] if bx == 0 else Xf[:, r0:r0 + 4, c0 - 1]
+            if bx == 0 and by == 0:
+                tl = TLp
+            elif by == 0:
+                tl = T[:, c0 - 1]
+            elif bx == 0:
+                tl = Lc[:, r0 - 1]
+            else:
+                tl = Xf[:, r0 - 1, c0 - 1]
+            nb = jnp.concatenate([l[:, ::-1], tl[:, None], t], 1)
+            dirp = _dir_matmul(nb, _W4, mode, 9, 16)
+            sA, sB = l.sum(1), t[:, :4].sum(1)
+            dc = jnp.where((aA & aB) > 0, (sA + sB + 4) >> 3,
+                           jnp.where(aA > 0, (sA + 2) >> 2,
+                                     jnp.where(aB > 0, (sB + 2) >> 2, 128)))
+            pred = jnp.where((mode == 2)[:, None], dc[:, None], dirp)
+            res = ryf[:, r0:r0 + 4, c0:c0 + 4].reshape(N, 16)
+            recon = jnp.clip(pred + res, 0, 255).reshape(N, 4, 4)
+            act = (act_mb & is_i4)[:, None, None]
+            Xf = Xf.at[:, r0:r0 + 4, c0:c0 + 4].set(
+                jnp.where(act, recon, Xf[:, r0:r0 + 4, c0:c0 + 4]))
+
+        # ---- Intra_8x8: 4 quad-order substeps ---------------------------
+        for b in range(4) if has_t8 else ():
+            bx8, by8 = b & 1, b >> 1
+            r0, c0 = by8 * 8, bx8 * 8
+            mm = i8m[:, by8, bx8]
+            mode = mm & 15
+            aA, aB = (mm >> 4) & 1, (mm >> 5) & 1
+            aC, aD = (mm >> 6) & 1, (mm >> 7) & 1
+            if by8 == 0:
+                t8v = T[:, c0:c0 + 8]
+                tr = TR[:, 0:8] if bx8 == 1 else T[:, 8:16]
+            else:
+                t8v = Xf[:, 7, c0:c0 + 8]
+                if bx8 == 1:
+                    tr = jnp.broadcast_to(t8v[:, 7:8], (N, 8))
+                else:
+                    tr = Xf[:, 7, 8:16]
+            t = jnp.concatenate(
+                [t8v, jnp.where((aC > 0)[:, None], tr, t8v[:, 7:8])], 1)
+            l = Lc[:, r0:r0 + 8] if bx8 == 0 else Xf[:, r0:r0 + 8, 7]
+            if bx8 == 0 and by8 == 0:
+                tl = TLp
+            elif by8 == 0:
+                tl = T[:, c0 - 1]
+            elif bx8 == 0:
+                tl = Lc[:, 7]
+            else:
+                tl = Xf[:, 7, 7]
+            nb = jnp.concatenate([l[:, ::-1], tl[:, None], t], 1)
+            nb1 = jnp.concatenate([nb, ones], 1).astype(jnp.float32)
+            nbf = (jnp.dot(nb1, jnp.asarray(_WF8).T,
+                           preferred_element_type=jnp.float32)
+                   .astype(I32) >> 2)
+            l0, t0, t1, l1 = nb[:, 7], nb[:, 9], nb[:, 10], nb[:, 6]
+            tl0 = nb[:, 8]
+            t0f = jnp.where(aD > 0, (tl0 + 2 * t0 + t1 + 2) >> 2,
+                            (3 * t0 + t1 + 2) >> 2)
+            l0f = jnp.where(aD > 0, (tl0 + 2 * l0 + l1 + 2) >> 2,
+                            (3 * l0 + l1 + 2) >> 2)
+            tlf = jnp.where(
+                aD == 0, tl0,
+                jnp.where((aA & aB) > 0, (t0 + 2 * tl0 + l0 + 2) >> 2,
+                          jnp.where(aB > 0, (3 * tl0 + t0 + 2) >> 2,
+                                    jnp.where(aA > 0,
+                                              (3 * tl0 + l0 + 2) >> 2,
+                                              tl0))))
+            nbf = nbf.at[:, 9].set(t0f).at[:, 7].set(l0f).at[:, 8].set(tlf)
+            nbf = jnp.where((aB > 0)[:, None],
+                            nbf,
+                            jnp.concatenate([nbf[:, :9], nb[:, 9:]], 1))
+            nbf = jnp.where((aA > 0)[:, None],
+                            nbf,
+                            jnp.concatenate([nb[:, :8], nbf[:, 8:]], 1))
+            dirp = _dir_matmul(nbf, _W8, mode, 9, 64)
+            st = jnp.where(aB > 0, nbf[:, 9:17].sum(1), 0)
+            sl = jnp.where(aA > 0, nbf[:, :8].sum(1), 0)
+            dc = jnp.where((aA & aB) > 0, (st + sl + 8) >> 4,
+                           jnp.where(aA > 0, (sl + 4) >> 3,
+                                     jnp.where(aB > 0, (st + 4) >> 3, 128)))
+            pred = jnp.where((mode == 2)[:, None], dc[:, None], dirp)
+            res = ryf[:, r0:r0 + 8, c0:c0 + 8].reshape(N, 64)
+            recon = jnp.clip(pred + res, 0, 255).reshape(N, 8, 8)
+            act = (act_mb & is_i8)[:, None, None]
+            Xf = Xf.at[:, r0:r0 + 8, c0:c0 + 8].set(
+                jnp.where(act, recon, Xf[:, r0:r0 + 8, c0:c0 + 8]))
+
+        # ---- I16x16 -----------------------------------------------------
+        m = i16m
+        mode = m & 3
+        aA, aB = (m >> 4) & 1, (m >> 5) & 1
+        t = jnp.where((aB > 0)[:, None], T, 0)
+        l = jnp.where((aA > 0)[:, None], Lc, 0)
+        nb = jnp.concatenate([l[:, ::-1], TLp[:, None], t], 1)
+        dirp = _dir_matmul(nb, _W16, jnp.clip(mode, 0, 1), 2, 256)
+        st, sl = t.sum(1), l.sum(1)
+        dc = jnp.where((aA & aB) > 0, (st + sl + 16) >> 5,
+                       jnp.where(aA > 0, (sl + 8) >> 4,
+                                 jnp.where(aB > 0, (st + 8) >> 4, 128)))
+        hs = _plane_sums(nb, _I16_HP, _I16_HM, 8)
+        vs = _plane_sums(nb, _I16_VP, _I16_VM, 8)
+        a = 16 * (nb[:, 0] + nb[:, 32])
+        b_ = (5 * hs + 32) >> 6
+        c_ = (5 * vs + 32) >> 6
+        plane = jnp.clip(
+            (a[:, None] + b_[:, None] * (xx16.reshape(-1) - 7)[None, :]
+             + c_[:, None] * (yy16.reshape(-1) - 7)[None, :] + 16) >> 5,
+            0, 255)
+        pred = jnp.where((mode == 2)[:, None], dc[:, None],
+                         jnp.where((mode == 3)[:, None], plane, dirp))
+        recon = jnp.clip(pred + ryf.reshape(N, 256), 0,
+                         255).reshape(N, 16, 16)
+        act = (act_mb & is_i16)[:, None, None]
+        Xf = jnp.where(act, recon, Xf)
+        if has_pcm:
+            Xf = jnp.where((act_mb & is_pcm)[:, None, None], pyf, Xf)
+
+        # ---- chroma -----------------------------------------------------
+        m = chm
+        mode = m & 3
+        aA, aB = (m >> 4) & 1, (m >> 5) & 1
+        out_c = []
+        for img, res_c, pcm_c in ((Xcbf, rcbf, pcbf if has_pcm else None),
+                                  (Xcrf, rcrf, pcrf if has_pcm else None)):
+            Tc, Lcc, _TRc, TLc = nbr_rows(img, 8)
+            t = jnp.where((aB > 0)[:, None], Tc, 0)
+            l = jnp.where((aA > 0)[:, None], Lcc, 0)
+            nb = jnp.concatenate([l[:, ::-1], TLc[:, None], t], 1)
+            dirp = _dir_matmul(nb, _WCH, jnp.clip(mode - 1, 0, 1), 2, 64)
+            ts0, ts1 = t[:, :4].sum(1), t[:, 4:].sum(1)
+            ls0, ls1 = l[:, :4].sum(1), l[:, 4:].sum(1)
+            both, onlyA, onlyB = (aA & aB) > 0, aA > 0, aB > 0
+            q00 = jnp.where(both, (ts0 + ls0 + 4) >> 3,
+                            jnp.where(onlyA, (ls0 + 2) >> 2,
+                                      jnp.where(onlyB, (ts0 + 2) >> 2, 128)))
+            q01 = jnp.where(onlyB, (ts1 + 2) >> 2,
+                            jnp.where(onlyA, (ls0 + 2) >> 2, 128))
+            q10 = jnp.where(onlyA, (ls1 + 2) >> 2,
+                            jnp.where(onlyB, (ts0 + 2) >> 2, 128))
+            q11 = jnp.where(both, (ts1 + ls1 + 4) >> 3,
+                            jnp.where(onlyA, (ls1 + 2) >> 2,
+                                      jnp.where(onlyB, (ts1 + 2) >> 2,
+                                                128)))
+            right = (xx8.reshape(-1) >= 4)[None, :]
+            bottom = (yy8.reshape(-1) >= 4)[None, :]
+            dcmap = jnp.where(
+                bottom, jnp.where(right, q11[:, None], q10[:, None]),
+                jnp.where(right, q01[:, None], q00[:, None]))
+            hs = _plane_sums(nb, _CH_HP, _CH_HM, 4)
+            vs = _plane_sums(nb, _CH_VP, _CH_VM, 4)
+            a = 16 * (nb[:, 0] + nb[:, 16])
+            b_ = (34 * hs + 32) >> 6
+            c_ = (34 * vs + 32) >> 6
+            plane = jnp.clip(
+                (a[:, None] + b_[:, None] * (xx8.reshape(-1) - 3)[None, :]
+                 + c_[:, None] * (yy8.reshape(-1) - 3)[None, :] + 16) >> 5,
+                0, 255)
+            pred = jnp.where((mode == 0)[:, None], dcmap,
+                             jnp.where((mode == 3)[:, None], plane, dirp))
+            recon = jnp.clip(pred + res_c.reshape(N, 64), 0,
+                             255).reshape(N, 8, 8)
+            img = jnp.where((act_mb & is_intra & ~is_pcm)[:, None, None],
+                            recon, img)
+            if has_pcm:
+                img = jnp.where((act_mb & is_pcm)[:, None, None],
+                                pcm_c, img)
+            out_c.append(img)
+        Xcbf, Xcrf = out_c
+
+    return untile(Xf, 16), untile(Xcbf, 8), untile(Xcrf, 8)
+
+
 def intra_scan(y, cb, cr, res_y, res_cb, res_cr, p, tables):
     """Reconstruct all intra macroblocks in wavefront order.  y/cb/cr are
     the working images (int32) holding inter/initial content."""

@@ -257,15 +257,20 @@ def _decode_group(group, results, base, S, lanes, sharding,
     import sys
     import time as _time
     prof = (dict(entropy=0.0, pack=0.0, dispatch=0.0, d2h=0.0, frames=0,
-                 steps=0)
+                 steps=0, t_start=_time.perf_counter(), t_loop=0.0)
             if os.environ.get("E264T_LANE_PROF") else None)
     _clk = _time.perf_counter
-    # the level-compressed gather scan is CPU-only: on the TPU its
-    # dynamic-index gathers serialize — measured 276 ms/frame vs the
-    # static-slice sheared scan's ~25 ms/frame at 1080p K=8
-    # (tools/profile_stages2.py, r4) — 80% of the whole step
-    use_levels = ((not J.use_pallas() or os.environ.get("E264T_LEVELS"))
-                  and not os.environ.get("E264T_NO_LEVELS"))
+    # sparse-intra path: masked level-rounds (jaxdec.intra_rounds) —
+    # full-frame static-slice passes, one per intra dependency depth —
+    # replace both the ~254-wave sheared scan (TPU: ~25 ms/frame at
+    # 1080p) and the old level-compressed gather scan (whose dynamic
+    # gathers serialize on TPU: 276 ms/frame) on P/B steps.
+    # E264T_LEVELS=1 restores the gather scan (CPU debug);
+    # E264T_NO_ROUNDS falls back to sheared everywhere.
+    use_levels = (bool(os.environ.get("E264T_LEVELS"))
+                  and not J.use_pallas())
+    use_rounds = (not use_levels
+                  and not os.environ.get("E264T_NO_ROUNDS"))
     if sharding is not None:
         # shardings need the full lane count; missing GOPs become dead
         # lanes (empty streams decode to nothing)
@@ -366,15 +371,18 @@ def _decode_group(group, results, base, S, lanes, sharding,
                 if (np.asarray(pl.wp).any()
                         or np.asarray(pl.wp8).any()):
                     keep |= {"wp", "wp8"}
-                # level-compressed intra tables: P/B frames with sparse
-                # intra mbs collapse the 254-wave sheared scan to the
-                # longest intra->intra chain (jaxdec.intra_level_tables);
-                # any intra-dense lane (IDRs) falls the STEP back to the
-                # sheared scan (lanes share one program per step).
-                # CPU-only — see the use_levels comment below.
-                lane_tabs.append(
-                    J.intra_level_tables(flags, mbW, mbH)
-                    if use_levels else None)
+                # sparse-intra scheduling: depth plane for the rounds
+                # path (or legacy level tables); any intra-dense lane
+                # (IDRs) falls the whole STEP back to the sheared scan
+                # (lanes share one program per step)
+                if use_rounds:
+                    lane_tabs.append(
+                        J.intra_round_plane(flags, mbW, mbH))
+                elif use_levels:
+                    lane_tabs.append(
+                        J.intra_level_tables(flags, mbW, mbH))
+                else:
+                    lane_tabs.append(None)
                 if coef8 and not J.coef_fits_int8(pl):
                     coef8 = False
                 planes_list.append(pl)
@@ -415,6 +423,9 @@ def _decode_group(group, results, base, S, lanes, sharding,
         for ln in lane_objs:
             _return_packed(ln, step - 1)
         threads = start_parsing(step + 1)
+        if prof:
+            prof["form"] = prof.get("form", 0.0) + _clk() - t0
+            t0 = _clk()
 
         # ONE device transfer per step: all lanes' planes + the per-step
         # meta block (scaling matrices, slot maps, ring slots) in a
@@ -426,10 +437,16 @@ def _decode_group(group, results, base, S, lanes, sharding,
         bufnp, layout, meta_off = J.pack_planes_batch(
             planes_list, ref_pl, keep=keep, coef8=coef8, extra=meta,
             gat_state=gat_state)
+        if prof:
+            prof["npk"] = prof.get("npk", 0.0) + _clk() - t0
+            t0 = _clk()
         if sharding is not None:
             arenas = jax.device_put(bufnp, sharding)
         else:
             arenas = jnp.asarray(bufnp)
+        if prof:
+            prof["put"] = prof.get("put", 0.0) + _clk() - t0
+            t0 = _clk()
         if refL is None:
             refL, refC = B.alloc_ref_rings(K, S, mbW, mbH)
             if sharding is not None:
@@ -448,7 +465,18 @@ def _decode_group(group, results, base, S, lanes, sharding,
                       os.environ.get("E264T_FORCE_PALLAS_INTRA")
                       else "sheared")
         itabs = None
-        if intra_mode == "sheared" and use_levels:
+        if intra_mode == "sheared" and use_rounds:
+            live_tabs = [t for t, pl in zip(lane_tabs, planes_list)
+                         if pl is not None]
+            if live_tabs and all(t is not None for t in live_tabs):
+                if all(int(t[0].max()) == 0 for t in live_tabs):
+                    intra_mode = "skip"     # no intra/PCM mb anywhere
+                else:
+                    # nested buckets, so the max is itself a bucket; the
+                    # depth plane is recomputed on device from mb_flags
+                    # (no extra H2D)
+                    intra_mode = f"rounds{max(t[1] for t in live_tabs)}"
+        elif intra_mode == "sheared" and use_levels:
             itabs = _stack_level_tables(lane_tabs, planes_list)
             if itabs is not None:
                 intra_mode = "levels"
@@ -495,6 +523,9 @@ def _decode_group(group, results, base, S, lanes, sharding,
             if planes_list[i] is not None:
                 ln.store[ln.done_slots[step][1]] = (step, i)
         step += 1
+
+    if prof:
+        prof["t_loop"] = _clk() - prof["t_start"]
 
     # --- output in stream order ------------------------------------------
     host_steps = {}        # step -> (y, cb, cr) numpy batches | digests
@@ -570,8 +601,13 @@ def _decode_group(group, results, base, S, lanes, sharding,
         sys.stderr.write(
             f"[lane-prof] {n} frames / {prof['steps']} steps: "
             f"entropy {prof['entropy']/n*1e3:.1f} pack "
-            f"{prof['pack']/n*1e3:.1f} dispatch "
+            f"{prof['pack']/n*1e3:.1f} "
+            f"(form {prof.get('form', 0.0)/n*1e3:.1f} npk "
+            f"{prof.get('npk', 0.0)/n*1e3:.1f} put "
+            f"{prof.get('put', 0.0)/n*1e3:.1f}) dispatch "
             f"{prof['dispatch']/n*1e3:.1f} d2h+device "
             f"{prof['d2h']/n*1e3:.1f} ms/frame "
+            f"| wall: loop {prof['t_loop']:.2f}s drain "
+            f"{_clk()-prof['t_start']-prof['t_loop']:.2f}s "
             "(dispatch is async enqueue; device execution drains into "
             "d2h)\n")

@@ -35,6 +35,7 @@ print(f"devices={dev} in {time.time()-t0:.1f}s", flush=True)
 x = np.asarray(jax.jit(lambda a: a + 1)(jnp.zeros((8, 128), jnp.int32)))
 print(f"probe ok in {time.time()-t0:.1f}s total", flush=True)
 open(os.path.join(SPOOL, "ready"), "w").write(str(dev))
+STASH = {}      # persistent cross-job state (e.g. the built bench stream)
 
 while True:
     jobs = sorted(f for f in os.listdir(SPOOL) if f.endswith(".py")
@@ -67,7 +68,8 @@ while True:
     t0 = time.time()
     try:
         src = open(path).read()
-        g = {"jax": jax, "jnp": jnp, "np": np, "__name__": "__tpu_job__"}
+        g = {"jax": jax, "jnp": jnp, "np": np, "STASH": STASH,
+             "__name__": "__tpu_job__"}
         exec(compile(src, path, "exec"), g)
         status = "ok"
     except BaseException:
