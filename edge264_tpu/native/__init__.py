@@ -18,7 +18,7 @@ _SRC = os.path.join(_DIR, "src")
 _LIB = os.path.join(_DIR, "libe264t.so")
 
 SOURCES = ["tables.cpp", "cabac_tables.cpp", "cavlc.cpp", "cabac.cpp", "headers.cpp", "slice.cpp",
-           "mb_cavlc.cpp", "mb_inter.cpp", "mb_cabac.cpp", "tasks.cpp", "api.cpp"]
+           "mb_cavlc.cpp", "mb_inter.cpp", "mb_cabac.cpp", "tasks.cpp", "api.cpp", "pack.cpp"]
 CXXFLAGS = ["-std=c++17", "-O3", "-march=native", "-fno-plt", "-fPIC",
             "-shared", "-pthread", "-Wall", "-Wno-unused-function"]
 
@@ -106,8 +106,32 @@ def load():
                                     C.POINTER(C.c_size_t),
                                     C.POINTER(C.c_int)]
         lib.e264t_dirty.restype = C.c_int
+        lib.e264t_pack_probe.argtypes = [C.c_void_p, C.c_int, C.c_int,
+                                         C.POINTER(PackProbe)]
+        lib.e264t_pack_probe.restype = C.c_int
+        lib.e264t_pack_row.argtypes = [C.c_void_p, C.c_int,
+                                       C.POINTER(PackEntry), C.c_int,
+                                       C.POINTER(C.c_uint8), C.c_int64]
+        lib.e264t_pack_row.restype = C.c_int
         _lib = lib
     return _lib
+
+
+class PackEntry(C.Structure):
+    """One arena-layout entry for e264t_pack_row (see native/src/pack.cpp
+    and jaxdec.plan_layout)."""
+    _fields_ = [("key", C.c_int32), ("kind", C.c_int32),
+                ("dst_item", C.c_int32), ("be", C.c_int32),
+                ("off", C.c_int64), ("bm_off", C.c_int64),
+                ("tab_off", C.c_int64), ("base_off", C.c_int64),
+                ("rows", C.c_int64), ("row_elems", C.c_int64),
+                ("U", C.c_int64)]
+
+
+class PackProbe(C.Structure):
+    _fields_ = [("gat_counts", C.c_int64 * 6),
+                ("exc_counts", C.c_int64 * 2),
+                ("coef8_ok", C.c_int32), ("dirty_all", C.c_int32)]
 
 
 class SyntaxPlanes:
@@ -134,6 +158,7 @@ class SyntaxPlanes:
             raise ValueError(f"bad slot {slot}")
         W, H = s.mb_w, s.mb_h
         self.mb_w, self.mb_h = W, H
+        self._handle, self._slot = handle, slot
 
         def arr(ptr, shape, dtype):
             n = int(np.prod(shape))
@@ -186,6 +211,25 @@ class SyntaxPlanes:
             self.dirty = (np.ctypeslib.as_array(dp, (n,)).copy() if n
                           else np.empty(0, np.uint64))
             self.dirty_all = bool(da.value)
+
+    def pack_probe(self, want_exc: bool = True):
+        """Native arena-pack probe: per-tag coded-row counts, split-mb
+        exception counts and the int8-coefficient verdict, with the row
+        lists cached slot-side for pack_row.  Returns a PackProbe or
+        None on error."""
+        pr = PackProbe()
+        rc = load().e264t_pack_probe(self._handle, self._slot,
+                                     1 if want_exc else 0, C.byref(pr))
+        return pr if rc == 0 else None
+
+    def pack_row(self, entries, n: int, out_row: np.ndarray,
+                 size: int) -> int:
+        """Execute a pack plan (PackEntry array) into one arena row,
+        GIL released for the duration.  Returns 0 on success."""
+        return load().e264t_pack_row(
+            self._handle, self._slot, entries, n,
+            out_row.ctypes.data_as(C.POINTER(C.c_uint8)),
+            C.c_int64(size))
 
 
 class NativeDecoder:

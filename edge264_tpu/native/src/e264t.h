@@ -275,6 +275,14 @@ struct Planes {
 	void mark(int id, size_t off) {
 		dirty.push_back((uint64_t)id << 48 | off);
 	}
+
+	// arena-pack scratch (pack.cpp): per-tag sorted unique coded rows
+	// and split-mb exception lists, filled by e264t_pack_probe and
+	// consumed by e264t_pack_row.  Probe+pack run with the GIL released,
+	// which keeps the Python main thread from starving the D2H fetcher.
+	std::vector<int32_t> pack_rows[6];
+	std::vector<int32_t> pack_exc[2];    // 0 = mvs, 1 = refslot
+	bool pack_valid = false, pack_exc_valid = false;
 	void resize(int w, int h);
 	void clear_frame();
 	void clear_mb_range(int mb0, int mb1);

@@ -2230,6 +2230,9 @@ def pack_planes_batch(planes_list, ref_planes, keep=frozenset(),
     program set — stays bounded per stream.
 
     Returns (buf [K, L+pad+E] uint8 numpy, layout, extra_off)."""
+    native = (not os.environ.get("E264T_NO_NATIVE_PACK")
+              and all(pl is None or hasattr(pl, "pack_probe")
+                      for pl in planes_list))
     gat = None
     masks_list = [None] * len(planes_list)
     if gat_state is not None and not os.environ.get("E264T_NO_GATHER"):
@@ -2237,25 +2240,51 @@ def pack_planes_batch(planes_list, ref_planes, keep=frozenset(),
         all_masks = []
         ok = True
         counts.update({k: 0 for k in BASE_EXC})
-        # the split-mb scan costs ~2 ms/frame; when the content keeps
-        # choosing dense (sub-mb partitions everywhere), probe only
-        # every 8th step instead of paying the scan for nothing
-        tick = gat_state.get("_bx_tick", 0)
-        gat_state["_bx_tick"] = tick + 1
-        do_bx = gat_state.get("_bx_on", True) or tick % 8 == 0
-        for pl in planes_list:
-            if pl is None:
-                all_masks.append(None)
-                continue
-            m = gat_masks(pl)
-            if m is None:          # recovery made the dirty list
-                ok = False         # unreliable: dense fallback
-                break
-            if do_bx:
-                m.update(split_mb_idx(pl))
-            all_masks.append(m)
-            for k, mm in m.items():
-                counts[k] = max(counts[k], len(mm))
+        do_bx = True
+        if native:
+            # one C-side probe per lane (GIL released): coded-row counts
+            # from the dirty lists + split-mb scan + int8 verdict
+            for pl in planes_list:
+                if pl is None:
+                    continue
+                pr = pl.pack_probe(True)
+                if pr is None:
+                    ok = False
+                    continue
+                if coef8 and not pr.coef8_ok:
+                    coef8 = False
+                    gat_state["coef8_off"] = True
+                if pr.dirty_all:
+                    ok = False
+                    continue
+                for k, (tag, _re) in GAT_TAGS.items():
+                    counts[k] = max(counts[k], pr.gat_counts[tag])
+                counts["mvs"] = max(counts["mvs"], pr.exc_counts[0])
+                counts["refslot"] = max(counts["refslot"],
+                                        pr.exc_counts[1])
+        else:
+            # numpy fallback; the split-mb scan costs ~2 ms/frame, so
+            # probe only every 8th step while content keeps choosing
+            # dense
+            tick = gat_state.get("_bx_tick", 0)
+            gat_state["_bx_tick"] = tick + 1
+            do_bx = gat_state.get("_bx_on", True) or tick % 8 == 0
+            for pl in planes_list:
+                if pl is None:
+                    all_masks.append(None)
+                    continue
+                if coef8 and not coef_fits_int8(pl):
+                    coef8 = False
+                    gat_state["coef8_off"] = True
+                m = gat_masks(pl)
+                if m is None:          # recovery made the dirty list
+                    ok = False         # unreliable: dense fallback
+                    break
+                if do_bx:
+                    m.update(split_mb_idx(pl))
+                all_masks.append(m)
+                for k, mm in m.items():
+                    counts[k] = max(counts[k], len(mm))
         if ok:
             gat = {}
             itemsize = 1 if coef8 else 2
@@ -2296,15 +2325,50 @@ def pack_planes_batch(planes_list, ref_planes, keep=frozenset(),
     extra_off = size + (-size) % 8
     total = extra_off + (extra.shape[1] if extra is not None else 0)
     buf = _arena_buf(total, rows=len(planes_list))
+    ents = _native_entries(layout) if native else None
     for k, pl in enumerate(planes_list):
         if pl is None:
             buf[k, :extra_off] = 0
+        elif native:
+            rc = pl.pack_row(ents[0], ents[1], buf[k], size)
+            if rc != 0:
+                raise RuntimeError(f"e264t_pack_row failed rc={rc}")
+            buf[k, size:extra_off] = 0
         else:
             pack_into(pl, layout, buf[k], masks=masks_list[k])
             buf[k, size:extra_off] = 0
     if extra is not None:
         buf[:, extra_off:] = extra
     return buf, layout, extra_off
+
+
+@functools.lru_cache(maxsize=64)
+def _native_entries(layout):
+    """Layout tuple -> (PackEntry array, n) for e264t_pack_row (shared
+    by every lane of a step; layouts are sticky so this caches well)."""
+    from ..native import PackEntry
+    items = []
+    for k, dt, shape, off, meta in layout:
+        if off == -1:
+            continue
+        e = PackEntry()
+        e.key = PLANE_KEYS.index(k)
+        e.dst_item = np.dtype(dt).itemsize
+        if off >= 0:
+            e.kind, e.off = 0, off
+        elif off == -2:
+            bm_off, tab_off, rows, row_elems, U = meta
+            e.kind = 2
+            e.bm_off, e.tab_off = bm_off, tab_off
+            e.rows, e.row_elems, e.U = rows, row_elems, U
+        else:                                   # -3 base+exception
+            base_off, bm_off, tab_off, rows, be, U = meta
+            e.kind, e.be = 3, be
+            e.base_off, e.bm_off, e.tab_off = base_off, bm_off, tab_off
+            e.rows, e.U = rows, U
+        items.append(e)
+    arr = (PackEntry * len(items))(*items)
+    return arr, len(items)
 
 
 _JDT = {"uint8": jnp.uint8, "int8": jnp.int8, "int16": jnp.int16,

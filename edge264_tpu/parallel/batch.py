@@ -383,8 +383,6 @@ def _decode_group(group, results, base, S, lanes, sharding,
                         J.intra_level_tables(flags, mbW, mbH))
                 else:
                     lane_tabs.append(None)
-                if coef8 and not J.coef_fits_int8(pl):
-                    coef8 = False
                 planes_list.append(pl)
                 sm4 = np.asarray(pl.sm4).astype(np.int32)
                 ws8 = np.full((6, 64), 16, np.int32)
@@ -434,6 +432,11 @@ def _decode_group(group, results, base, S, lanes, sharding,
         # rows of the shared layout.
         ref_pl = next(p for p in planes_list if p is not None)
         meta = B.pack_meta(sm4s, sm8s, slot_maps, ring_slots)
+        # int8 coefficients stay off for good once any frame exceeds the
+        # range (pack_planes_batch probes and sets coef8_off) — one
+        # layout change per stream, bounded program count
+        if coef8 and gat_state.get("coef8_off"):
+            coef8 = False
         bufnp, layout, meta_off = J.pack_planes_batch(
             planes_list, ref_pl, keep=keep, coef8=coef8, extra=meta,
             gat_state=gat_state)
@@ -497,9 +500,11 @@ def _decode_group(group, results, base, S, lanes, sharding,
                 update=update)
         if os.environ.get("E264T_SYNC_STEPS"):
             # debug/profiling: surface device faults AT the faulting step
-            # (async dispatch otherwise defers them to the output D2H)
+            # (async dispatch otherwise defers them to the output D2H).
+            # The fence is a D2H of computed data — block_until_ready is
+            # NOT a fence on the axon backend (tools/profile_stages2.py)
             t0s = _clk()
-            jax.block_until_ready((aux, refL))
+            np.asarray(aux if aux is not None else refL[:, :1, :1, :1, :8])
             sys.stderr.write(f"[sync-step] step {step} "
                              f"({len(live)} live lanes) ready "
                              f"in {_clk()-t0s:.3f}s\n")

@@ -135,6 +135,13 @@ def main():
         ln.parse_next_frame()
     buf1, layout, meta_off, itabs = step_inputs(1)
     arenas = jnp.asarray(buf1)
+    fence(arenas)
+    for _ in range(2):
+        t0 = time.perf_counter()
+        a2 = jnp.asarray(np.ascontiguousarray(buf1))
+        fence(a2)
+        print(f"arena H2D ({buf1.nbytes/1e6:.1f} MB): "
+              f"{(time.perf_counter()-t0)*1e3:.0f} ms", flush=True)
     itabs_d = jnp.asarray(itabs) if itabs is not None else None
     print(f"step-1 intra: {'levels ' + str(itabs.shape) if itabs is not None else 'sheared'}",
           flush=True)
@@ -162,11 +169,16 @@ def main():
                      res_cr, refL, refC, slot_maps, layout=layout,
                      has_b=True, mbW=mbW, mbH=mbH)
 
-    itabs3 = None if itabs_d is None else (itabs_d[:, 0], itabs_d[:, 1],
-                                           itabs_d[:, 2].astype(bool))
-    mode = "levels" if itabs3 is not None else "sheared"
+    # masked level-rounds (the driver's default): bucket from the max
+    # depth across lanes; fall back to sheared when any lane is dense
+    tabs_r = [J.intra_round_plane(np.asarray(ln.nd.planes(
+        ln.done_slots[1][0]).mb_flags), mbW, mbH) for ln in lanes]
+    if all(t is not None for t in tabs_r):
+        mode = f"rounds{max(t[1] for t in tabs_r)}"
+    else:
+        mode = "sheared"
     ycc = timed(f"intra ({mode})", B._stage_intra, pred, res_y, res_cb,
-                res_cr, arenas, itabs3, layout=layout, mbW=mbW, mbH=mbH,
+                res_cr, arenas, None, layout=layout, mbW=mbW, mbH=mbH,
                 intra_mode=mode, has_t8=has_t8, has_pcm=has_pcm)
     y, cb, cr = ycc
     y8c = timed("deblock", B._stage_deblock, y, cb, cr, arenas,
