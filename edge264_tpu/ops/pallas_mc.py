@@ -44,6 +44,13 @@ I32 = jnp.int32
 
 # flags bits per 8x8 block
 _F_USED0, _F_USED1, _F_UNIFORM = 1, 2, 4
+# pair fast path: this EVEN block and its right neighbour form one
+# uniform 16x8 region (16x16/16x8 partitions, skips) — the even block
+# samples all 16 lanes from ONE load pair per list and the odd block's
+# used bits are cleared (half the loads of the 8x8-uniform path)
+_F_PAIR = 8
+_F_PAIRODD = 16          # odd half of a pair: luma skips (chroma keeps
+                         # its own per-quad path off the used bits)
 
 # VMEM gate: band scratch + out blocks must fit under the raised
 # scoped-VMEM limit (100 MB); beyond this the caller falls back to the
@@ -126,6 +133,18 @@ def pack_mc_params(p, slot_maps, has_b, mbW, mbH):
             [jnp.all(q == q[..., :1], axis=-1) for q in qs])
         uni_all = uni if uni_all is None else (uni_all & uni)
 
+    # ---- pair (16x8) uniformity: even+odd 8x8 blocks identical in every
+    # list (16x16/16x8 partitions, skips) — jointly sampled by the even
+    # block from ONE load pair per list
+    pair_eq = None
+    for (used, sidx, mvx, mvy) in metas:
+        eq = functools.reduce(
+            jnp.logical_and,
+            [a[:, ::2, ::2][:, :, 0::2] == a[:, ::2, ::2][:, :, 1::2]
+             for a in (used.astype(I32), sidx.astype(I32), mvx, mvy)])
+        pair_eq = eq if pair_eq is None else (pair_eq & eq)
+    pairU = uni_all[:, :, 0::2] & uni_all[:, :, 1::2] & pair_eq
+
     for l, (used, sidx, mvx, mvy) in enumerate(metas):
         # ---- luma per-cell (4x4 quadrant path)
         px = jnp.clip(gx4 + (mvx >> 2) + J.PADL, 0, pw_b - 6)
@@ -146,6 +165,23 @@ def pack_mc_params(p, slot_maps, has_b, mbW, mbH):
         pk8B = _pack_load_luma(s0, py8, px8, s8[3], s8[5], s8[4], u0)
         qA = qA.at[..., 0].set(jnp.where(uni_all, pk8A, qA[..., 0]))
         qB = qB.at[..., 0].set(jnp.where(uni_all, pk8B, qB[..., 0]))
+        # ---- luma joint 16x8 (pair arm; even-block q0 slots, wider
+        # x clip for the 16-lane sample)
+        u16, s16 = u0[:, :, 0::2], s0[:, :, 0::2]
+        mx16, my16 = mx0[:, :, 0::2], my0[:, :, 0::2]
+        px16 = jnp.clip(gx4[::2, ::4] + (mx16 >> 2) + J.PADL, 0,
+                        pw_b - 18)
+        py16 = jnp.clip(gy4[::2, ::4] + (my16 >> 2) + J.PADL, 0, ph - 10)
+        ph16 = (my16 & 3) * 4 + (mx16 & 3)
+        s16t = [_sel_phase(ph16, c) for c in range(6)]
+        pk16A = _pack_load_luma(s16, py16, px16, s16t[0], s16t[2],
+                                s16t[1], u16)
+        pk16B = _pack_load_luma(s16, py16, px16, s16t[3], s16t[5],
+                                s16t[4], u16)
+        qA = qA.at[..., 0::2, 0].set(
+            jnp.where(pairU, pk16A, qA[..., 0::2, 0]))
+        qB = qB.at[..., 0::2, 0].set(
+            jnp.where(pairU, pk16B, qB[..., 0::2, 0]))
         pk_l.append(jnp.stack([qA, qB], -1).reshape(K, BR, bc, 8))
 
         # ---- chroma per-cell (2x2)
@@ -167,6 +203,10 @@ def pack_mc_params(p, slot_maps, has_b, mbW, mbH):
                                   1 << l, 0)
 
     flags = flags | jnp.where(uni_all, _F_UNIFORM, 0)
+    fE, fO = flags[:, :, 0::2], flags[:, :, 1::2]
+    flags = jnp.stack([jnp.where(pairU, fE | _F_PAIR, fE),
+                       jnp.where(pairU, fO | _F_PAIRODD, fO)],
+                      -1).reshape(flags.shape)
     if not has_b:
         pk_l.append(jnp.full_like(pk_l[0], -1))
         pk_c.append(jnp.full_like(pk_c[0], -1))
@@ -237,6 +277,11 @@ def _luma_kernel(flags_ref, pk_ref, band_hbm, out0_ref, out1_ref,
                                     pk_ref[0, 0, lo + 1], 8, 0, 0)
                     return jnp.where(sel, v, acc)
 
+                def pair(acc):
+                    sel, v = sample(pk_ref[0, 0, lo],
+                                    pk_ref[0, 0, lo + 1], 16, 0, 0)
+                    return jnp.where(sel, v, acc)
+
                 def quad(acc):
                     for q in range(4):
                         pka = pk_ref[0, 0, lo + 2 * q]
@@ -251,9 +296,14 @@ def _luma_kernel(flags_ref, pk_ref, band_hbm, out0_ref, out1_ref,
                     return acc
 
                 def go(acc):
-                    return jax.lax.cond((f & _F_UNIFORM) != 0, uni, quad, acc)
+                    return jax.lax.cond(
+                        (f & _F_PAIR) != 0, pair,
+                        lambda a: jax.lax.cond((f & _F_UNIFORM) != 0,
+                                               uni, quad, a), acc)
 
-                return jax.lax.cond((f & (1 << l)) != 0, go, lambda a: a, acc)
+                return jax.lax.cond(
+                    ((f & (1 << l)) != 0) & ((f & _F_PAIRODD) == 0),
+                    go, lambda a: a, acc)
 
             acc0, acc1 = accs
             acc0 = do_list(0, acc0)

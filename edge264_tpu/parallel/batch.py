@@ -165,6 +165,13 @@ def _stack_level_tables(lane_tabs, planes_list):
     return tabs
 
 
+def _force_transfer(a):
+    """Demand a 1-element slice of `a` so the runtime pushes the host
+    buffer over the tunnel NOW (concurrent with execution demands from
+    the fetcher thread) instead of lazily inside the next demand chain."""
+    return np.asarray(a[:1, :1])
+
+
 class _DaemonFetcher:
     """Single-thread executor on a DAEMON thread, used for eager in-order
     D2H fetches.  A ThreadPoolExecutor worker blocked in np.asarray on a
@@ -295,6 +302,13 @@ def _decode_group(group, results, base, S, lanes, sharding,
                 if len(ln.done_slots) > at_step]
 
     fetcher = _DaemonFetcher()
+    # second daemon thread: FORCES each step's arena H2D as soon as it is
+    # enqueued.  The axon runtime is lazy — without an eager demand the
+    # ~250 ms wire transfer of a 1080p step arena happens inside the
+    # fetcher's execution demand chain, SERIALIZING H2D with device
+    # execution; driven from separate threads the tunnel runs them
+    # concurrently (measured: exec chain unaffected by concurrent puts)
+    h2d = _DaemonFetcher()
     refL = refC = None
     keep = set()
     gat_state = {}      # sticky sparse-coefficient buckets (pack_planes_batch)
@@ -447,6 +461,7 @@ def _decode_group(group, results, base, S, lanes, sharding,
             arenas = jax.device_put(bufnp, sharding)
         else:
             arenas = jnp.asarray(bufnp)
+        h2d.submit(_force_transfer, arenas)
         if prof:
             prof["put"] = prof.get("put", 0.0) + _clk() - t0
             t0 = _clk()
@@ -600,6 +615,7 @@ def _decode_group(group, results, base, S, lanes, sharding,
                 f.frame_id_mvc = mfid
             results[base + i].append(f)
         ln.nd.close()
+    h2d.shutdown(wait=False)
     fetcher.shutdown(wait=True)
     if prof and prof["frames"]:
         n = prof["frames"]
