@@ -1,5 +1,17 @@
 """Lockstep-batched Pallas wavefront kernels (K frames per wave step)
-vs the single-frame XLA sheared scans, interpret mode on CPU."""
+vs the single-frame XLA sheared scans, interpret mode on CPU.
+
+PROCESS ISOLATION: late in a long suite run, XLA:CPU crashes hard
+(SIGSEGV/SIGABRT inside backend_compile_and_load) while compiling the
+sheared scan for this file — the identical tests pass in a fresh
+process, so the crash is accumulated jaxlib compile state, not these
+tests.  The suite therefore runs this file in a SUBPROCESS: the real
+tests are skipped in the parent and executed by
+test_pallas_batch_isolated below."""
+
+import os
+import subprocess
+import sys
 
 import numpy as np
 import jax.numpy as jnp
@@ -8,6 +20,20 @@ import pytest
 import edge264_tpu.ops.jaxdec as J
 from edge264_tpu.ops.pallas_deblock import deblock_pallas_batch
 from edge264_tpu.ops.pallas_intra import intra_pallas_batch
+
+_ISOLATED = bool(os.environ.get("E264T_ISOLATED_PALLAS_BATCH"))
+_in_parent = pytest.mark.skipif(
+    not _ISOLATED, reason="runs in the isolated subprocess "
+    "(test_pallas_batch_isolated)")
+
+
+@pytest.mark.skipif(_ISOLATED, reason="parent-only wrapper")
+def test_pallas_batch_isolated():
+    env = dict(os.environ, E264T_ISOLATED_PALLAS_BATCH="1")
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", "-x", "-q", __file__],
+        env=env, timeout=2400, capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
 
 
 def _stack(seed, mbW, mbH, K):
@@ -20,6 +46,7 @@ def _stack(seed, mbW, mbH, K):
     return {kk: jnp.stack([v] * K) for kk, v in p.items()}
 
 
+@_in_parent
 @pytest.mark.parametrize("K", [2, 3])
 def test_batched_intra_matches_sheared(K):
     mbW, mbH = 5, 4
@@ -46,6 +73,7 @@ def test_batched_intra_matches_sheared(K):
                 f"lane {k} {name}"
 
 
+@_in_parent
 @pytest.mark.parametrize("K", [2])
 def test_batched_deblock_matches_sheared(K):
     rng = np.random.RandomState(17)
