@@ -659,6 +659,15 @@ int Decoder::parse_sps(bool subset) {
 			return E264T_EBADMSG;
 		s.valid = 1;
 		s.mvc = 1;
+		// entering an MVC sequence: single-view frames queued from the
+		// preceding sequence can never pair with a second view (the
+		// paired-output protocol, edge264.c:373-399) — drain them first
+		if (!ssps.valid && (to_get | outputq)) {
+			finish_frame();
+			bump_frames(true);
+			if (to_get | outputq)
+				return E264T_ENOBUFS;   // reparse this SSPS after drain
+		}
 		ssps = s;
 		return 0;
 	}

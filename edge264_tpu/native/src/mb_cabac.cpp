@@ -190,6 +190,19 @@ static int parse_mb_qp_delta_cabac(Task &d) {
 	return (count & 1) ? count / 2 + 1 : -(count / 2);
 }
 
+// Residual-level logging: one `- {c: [scan-order levels]}` entry per
+// DECODED block and `- {}` for a coded_block_flag of 0, in visit order —
+// the CABAC twin of the CAVLC `- {nC, c}` entries, closing the
+// log-schema-as-test-vector loop (tools/yaml2avc.py compiles them back;
+// reference analog tests/gen_avc.py).
+static void log_block_cabac(Task &d, const int16_t *out,
+                            const uint8_t *scan, int start, int end) {
+	d.logf("    - {c: [");
+	for (int i = start; i <= end; i++)
+		d.logf(i < end ? "%d," : "%d", (int)out[scan[i]]);
+	d.logf("]}\n");
+}
+
 // ---------------------------------------------------------------------------
 // Residuals for a whole macroblock (mirrors Task::parse_residuals)
 void Task::parse_residuals_cabac(MbCtx &m, int cbp, bool is16) {
@@ -203,6 +216,10 @@ void Task::parse_residuals_cabac(MbCtx &m, int cbp, bool is16) {
 			mark(Planes::DP_COEF_Y_DC, m.mbi * 16);
 			parse_block_cabac(*this, 0, 0, 15, zigzag4x4,
 			                  &pl.coef_y_dc[m.mbi * 16], nullptr, nullptr);
+			log_block_cabac(*this, &pl.coef_y_dc[m.mbi * 16], zigzag4x4,
+			                0, 15);
+		} else {
+			logf("    - {}\n");
 		}
 	}
 	bool t8 = (pl.mb_flags[m.mbi] & MBF_T8x8) != 0;
@@ -217,6 +234,8 @@ void Task::parse_residuals_cabac(MbCtx &m, int cbp, bool is16) {
 			parse_block_cabac(*this, 5, 0, 63, zigzag8x8,
 			                  &pl.coef_y8[b8 * 64], SIG_INC_8x8,
 			                  LAST_INC_8x8);
+			log_block_cabac(*this, &pl.coef_y8[b8 * 64], zigzag8x8,
+			                0, 63);
 			for (int k = 0; k < 4; k++)
 				pl.nz_y[m.gblk(i8 * 4 + k)] = 1;
 			continue;
@@ -235,6 +254,10 @@ void Task::parse_residuals_cabac(MbCtx &m, int cbp, bool is16) {
 					parse_block_cabac(*this, 2, 0, 15, zigzag4x4,
 					                  &pl.coef_y[m.gblk(i) * 16],
 					                  nullptr, nullptr);
+				log_block_cabac(*this, &pl.coef_y[m.gblk(i) * 16],
+				                zigzag4x4, is16 ? 1 : 0, 15);
+			} else {
+				logf("    - {}\n");
 			}
 		}
 	}
@@ -246,6 +269,10 @@ void Task::parse_residuals_cabac(MbCtx &m, int cbp, bool is16) {
 				parse_block_cabac(*this, 3, 0, 3, scan2x2,
 				                  &pl.coef_c_dc[m.mbi * 8 + comp * 4],
 				                  nullptr, nullptr);
+				log_block_cabac(*this, &pl.coef_c_dc[m.mbi * 8 + comp * 4],
+				                scan2x2, 0, 3);
+			} else {
+				logf("    - {}\n");
 			}
 		}
 	}
@@ -263,6 +290,10 @@ void Task::parse_residuals_cabac(MbCtx &m, int cbp, bool is16) {
 						        : Planes::DP_COEF_CR, blk * 16);
 						parse_block_cabac(*this, 4, 1, 15, zigzag4x4,
 						                  &plane[blk * 16], nullptr, nullptr);
+						log_block_cabac(*this, &plane[blk * 16], zigzag4x4,
+						                1, 15);
+					} else {
+						logf("    - {}\n");
 					}
 				}
 			}

@@ -80,6 +80,22 @@ def _sel_phase(phase, col):
     return out
 
 
+# all 6 table columns (p1, ox1, oy1, p2, ox2, oy2; each < 16) packed into
+# one nibble-coded int so a phase select is ONE 16-way one-hot instead of
+# six (the param pack runs this for 3 arms x 2 lists per step)
+_MC_TAB_PACKED = [int(sum(int(v) << (4 * i) for i, v in enumerate(row)))
+                  for row in J._MC_TAB_FLAT]
+
+
+def _sel_phase6(phase):
+    out = jnp.zeros_like(phase)
+    for ph in range(16):
+        v = _MC_TAB_PACKED[ph]
+        if v:
+            out = out + jnp.where(phase == ph, v, 0)
+    return [(out >> (4 * c)) & 15 for c in range(6)]
+
+
 def _pack_load_luma(sidx, y, x, p1, oy, ox, used):
     pk = ((sidx * 4 + p1) << 24) | ((y + oy) << 12) | (x + ox)
     return jnp.where(used, pk, -1)
@@ -150,7 +166,7 @@ def pack_mc_params(p, slot_maps, has_b, mbW, mbH):
         px = jnp.clip(gx4 + (mvx >> 2) + J.PADL, 0, pw_b - 6)
         py = jnp.clip(gy4 + (mvy >> 2) + J.PADL, 0, ph - 6)
         phase = (mvy & 3) * 4 + (mvx & 3)
-        s = [_sel_phase(phase, c) for c in range(6)]
+        s = _sel_phase6(phase)
         pkA = _pack_load_luma(sidx, py, px, s[0], s[2], s[1], used)
         pkB = _pack_load_luma(sidx, py, px, s[3], s[5], s[4], used)
         qA, qB = _quads(pkA), _quads(pkB)            # [K,BR,bc,4]
@@ -160,7 +176,7 @@ def pack_mc_params(p, slot_maps, has_b, mbW, mbH):
         px8 = jnp.clip(gx4[::2, ::2] + (mx0 >> 2) + J.PADL, 0, pw_b - 10)
         py8 = jnp.clip(gy4[::2, ::2] + (my0 >> 2) + J.PADL, 0, ph - 10)
         ph8 = (my0 & 3) * 4 + (mx0 & 3)
-        s8 = [_sel_phase(ph8, c) for c in range(6)]
+        s8 = _sel_phase6(ph8)
         pk8A = _pack_load_luma(s0, py8, px8, s8[0], s8[2], s8[1], u0)
         pk8B = _pack_load_luma(s0, py8, px8, s8[3], s8[5], s8[4], u0)
         qA = qA.at[..., 0].set(jnp.where(uni_all, pk8A, qA[..., 0]))
@@ -173,7 +189,7 @@ def pack_mc_params(p, slot_maps, has_b, mbW, mbH):
                         pw_b - 18)
         py16 = jnp.clip(gy4[::2, ::4] + (my16 >> 2) + J.PADL, 0, ph - 10)
         ph16 = (my16 & 3) * 4 + (mx16 & 3)
-        s16t = [_sel_phase(ph16, c) for c in range(6)]
+        s16t = _sel_phase6(ph16)
         pk16A = _pack_load_luma(s16, py16, px16, s16t[0], s16t[2],
                                 s16t[1], u16)
         pk16B = _pack_load_luma(s16, py16, px16, s16t[3], s16t[5],

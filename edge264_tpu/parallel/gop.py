@@ -34,11 +34,21 @@ def split_gops(stream: bytes):
     ps = b""
     gops = []
     cur = b""
+    cur_ps = b""         # parameter-set snapshot when the open GOP began
+    pending = b""        # MVC prefix NAL(s) awaiting their slice
     in_idr = False       # currently appending slices of an IDR frame
     for nal in nals:
         t = nal[3] & 31
         if t in (7, 8, 15):                 # SPS / PPS / subset SPS
+            # NOT flushed into the open GOP: sets arriving between GOPs
+            # belong to the NEXT one (a later same-id PPS would
+            # otherwise override the open GOP's in its prefix)
             ps += nal
+            continue
+        if t == 14:
+            # MVC prefix NAL precedes its slice; if that slice opens a
+            # new GOP the prefix must move with it
+            pending += nal
             continue
         if t == 5:
             # Only the FIRST slice of an IDR frame opens a new GOP: later
@@ -46,14 +56,17 @@ def split_gops(stream: bytes):
             # NAL header, §7.3.3) and must stay with their frame.
             first_mb = _read_ue(nal, 4)
             if cur and not (in_idr and first_mb != 0):
-                gops.append(ps + cur)
+                gops.append(cur_ps + cur)
                 cur = b""
             in_idr = True
         else:
-            in_idr = in_idr and t == 14     # MVC prefix NAL may interleave
-        cur += nal
-    if cur:
-        gops.append(ps + cur)
+            in_idr = False
+        if not cur:
+            cur_ps = ps
+        cur += pending + nal
+        pending = b""
+    if cur or pending:
+        gops.append((cur_ps if cur else ps) + cur + pending)
     return gops
 
 

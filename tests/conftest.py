@@ -10,9 +10,13 @@ if not os.environ.get("E264T_TEST_TPU"):
     os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "parallel_codegen" not in flags:
+    # long suite runs segfault inside XLA:CPU's backend_compile_and_load
+    # (LLVM parallel codegen + hundreds of prior compiles); serializing
+    # codegen avoids the crash at a small compile-time cost
+    flags = (flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
+os.environ["XLA_FLAGS"] = flags
 
 if not os.environ.get("E264T_TEST_TPU"):
     # the axon sitecustomize registers its TPU backend via a programmatic
