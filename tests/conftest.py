@@ -30,6 +30,19 @@ import pytest  # noqa: E402
 REF_DIR = "/root/reference"
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Long suite runs crash (SIGSEGV/SIGABRT) inside XLA:CPU
+    backend_compile_and_load after a few hundred compilations — state
+    accumulated in jit caches (every module-level jit keeps per-layout
+    executables alive for the whole session).  Dropping them per module
+    keeps the process within what jaxlib tolerates."""
+    yield
+    import jax
+
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def ref_oracle():
     """The reference decoder built out-of-tree, as a golden oracle."""

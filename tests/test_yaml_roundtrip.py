@@ -97,3 +97,24 @@ def test_cropping_roundtrip():
     p1, p2 = _pixels(data), _pixels(data2)
     assert p1[0][0].shape == p2[0][0].shape == (32 - 6, 48 - 6)
     assert np.array_equal(p1[0][0], p2[0][0])
+
+
+@pytest.mark.parametrize("gen,kw", [
+    ("gen_random_cabac_ipb_stream", dict(n_gops=2, seed=3)),
+    ("gen_random_ipp_stream", dict(n_frames=3, seed=4)),
+    ("gen_random_ipb_stream", dict(n_gops=2, seed=5)),
+])
+def test_inter_roundtrip(gen, kw):
+    """P/B + CABAC traces compile back (VERDICT r4 #9): the CABAC mb
+    logs carry residual levels (mb_cabac.cpp log_block_cabac), inter
+    macroblocks rebuild from mb_type/sub_mb_types/ref_idx/mvds."""
+    import tools.avcgen as A
+    data = getattr(A, gen)(6, 5, **kw)
+    trace = _trace(data)
+    data2 = stream_from_trace(trace)
+    assert_traces_match(trace, _trace(data2), gen)
+    p1, p2 = _pixels(data), _pixels(data2)
+    assert len(p1) == len(p2)
+    for f1, f2 in zip(p1, p2):
+        for a, b in zip(f1, f2):
+            assert np.array_equal(a, b)
