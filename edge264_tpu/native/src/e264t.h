@@ -260,6 +260,14 @@ struct Planes {
 	                                  // list's refIdx was parsed nonzero (CABAC ref ctx)
 	std::vector<uint16_t> slice_id;   // [mbH*mbW]        slice index within frame
 	std::vector<uint8_t> mb_errors;   // [mbH*mbW] concealment confidence (%)
+	std::vector<uint8_t> pred_modes;  // [mbH*4*mbW*4] PARSED IntraNxN mode
+	                                  // per 4x4 (0xFF none): §8.3.1.1 mode
+	                                  // prediction reads these, while
+	                                  // i4_modes/i8_modes carry the
+	                                  // RESOLVED kernel enum (corrupt-mode
+	                                  // fallback to no-neighbour DC, like
+	                                  // the reference's Intra4x4Modes
+	                                  // tables, edge264_slice.c:573-594)
 	uint8_t sm4[6][16];               // resolved weightScale4x4 (last slice)
 	uint8_t sm8[2][64];               // resolved 8x8 intra/inter lists
 
@@ -287,6 +295,25 @@ struct Planes {
 	void clear_frame();
 	void clear_mb_range(int mb0, int mb1);
 };
+
+// Corrupt-stream intra-mode fallback (§8.3 forbids signalling a mode
+// whose needed neighbour is unavailable; the reference renders plain DC
+// under the ACTUAL availability then — Intra16x16Modes/IntraChromaModes,
+// edge264_slice.c:720-725, 874-877).  avail_bits: A<<4 | B<<5.
+static inline int resolve_i16_mode(int mode, int avail_bits) {
+	bool aA = avail_bits & 0x10, aB = avail_bits & 0x20;
+	if ((mode == 0 && !aB) || (mode == 1 && !aA) ||
+	    (mode == 3 && !(aA && aB)))
+		return 2;
+	return mode;
+}
+static inline int resolve_chroma_mode(int mode, int avail_bits) {
+	bool aA = avail_bits & 0x10, aB = avail_bits & 0x20;
+	if ((mode == 1 && !aA) || (mode == 2 && !aB) ||
+	    (mode == 3 && !(aA && aB)))
+		return 0;
+	return mode;
+}
 
 // mb_flags bits
 enum {

@@ -377,17 +377,20 @@ int Task::parse_I_mb_cabac(MbCtx &m, int ctx_base) {
 					mode = rem < pred ? rem : rem + 1;
 				}
 				bool aA = m.blkA_avail(i), aB = m.blkB_avail(i);
-				if ((needs_A8 >> mode & 1) && !aA) mode = 2;
-				if ((needs_B8 >> mode & 1) && !aB) mode = 2;
-				if ((mode == 4 || mode == 5 || mode == 6) && !aD8[b])
-					mode = 2;
 				modes8[b] = mode;
-				for (int k = 0; k < 4; k++)
-					pl.i4_modes[m.gblk(i + k)] = (uint8_t)mode;
+				bool fb = ((needs_A8 >> mode & 1) && !aA)
+				       || ((needs_B8 >> mode & 1) && !aB)
+				       || ((mode == 4 || mode == 5 || mode == 6)
+				           && !aD8[b]);
+				for (int k = 0; k < 4; k++) {
+					pl.pred_modes[m.gblk(i + k)] = (uint8_t)mode;
+					pl.i4_modes[m.gblk(i + k)] = (uint8_t)(fb ? 2 : mode);
+				}
 				size_t b8 = (size_t)(m.my * 2 + (b >> 1)) * (m.mbW * 2)
 					+ m.mx * 2 + (b & 1);
-				pl.i8_modes[b8] = (uint8_t)(mode | aA << 4 | aB << 5 |
-				                            aC8[b] << 6 | aD8[b] << 7);
+				pl.i8_modes[b8] = (uint8_t)(fb ? 2
+					: (mode | aA << 4 | aB << 5 |
+					   aC8[b] << 6 | aD8[b] << 7));
 			}
 			if (logdec && log_mbs) {
 				logf("    rem_intra8x8_pred_modes: [");
@@ -398,7 +401,8 @@ int Task::parse_I_mb_cabac(MbCtx &m, int ctx_base) {
 			}
 			int avail_bits = (m.availA << 4) | (m.availB << 5) | (m.availD << 6);
 			int chroma_mode = parse_chroma_mode_cabac(m);
-			pl.ch_modes[m.mbi] = (uint8_t)(chroma_mode | (avail_bits & 0x70));
+			pl.ch_modes[m.mbi] = (uint8_t)(resolve_chroma_mode(chroma_mode,
+			avail_bits) | (avail_bits & 0x70));
 			pl.mb_flags[m.mbi] = MBF_INTRA | MBF_T8x8 | MBF_PARSED;
 			int cbp = parse_cbp_cabac(*this, m);
 			logf("    coded_block_pattern: %u\n", cbp);
@@ -440,14 +444,16 @@ int Task::parse_I_mb_cabac(MbCtx &m, int ctx_base) {
 				mode = rem < pred ? rem : rem + 1;
 			}
 			bool aA = m.blkA_avail(i), aB = m.blkB_avail(i);
-			if ((needs_A >> mode & 1) && !aA) mode = 2;
-			if ((needs_B >> mode & 1) && !aB) mode = 2;
-			if ((mode == 4 || mode == 5 || mode == 6) && !m.blkD_avail(i))
-				mode = 2;
 			modes[i] = mode;
-			int bits = (aA << 4) | (aB << 5) | (m.blkC_avail(i) << 6) |
-				(m.blkD_avail(i) << 7);
-			pl.i4_modes[m.gblk(i)] = (uint8_t)(mode | bits);
+			pl.pred_modes[m.gblk(i)] = (uint8_t)mode;
+			bool fb = ((needs_A >> mode & 1) && !aA)
+			       || ((needs_B >> mode & 1) && !aB)
+			       || ((mode == 4 || mode == 5 || mode == 6)
+			           && !m.blkD_avail(i));
+			int bits = fb ? 0
+				: (aA << 4) | (aB << 5) | (m.blkC_avail(i) << 6) |
+				  (m.blkD_avail(i) << 7);
+			pl.i4_modes[m.gblk(i)] = (uint8_t)((fb ? 2 : mode) | bits);
 		}
 		if (logdec && log_mbs) {
 			logf("    rem_intra4x4_pred_modes: [");
@@ -460,7 +466,8 @@ int Task::parse_I_mb_cabac(MbCtx &m, int ctx_base) {
 		}
 		int avail_bits = (m.availA << 4) | (m.availB << 5) | (m.availD << 6);
 		int chroma_mode = parse_chroma_mode_cabac(m);
-		pl.ch_modes[m.mbi] = (uint8_t)(chroma_mode | (avail_bits & 0x70));
+		pl.ch_modes[m.mbi] = (uint8_t)(resolve_chroma_mode(chroma_mode,
+			avail_bits) | (avail_bits & 0x70));
 		pl.mb_flags[m.mbi] = MBF_INTRA | MBF_PARSED;
 		int cbp = parse_cbp_cabac(*this, m);
 		logf("    coded_block_pattern: %u\n", cbp);
@@ -493,9 +500,11 @@ int Task::parse_I_mb_cabac(MbCtx &m, int ctx_base) {
 		logf("    mb_type: %u\n", (cbp_luma ? 12 : 0) + cbp_c * 4 + mode
 		     + (in_p ? 6 : in_b ? 24 : 1));
 		int avail_bits = (m.availA << 4) | (m.availB << 5) | (m.availD << 6);
-		pl.i16_modes[m.mbi] = (uint8_t)(mode | avail_bits);
+		pl.i16_modes[m.mbi] = (uint8_t)(resolve_i16_mode(mode,
+			avail_bits) | avail_bits);
 		int chroma_mode = parse_chroma_mode_cabac(m);
-		pl.ch_modes[m.mbi] = (uint8_t)(chroma_mode | (avail_bits & 0x70));
+		pl.ch_modes[m.mbi] = (uint8_t)(resolve_chroma_mode(chroma_mode,
+			avail_bits) | (avail_bits & 0x70));
 		pl.mb_flags[m.mbi] = MBF_INTRA | MBF_I16x16 | MBF_PARSED;
 		pl.cbp[m.mbi] = (uint8_t)(cbp_luma | cbp_c << 4);
 		int delta = parse_mb_qp_delta_cabac(*this);

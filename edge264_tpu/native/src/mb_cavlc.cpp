@@ -70,14 +70,18 @@ int Task::MbCtx::nC_chroma(int comp, int cx, int cy) const {
 }
 
 // parsed intra mode of a neighbour block, or -1 if not intra NxN
+// §8.3.1.1 mode prediction reads the PARSED neighbour modes (pred_modes),
+// not the resolved kernel enums: a corrupt-mode fallback must not leak
+// into later predictions (matches the reference, whose mb record keeps
+// Intra4x4PredMode as parsed)
 int Task::MbCtx::neighbor_mode_A(int i) const {
 	if (!blkA_avail(i)) return -1;
-	uint8_t v = pl.i4_modes[(size_t)gby(i) * (mbW * 4) + gbx(i) - 1];
+	uint8_t v = pl.pred_modes[(size_t)gby(i) * (mbW * 4) + gbx(i) - 1];
 	return v == 0xFF ? -1 : v & 15;
 }
 int Task::MbCtx::neighbor_mode_B(int i) const {
 	if (!blkB_avail(i)) return -1;
-	uint8_t v = pl.i4_modes[(size_t)(gby(i) - 1) * (mbW * 4) + gbx(i)];
+	uint8_t v = pl.pred_modes[(size_t)(gby(i) - 1) * (mbW * 4) + gbx(i)];
 	return v == 0xFF ? -1 : v & 15;
 }
 
@@ -198,17 +202,20 @@ int Task::parse_I_mb(MbCtx &m, int mb_type) {
 					mode = rem < pred ? rem : rem + 1;
 				}
 				bool aA = m.blkA_avail(i), aB = m.blkB_avail(i);
-				if ((needs_A8 >> mode & 1) && !aA) mode = 2;
-				if ((needs_B8 >> mode & 1) && !aB) mode = 2;
-				if ((mode == 4 || mode == 5 || mode == 6) && !aD8[b])
-					mode = 2;
 				modes[b] = mode;
-				for (int k = 0; k < 4; k++)
-					pl.i4_modes[m.gblk(i + k)] = (uint8_t)mode;
+				bool fb = ((needs_A8 >> mode & 1) && !aA)
+				       || ((needs_B8 >> mode & 1) && !aB)
+				       || ((mode == 4 || mode == 5 || mode == 6)
+				           && !aD8[b]);
+				for (int k = 0; k < 4; k++) {
+					pl.pred_modes[m.gblk(i + k)] = (uint8_t)mode;
+					pl.i4_modes[m.gblk(i + k)] = (uint8_t)(fb ? 2 : mode);
+				}
 				size_t b8 = (size_t)(m.my * 2 + (b >> 1)) * (m.mbW * 2)
 					+ m.mx * 2 + (b & 1);
-				pl.i8_modes[b8] = (uint8_t)(mode | aA << 4 | aB << 5 |
-				                            aC8[b] << 6 | aD8[b] << 7);
+				pl.i8_modes[b8] = (uint8_t)(fb ? 2
+					: (mode | aA << 4 | aB << 5 |
+					   aC8[b] << 6 | aD8[b] << 7));
 			}
 			if (logdec && log_mbs) {
 				logf("    rem_intra8x8_pred_modes: [");
@@ -219,7 +226,8 @@ int Task::parse_I_mb(MbCtx &m, int mb_type) {
 			}
 			int chroma_mode = gb.ue(3);
 			logf("    intra_chroma_pred_mode: %u\n", chroma_mode);
-			pl.ch_modes[m.mbi] = (uint8_t)(chroma_mode | (avail_bits & 0x70));
+			pl.ch_modes[m.mbi] = (uint8_t)(resolve_chroma_mode(chroma_mode,
+			avail_bits) | (avail_bits & 0x70));
 			cbp = me_cbp_intra[gb.ue(47)];
 			logf("    coded_block_pattern: %u\n", cbp);
 			pl.mb_flags[m.mbi] = MBF_INTRA | MBF_T8x8 | MBF_PARSED;
@@ -257,16 +265,20 @@ int Task::parse_I_mb(MbCtx &m, int mb_type) {
 				rems[i] = rem;
 				mode = rem < pred ? rem : rem + 1;
 			}
-			// safe-mode remap for corrupt streams
+			// corrupt-stream fallback: a mode whose needed neighbour is
+			// missing renders as NO-NEIGHBOUR DC (128), like the
+			// reference's Intra4x4Modes tables (edge264_slice.c:573-594)
 			bool aA = m.blkA_avail(i), aB = m.blkB_avail(i);
-			if ((mode_needs_A >> mode & 1) && !aA) mode = 2;
-			if ((mode_needs_B >> mode & 1) && !aB) mode = 2;
-			if ((mode == 4 || mode == 5 || mode == 6) && !m.blkD_avail(i))
-				mode = 2;
 			modes[i] = mode;
-			int bits = (aA << 4) | (aB << 5) | (m.blkC_avail(i) << 6) |
-				(m.blkD_avail(i) << 7);
-			pl.i4_modes[m.gblk(i)] = (uint8_t)(mode | bits);
+			pl.pred_modes[m.gblk(i)] = (uint8_t)mode;
+			bool fb = ((mode_needs_A >> mode & 1) && !aA)
+			       || ((mode_needs_B >> mode & 1) && !aB)
+			       || ((mode == 4 || mode == 5 || mode == 6)
+			           && !m.blkD_avail(i));
+			int bits = fb ? 0
+				: (aA << 4) | (aB << 5) | (m.blkC_avail(i) << 6) |
+				  (m.blkD_avail(i) << 7);
+			pl.i4_modes[m.gblk(i)] = (uint8_t)((fb ? 2 : mode) | bits);
 		}
 		if (logdec && log_mbs) {
 			logf("    rem_intra4x4_pred_modes: [");
@@ -279,7 +291,8 @@ int Task::parse_I_mb(MbCtx &m, int mb_type) {
 		}
 		int chroma_mode = gb.ue(3);
 		logf("    intra_chroma_pred_mode: %u\n", chroma_mode);
-		pl.ch_modes[m.mbi] = (uint8_t)(chroma_mode | (avail_bits & 0x70));
+		pl.ch_modes[m.mbi] = (uint8_t)(resolve_chroma_mode(chroma_mode,
+			avail_bits) | (avail_bits & 0x70));
 		cbp = me_cbp_intra[gb.ue(47)];
 		logf("    coded_block_pattern: %u\n", cbp);
 		pl.mb_flags[m.mbi] = MBF_INTRA | MBF_PARSED;
@@ -289,10 +302,12 @@ int Task::parse_I_mb(MbCtx &m, int mb_type) {
 		int cbp_chroma = (t >> 2) % 3;
 		int cbp_luma = t >= 12 ? 15 : 0;
 		cbp = cbp_luma | cbp_chroma << 4;
-		pl.i16_modes[m.mbi] = (uint8_t)(pred_mode | avail_bits);
+		pl.i16_modes[m.mbi] = (uint8_t)(resolve_i16_mode(pred_mode,
+			avail_bits) | avail_bits);
 		int chroma_mode = gb.ue(3);
 		logf("    intra_chroma_pred_mode: %u\n", chroma_mode);
-		pl.ch_modes[m.mbi] = (uint8_t)(chroma_mode | (avail_bits & 0x70));
+		pl.ch_modes[m.mbi] = (uint8_t)(resolve_chroma_mode(chroma_mode,
+			avail_bits) | (avail_bits & 0x70));
 		pl.mb_flags[m.mbi] = MBF_INTRA | MBF_I16x16 | MBF_PARSED;
 	}
 

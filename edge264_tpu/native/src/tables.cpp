@@ -110,6 +110,7 @@ void Planes::resize(int w, int h) {
 	mb_flags.assign(n, 0);
 	qp.assign(n * 4, 0);
 	i4_modes.assign(n * 16, 0xFF);
+	pred_modes.assign(n * 16, 0xFF);
 	i16_modes.assign(n, 0xFF);
 	i8_modes.assign(n * 4, 0xFF);
 	ch_modes.assign(n, 0xFF);
@@ -151,6 +152,7 @@ void Planes::clear_frame() {
 	memset(mb_flags.data(), 0, n * 4);
 	memset(qp.data(), 0, n * 4);
 	memset(i4_modes.data(), 0xFF, n * 16);
+	memset(pred_modes.data(), 0xFF, n * 16);
 	memset(i16_modes.data(), 0xFF, n);
 	memset(i8_modes.data(), 0xFF, n * 4);
 	memset(ch_modes.data(), 0xFF, n);

@@ -2832,7 +2832,16 @@ def _mc_combine(p, preds, has_b=True):
     pred_y, mask_y = combine(y0_, y1_, u0y, u1y, modey, lwdy, 0, 4)
     pred_cb, _ = combine(cb0, cb1, u0c, u1c, modec, cwdc, 1, 2)
     pred_cr, mask_c = combine(cr0, cr1, u0c, u1c, modec, cwdc, 2, 2)
-    return pred_y, pred_cb, pred_cr, mask_y, mask_c
+    # cells of an INTER mb with no valid reference on either list
+    # (corrupt stream, e.g. a list modification to a nonexistent pic):
+    # predict mid-gray, the concealment default (matches ops/oracle.py)
+    inter = _mb_to_blk4((p["mb_flags"] & MBF_INTER) > 0)
+    orph_y = _expand_cell(inter, 4) & ~mask_y
+    orph_c = _expand_cell(inter, 2) & ~mask_c
+    pred_y = jnp.where(orph_y, 128, pred_y)
+    pred_cb = jnp.where(orph_c, 128, pred_cb)
+    pred_cr = jnp.where(orph_c, 128, pred_cr)
+    return (pred_y, pred_cb, pred_cr, mask_y | orph_y, mask_c | orph_c)
 
 
 @functools.partial(jax.jit, static_argnames=("mbW", "mbH", "has_b"))

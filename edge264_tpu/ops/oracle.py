@@ -547,7 +547,11 @@ def reconstruct_intra_mb(pl, y, cb, cr, mx, my, sm: ScalingMatrices):
         mode, aA, aB, aD = mb & 3, mb >> 4 & 1, mb >> 5 & 1, mb >> 6 & 1
         t = y[y0 - 1, x0:x0 + 16] if aB else np.zeros(16, np.uint8)
         l = y[y0:y0 + 16, x0 - 1] if aA else np.zeros(16, np.uint8)
-        tl = y[y0 - 1, x0 - 1] if aD else 0
+        # PHYSICAL corner sample regardless of D availability: plane is
+        # the only consumer, it only runs with A and B available, and
+        # the reference reads the decoded pixel across slice boundaries
+        # (its I16x16/chroma mode tables key on A/B only)
+        tl = y[max(y0 - 1, 0), max(x0 - 1, 0)]
         pred = intra16x16_pred(mode, t, l, tl, aA, aB)
         dc = luma_dc_dequant(pl.coef_y_dc[my, mx].reshape(4, 4), qpy,
                              sm.ws4[0][0, 0])
@@ -614,7 +618,7 @@ def reconstruct_intra_mb(pl, y, cb, cr, mx, my, sm: ScalingMatrices):
                                   (1, cr, pl.coef_cr, int(pl.qp[my, mx, 2]))):
         t = img[cy0 - 1, cx0:cx0 + 8] if aB else np.zeros(8, np.uint8)
         l = img[cy0:cy0 + 8, cx0 - 1] if aA else np.zeros(8, np.uint8)
-        tl = img[cy0 - 1, cx0 - 1] if aD else 0
+        tl = img[max(cy0 - 1, 0), max(cx0 - 1, 0)]   # physical (see i16)
         pred = intra_chroma_pred(mode, t, l, tl, aA, aB)
         ws = sm.ws4[1 + comp]
         dc = chroma_dc_dequant(pl.coef_c_dc[my, mx, comp].reshape(2, 2), qpc,
@@ -781,7 +785,13 @@ def inter_pred_mb(pl, mx, my, dpb):
                     mc_chroma(rc, gx * 2 + (mvx >> 3), gy * 2 + (mvy >> 3),
                               mvx & 7, mvy & 7, 2, 2)
                     for rc in (rcb, rcr)])
-            if len(lists) == 1:
+            if not lists:
+                # no valid reference on either list (corrupt stream /
+                # modification to a nonexistent pic): predict mid-gray,
+                # the concealment default
+                y4 = np.full((4, 4), 128, np.int32)
+                c4 = [np.full((2, 2), 128, np.int32) for _ in range(2)]
+            elif len(lists) == 1:
                 l = lists[0]
                 if mode == 1:
                     y4 = _weight_single(preds_y[0], int(w8[l, 0, 0]),

@@ -165,24 +165,19 @@ def _stack_level_tables(lane_tabs, planes_list):
     return tabs
 
 
-def _force_transfer(a):
-    """Demand a 1-element slice of `a` so the runtime pushes the host
-    buffer over the tunnel NOW (concurrent with execution demands from
-    the fetcher thread) instead of lazily inside the next demand chain."""
-    return np.asarray(a[:1, :1])
-
-
 class _DaemonFetcher:
-    """Single-thread executor on a DAEMON thread, used for eager in-order
-    D2H fetches.  A ThreadPoolExecutor worker blocked in np.asarray on a
-    wedged tunnel is non-daemon and prevents process exit (the exact hang
-    the bench watchdog exists to avoid); a daemon thread cannot."""
+    """Small executor on DAEMON threads, used for eager D2H fetches.  A
+    ThreadPoolExecutor worker blocked in np.asarray on a wedged tunnel
+    is non-daemon and prevents process exit (the exact hang the bench
+    watchdog exists to avoid); daemon threads cannot."""
 
-    def __init__(self):
+    def __init__(self, n=1):
         self._q = queue.SimpleQueue()
-        self._t = threading.Thread(target=self._run, daemon=True,
-                                   name="e264t-fetcher")
-        self._t.start()
+        self._ts = [threading.Thread(target=self._run, daemon=True,
+                                     name=f"e264t-fetcher-{i}")
+                    for i in range(n)]
+        for t in self._ts:
+            t.start()
 
     def _run(self):
         while True:
@@ -203,9 +198,11 @@ class _DaemonFetcher:
         return fut
 
     def shutdown(self, wait=True):
-        self._q.put(None)
+        for _ in self._ts:
+            self._q.put(None)
         if wait:
-            self._t.join(timeout=60.0)
+            for t in self._ts:
+                t.join(timeout=60.0)
 
 
 def _return_packed(ln: _Lane, step: int):
@@ -301,14 +298,12 @@ def _decode_group(group, results, base, S, lanes, sharding,
         return [i for i, ln in enumerate(lane_objs)
                 if len(ln.done_slots) > at_step]
 
-    fetcher = _DaemonFetcher()
-    # second daemon thread: FORCES each step's arena H2D as soon as it is
-    # enqueued.  The axon runtime is lazy — without an eager demand the
-    # ~250 ms wire transfer of a 1080p step arena happens inside the
-    # fetcher's execution demand chain, SERIALIZING H2D with device
-    # execution; driven from separate threads the tunnel runs them
-    # concurrently (measured: exec chain unaffected by concurrent puts)
-    h2d = _DaemonFetcher()
+    # 2 fetcher threads: the D2H wire runs at ~30-40 MB/s and a single
+    # in-order fetch stream leaves it idle between steps (the demand
+    # also drives execution, which is enqueue-ordered regardless of
+    # which thread asks)
+    fetcher = _DaemonFetcher(
+        n=2 if sink != "digest" else 1)
     refL = refC = None
     keep = set()
     gat_state = {}      # sticky sparse-coefficient buckets (pack_planes_batch)
@@ -461,7 +456,6 @@ def _decode_group(group, results, base, S, lanes, sharding,
             arenas = jax.device_put(bufnp, sharding)
         else:
             arenas = jnp.asarray(bufnp)
-        h2d.submit(_force_transfer, arenas)
         if prof:
             prof["put"] = prof.get("put", 0.0) + _clk() - t0
             t0 = _clk()
@@ -615,7 +609,6 @@ def _decode_group(group, results, base, S, lanes, sharding,
                 f.frame_id_mvc = mfid
             results[base + i].append(f)
         ln.nd.close()
-    h2d.shutdown(wait=False)
     fetcher.shutdown(wait=True)
     if prof and prof["frames"]:
         n = prof["frames"]

@@ -22,6 +22,15 @@ Covered checklist rows (reference README names in brackets):
   [rplm-long]           modification to a long-term pic num
   [nrefs-override]      num_ref_idx_active override below PPS default
   [mmco-nonexist]       mmco on a non-existing picture (tolerance)
+Round-5 tranche (see each test's bracket tag): same-fnum-diff-poc,
+poc-overflow (the reference binary HANGS on it), b-poc-diff-2^16,
+mmco5-after-poc, aud-split-frame, lowest-poc, stale-prev-poc,
+qp-delta-wrap, cbp-pb, level-255, cabac-zero-words, intra-unavail,
+total-zeros-all/coeff-token-all/run-before-all, six MVC robustness rows,
+rplm-overflow/nonexistent, insufficient-refs, all-lt-new-ref,
+mmco3-nonexistent, gap-no-b-refs, crop-change, profile-0-255,
+mmco5-fnum>0, sps-mid-frame, poc2-nonref-pair, mmco-slice-mismatch,
+dpb-shrink.
 """
 
 import errno
@@ -668,3 +677,628 @@ def test_randomized_sweep(ref_oracle):
     from tools.conformance_sweep import run
     fails = run(n=8, first_seed=1000, quiet=True)
     assert not fails, fails
+
+
+# ---------------------------------------------------------------------------
+# round-5 tranche: next checklist rows (reference README.md:284-408)
+
+def test_same_frame_num_diff_poc(ref_oracle):
+    """[same-fnum-diff-poc] two ref frames with the same frame_num but
+    differing POC in the DPB together: frame 1 is marked long-term
+    (mmco 3) and survives the frame_num wrap that gives frame 17 the
+    same frame_num; a P frame then references both."""
+    rng = random.Random(31)
+    w, h = 4, 3
+    out = make_sps(w, h, max_ref_frames=3, log2_max_frame_num=4,
+                   log2_max_poc_lsb=10) + make_pps(nrefs=3)
+    out += make_idr_slice(w, h, random_frame_specs(rng, w, h, "i"),
+                          log2_max_poc_lsb=10)
+    for f in range(1, 18):      # frames 1 and 17 share frame_num 1
+        out += make_p_slice(w, h,
+                            random_frame_specs(rng, w, h, "p",
+                                               nrefs=min(f, 3)),
+                            frame_num=f % 16, poc_lsb=(2 * f) % 1024,
+                            nrefs=min(f, 3), pps_nrefs=3,
+                            mmco=[(3, 0, 0)] if f == 1 else None,
+                            log2_max_poc_lsb=10)
+    _assert_ref_exact(out, ref_oracle, 18, "same-fnum-diff-poc")
+
+
+def test_poc_type1_32bit_overflow():
+    """[poc-overflow] pic_order_cnt_type=1 with a 2^30 per-frame cycle
+    offset: POC overflows 32 bits between two frames.  TOLERANCE test:
+    the reference binary HANGS on this stream (edge264_test looped for
+    >600 s in this round's probing — overflowed POCs appear to wedge its
+    output bumping), so there is no oracle; we assert bounded decode
+    with all frames produced and no crash."""
+    rng = random.Random(32)
+    w, h = 4, 3
+    out = make_sps(w, h, poc_type=1, max_ref_frames=2,
+                   poc1_offsets=(0, [1 << 30])) + make_pps(nrefs=2)
+    out += make_idr_slice(w, h, random_frame_specs(rng, w, h, "i"))
+    for f in range(1, 5):
+        out += make_p_slice(w, h,
+                            random_frame_specs(rng, w, h, "p",
+                                               nrefs=min(f, 2)),
+                            frame_num=f, nrefs=min(f, 2), pps_nrefs=2,
+                            poc_type=1)
+    frames = list(decode_annexb(out, backend="numpy"))
+    assert len(frames) == 5
+
+
+def test_b_refs_poc_diff_over_2e16(ref_oracle):
+    """[b-poc-diff-2^16] temporal-direct B whose reference pair is more
+    than 2^16 POC apart (DistScaleFactor tb/td clamping, §8.4.1.2.3)."""
+    from tools.avcgen import make_b_slice
+    rng = random.Random(33)
+    w, h = 4, 3
+    out = make_sps(w, h, max_ref_frames=3, log2_max_poc_lsb=16) \
+        + make_pps(nrefs=2, nrefs1=1)
+    out += make_idr_slice(w, h, random_frame_specs(rng, w, h, "i"),
+                          log2_max_poc_lsb=16)
+    out += make_p_slice(w, h, random_frame_specs(rng, w, h, "p", nrefs=1),
+                        frame_num=1, poc_lsb=32000, nrefs=1, pps_nrefs=2,
+                        log2_max_poc_lsb=16)
+    # wrap: lsb 500 after 32000 -> POC 66036 (> 2^16 from the IDR)
+    out += make_p_slice(w, h, random_frame_specs(rng, w, h, "p", nrefs=2),
+                        frame_num=2, poc_lsb=500, nrefs=2, pps_nrefs=2,
+                        log2_max_poc_lsb=16)
+    out += make_b_slice(w, h,
+                        random_frame_specs(rng, w, h, "b",
+                                           b_nrefs=(2, 1)),
+                        frame_num=3, poc_lsb=33000, nrefs=(2, 1),
+                        pps_nrefs=(2, 1), direct_spatial=False,
+                        log2_max_poc_lsb=16)
+    _assert_ref_exact(out, ref_oracle, 4, "b-poc-diff")
+
+
+def test_mmco5_after_greater_poc(ref_oracle):
+    """[mmco5-after-poc] a picture with mmco=5 decoded after a picture
+    with greater POC (8.2.1: POC base resets)."""
+    rng = random.Random(34)
+    w, h = 4, 3
+    out = make_sps(w, h, max_ref_frames=2, log2_max_poc_lsb=8) \
+        + make_pps(nrefs=2)
+    out += make_idr_slice(w, h, random_frame_specs(rng, w, h, "i"),
+                          log2_max_poc_lsb=8)
+    out += make_p_slice(w, h, random_frame_specs(rng, w, h, "p", nrefs=1),
+                        frame_num=1, poc_lsb=20, nrefs=1, pps_nrefs=2,
+                        log2_max_poc_lsb=8)
+    out += make_p_slice(w, h, random_frame_specs(rng, w, h, "p", nrefs=2),
+                        frame_num=2, poc_lsb=8, nrefs=2, pps_nrefs=2,
+                        mmco=[(5,)], log2_max_poc_lsb=8)
+    out += make_p_slice(w, h, random_frame_specs(rng, w, h, "p", nrefs=1),
+                        frame_num=1, poc_lsb=30, nrefs=1, pps_nrefs=2,
+                        log2_max_poc_lsb=8)
+    _assert_ref_exact(out, ref_oracle, 4, "mmco5-after-poc")
+
+
+def test_aud_between_slices(ref_oracle):
+    """[aud-split-frame] two slices of one frame separated by an
+    access-unit delimiter."""
+    from tools.avcgen import make_aud
+    rng = random.Random(35)
+    w, h = 4, 3
+    n = w * h
+    specs = random_frame_specs(rng, w, h, "i")
+    out = make_sps(w, h) + make_pps()
+    out += make_idr_slice(w, h, specs[:n // 2])
+    out += make_aud()
+    out += make_idr_slice(w, h, specs[n // 2:], first_mb=n // 2)
+    _assert_ref_exact(out, ref_oracle, 1, "aud-split-frame")
+
+
+def test_two_idrs_then_lowest_poc(ref_oracle):
+    """[lowest-poc] two IDRs, then refs walking POC downward through
+    wraps into negative POC, then drain."""
+    rng = random.Random(36)
+    w, h = 4, 3
+    out = make_sps(w, h, max_ref_frames=2) + make_pps(nrefs=2)
+    out += make_idr_slice(w, h, random_frame_specs(rng, w, h, "i"))
+    out += make_idr_slice(w, h, random_frame_specs(rng, w, h, "i"),
+                          idr_pic_id=1, no_output_of_prior=False)
+    # lsb bits=4: steps of -6 each wrap downward (negative POC msb)
+    for f, lsb in enumerate((10, 4, 14, 8, 2), start=1):
+        out += make_p_slice(w, h,
+                            random_frame_specs(rng, w, h, "p",
+                                               nrefs=min(f, 2)),
+                            frame_num=f, poc_lsb=lsb,
+                            nrefs=min(f, 2), pps_nrefs=2)
+    _assert_ref_exact(out, ref_oracle, 7, "lowest-poc")
+
+
+def test_stale_prev_poc_ref_spacing(ref_oracle):
+    """[stale-prev-poc] POC jumps of more than half the lsb range
+    between REF frames, with non-ref frames interleaved: msb inference
+    must track the last REF frame (7.4.3.3), not any non-ref."""
+    rng = random.Random(37)
+    w, h = 4, 3
+    out = make_sps(w, h, max_ref_frames=2, log2_max_poc_lsb=4) \
+        + make_pps(nrefs=2)
+    out += make_idr_slice(w, h, random_frame_specs(rng, w, h, "i"))
+    out += make_p_slice(w, h, random_frame_specs(rng, w, h, "p", nrefs=1),
+                        frame_num=1, poc_lsb=2, nrefs=1, pps_nrefs=2)
+    # non-ref P far ahead in lsb space
+    out += make_p_slice(w, h, random_frame_specs(rng, w, h, "p", nrefs=1),
+                        frame_num=2, poc_lsb=15, nrefs=1, pps_nrefs=2,
+                        nal_ref_idc=0)
+    # next REF frame: lsb 4, must be interpreted relative to lsb 2
+    out += make_p_slice(w, h, random_frame_specs(rng, w, h, "p", nrefs=1),
+                        frame_num=2, poc_lsb=4, nrefs=1, pps_nrefs=2)
+    _assert_ref_exact(out, ref_oracle, 4, "stale-prev-poc")
+
+
+def test_mb_qp_delta_wrap_both_sides(ref_oracle):
+    """[qp-delta-wrap] mb_qp_delta -26/+25 overflowing the QP range on
+    both sides (mod-52 wrap, §7.4.5)."""
+    rng = random.Random(38)
+    w, h = 4, 3
+    specs = random_frame_specs(rng, w, h, "i", density=0.6)
+    # force big deltas on coded mbs (the wrap needs cbp != 0)
+    deltas = [25, -26, 20, -20]
+    di = 0
+    for s in specs:
+        if getattr(s, "cbp", 0) and s.kind in ("i4", "i16"):
+            s.qp_delta = deltas[di % len(deltas)]
+            di += 1
+    out = make_sps(w, h) + make_pps(init_qp=40)
+    out += make_idr_slice(w, h, specs, slice_qp=49, init_qp=40)
+    _assert_ref_exact(out, ref_oracle, 1, "qp-delta-wrap")
+
+
+def test_cbp_all_values_p(ref_oracle):
+    """[cbp-pb] every coded_block_pattern 0..47 on P macroblocks."""
+    from tools.avcgen import MbSpec
+    rng = random.Random(39)
+    w, h = 8, 6
+    out = make_sps(w, h, max_ref_frames=1) + make_pps(nrefs=1)
+    out += make_idr_slice(w, h, random_frame_specs(rng, w, h, "i"))
+
+    def coeffs(nz):
+        return [([rng.choice([1, -1, 2]) if i < 3 and nz else 0
+                  for i in range(16)]) for _ in range(16)]
+
+    specs = []
+    for addr in range(w * h):
+        cbp = addr % 48
+        specs.append(MbSpec(
+            "p16", refidx=[0], sub_types=None, mvds=[(4, -4)],
+            cbp=(cbp & 15) | ((cbp // 16) << 4), qp_delta=0,
+            luma_coeffs=coeffs(True),
+            chroma_dc=[[1, 0, 0, 0], [0, -1, 0, 0]],
+            chroma_ac=[[[0] + [1 if j == 1 else 0 for j in range(1, 16)]
+                        for _ in range(4)] for _ in range(2)]))
+    out += make_p_slice(w, h, specs, frame_num=1, poc_lsb=2, nrefs=1,
+                        pps_nrefs=1)
+    _assert_ref_exact(out, ref_oracle, 2, "cbp-pb")
+
+
+def test_level_idc_255(ref_oracle):
+    """[level-255] highest level_idc: only DPB sizing math changes."""
+    rng = random.Random(40)
+    w, h = 4, 3
+    out = make_sps(w, h, level=255) + make_pps()
+    out += make_idr_slice(w, h, random_frame_specs(rng, w, h, "i"))
+    _assert_ref_exact(out, ref_oracle, 1, "level-255")
+
+
+def test_cabac_zero_words(ref_oracle):
+    """[cabac-zero-words] a CABAC slice padded with 8 cabac_zero_words
+    (escaped 00 00 03 runs after the rbsp stop bit, §7.4.1)."""
+    from tools.avcgen import gen_random_cabac_stream
+    data = gen_random_cabac_stream(4, 3, n_frames=1, seed=41)
+    data += b"\x00\x00\x03" * 8
+    _assert_ref_exact(data, ref_oracle, 1, "cabac-zero-words")
+
+
+def test_qpprime_bypass_rejected():
+    """[qpprime-bypass via make_sps] transform-bypass lossless coding is
+    unsupported: the SPS must be rejected with ENOTSUP and leave the
+    decoder usable."""
+    from edge264_tpu.native import NativeDecoder
+    from edge264_tpu.api import find_start_code
+    rng = random.Random(42)
+    w, h = 4, 3
+    bad = make_sps(w, h, profile=100, qpprime_bypass=1)
+    good = make_sps(w, h) + make_pps()
+    good += make_idr_slice(w, h, random_frame_specs(rng, w, h, "i"))
+    nd = NativeDecoder()
+    r, _ = nd.decode_nal(bad[4:])          # strip start code
+    assert r == errno.ENOTSUP, r
+    pos = find_start_code(good, 0)
+    while pos < len(good):
+        end = find_start_code(good, pos + 3)
+        assert nd.decode_nal(good[pos + 3:end])[0] == 0
+        pos = end
+    nd.close()
+
+
+def test_intra_mode_unavail_combos(ref_oracle):
+    """[intra-unavail] streams whose intra modes need unavailable
+    neighbours (hand-split slices break A/B availability mid-frame):
+    the decoder must render the reference's no-neighbour-DC fallback
+    (Intra4x4Modes tables, edge264_slice.c:573-594) bit-exactly."""
+    from tools.avcgen import make_idr_slice
+    for seed in (50, 51, 52):
+        rng = random.Random(seed)
+        w, h = 5, 4
+        n = w * h
+        specs = random_frame_specs(rng, w, h, "i")
+        cut = rng.randrange(1, n - 1)
+        out = make_sps(w, h) + make_pps()
+        out += make_idr_slice(w, h, specs[:cut])
+        out += make_idr_slice(w, h, specs[cut:], first_mb=cut)
+        _assert_ref_exact(out, ref_oracle, 1, f"intra-unavail-{seed}")
+
+
+def test_cavlc_residual_value_sweep(ref_oracle):
+    """[total-zeros-all] + [coeff-token-all] + [run-before-all]: blocks
+    systematically covering TotalCoeff 1..16 x total_zeros 0..16-tc and
+    varied run_before splits, decoded bit-exactly."""
+    from tools.avcgen import MbSpec, make_idr_slice
+    rng = random.Random(53)
+    w, h = 10, 8
+    specs = []
+    combos = [(tc, tz) for tc in range(1, 17) for tz in range(0, 17 - tc)]
+    ci = 0
+    for addr in range(w * h):
+        luma = []
+        for b in range(16):
+            tc, tz = combos[ci % len(combos)]
+            ci += 1
+            # tc coeffs occupying positions 0..tc+tz-1 with tz zeros
+            # scattered by rng (drives run_before over many splits)
+            pos = sorted(rng.sample(range(tc + tz), tc))
+            c = [0] * 16
+            for p in pos:
+                c[p] = rng.choice([1, -1, 2, -2, 3])
+            # CAVLC trailing-ones rule caps T1s at 3; arbitrary values OK
+            luma.append(c)
+        specs.append(MbSpec("i4",
+                            modes=[2] * 16, cbp=15, chroma_mode=0,
+                            qp_delta=0, luma_coeffs=luma,
+                            chroma_dc=[[1, 0, -1, 0], [0, 1, 0, -1]],
+                            chroma_ac=[[[0] * 16] * 4] * 2))
+    from tools.avcgen import IntraEncoder, resolve_random_modes
+    probe = IntraEncoder(w, h, 26)
+    for addr, s in enumerate(specs):
+        resolve_random_modes(rng, probe, addr % w, addr // w, s)
+        probe.parsed.add((addr % w, addr // w))
+    out = make_sps(w, h) + make_pps()
+    out += make_idr_slice(w, h, specs)
+    _assert_ref_exact(out, ref_oracle, 1, "cavlc-sweep")
+
+
+# ---------------------------------------------------------------------------
+# MVC rows
+
+def _mvc_nals(seed=60, n_aus=2, w=4, h=3):
+    from tools.avcgen import gen_random_mvc_stream
+    from edge264_tpu.api import find_start_code
+    data = gen_random_mvc_stream(w, h, n_aus=n_aus, seed=seed)
+    nals = []
+    pos = find_start_code(data, 0)
+    while pos < len(data):
+        end = find_start_code(data, pos + 3)
+        nals.append(data[pos:end])
+        pos = end
+    return nals
+
+
+def _decode_count(data):
+    n = m = 0
+    for f in decode_annexb(data, backend="numpy"):
+        n += 1
+        if getattr(f, "y_mvc", None) is not None:
+            m += 1
+    return n, m
+
+
+def test_mvc_ssps_single_view():
+    """[mvc-1view] an SSPS with num_views=1 is not Stereo High:
+    ENOTSUP, decoder stays usable."""
+    from tools.avcgen import make_subset_sps
+    from edge264_tpu.native import NativeDecoder
+    nd = NativeDecoder()
+    bad = make_subset_sps(4, 3, num_views=1)
+    r, _ = nd.decode_nal(bad[4:])
+    assert r == errno.ENOTSUP, r
+    nd.close()
+
+
+def test_mvc_ssps_dimension_mismatch():
+    """[mvc-dim-mismatch] SSPS geometry differing from its SPS: the
+    non-base view cannot pair; decode must not crash and the base view
+    still comes out."""
+    from tools.avcgen import make_subset_sps
+    nals = _mvc_nals()
+    out = b"".join(n if (n[3] & 31) != 15 else make_subset_sps(6, 5)
+                   for n in nals)
+    frames = list(decode_annexb(out, backend="numpy"))
+    assert len(frames) >= 1
+
+
+def test_mvc_prefix_then_filler_then_slice(ref_oracle):
+    """[mvc-prefix-filler] NAL 14 followed by a filler NAL before the
+    base slice: filler must not break prefix/slice association."""
+    from tools.avcgen import make_filler
+    nals = _mvc_nals()
+    out = b""
+    for n in nals:
+        out += n
+        if (n[3] & 31) == 14:
+            out += make_filler()
+    n_pairs = _decode_count(out)
+    assert n_pairs == _decode_count(b"".join(nals))
+
+
+def test_mvc_nonbase_before_base():
+    """[mvc-order] a non-base view arriving before its base in an AU:
+    tolerated without crash, stream still yields frames."""
+    nals = _mvc_nals()
+    out = []
+    i = 0
+    swapped = False
+    while i < len(nals):
+        t = nals[i][3] & 31
+        if (not swapped and t == 14 and i + 2 < len(nals)
+                and (nals[i + 2][3] & 31) == 20):
+            out += [nals[i + 2], nals[i], nals[i + 1]]
+            i += 3
+            swapped = True
+            continue
+        out.append(nals[i])
+        i += 1
+    frames = list(decode_annexb(b"".join(out), backend="numpy"))
+    assert frames, "no frames after reordered views"
+
+
+def test_mvc_wrong_non_idr_flag():
+    """[mvc-non-idr-flag] prefix NAL with non_idr_flag contradicting the
+    paired slice's nal_unit_type: tolerated, frames still decodable."""
+    from tools.avcgen import make_prefix_nal
+    nals = _mvc_nals()
+    out = b""
+    for n in nals:
+        if (n[3] & 31) == 14:
+            # flip non_idr: claim IDR for non-IDR slices and vice versa
+            out += make_prefix_nal(non_idr=0, anchor=0)
+        else:
+            out += n
+    frames = list(decode_annexb(out, backend="numpy"))
+    assert frames
+
+
+def test_mvc_after_output_frames():
+    """[mvc-late] a stream switching to MVC after single-view frames
+    were already queued: the queued frames drain first (paired-output
+    protocol can never match them)."""
+    from tools.avcgen import gen_random_ipp_stream, gen_random_mvc_stream
+    a = gen_random_ipp_stream(4, 3, n_frames=3, seed=61)
+    b = gen_random_mvc_stream(4, 3, n_aus=2, seed=62)
+    n, pairs = _decode_count(a + b)
+    assert n == 5 and pairs == 2, (n, pairs)
+
+
+# ---------------------------------------------------------------------------
+# tolerance rows (invalid streams: no crash, decoder stays usable)
+
+def test_rplm_count_overflow():
+    """[rplm-overflow] more ref_pic_list_modifications than refs."""
+    rng = random.Random(63)
+    w, h = 4, 3
+    out = make_sps(w, h, max_ref_frames=2) + make_pps(nrefs=2)
+    out += make_idr_slice(w, h, random_frame_specs(rng, w, h, "i"))
+    out += make_p_slice(w, h, random_frame_specs(rng, w, h, "p", nrefs=1),
+                        frame_num=1, poc_lsb=2, nrefs=1, pps_nrefs=2,
+                        reorder=[(0, 0)] * 20)
+    frames = list(decode_annexb(out, backend="numpy"))
+    assert len(frames) >= 1
+
+
+def test_insufficient_refs_with_override():
+    """[insufficient-refs] P slice overriding num_ref_idx_active above
+    the number of refs actually in the DPB."""
+    rng = random.Random(64)
+    w, h = 4, 3
+    out = make_sps(w, h, max_ref_frames=3) + make_pps(nrefs=1)
+    out += make_idr_slice(w, h, random_frame_specs(rng, w, h, "i"))
+    out += make_p_slice(w, h, random_frame_specs(rng, w, h, "p", nrefs=3),
+                        frame_num=1, poc_lsb=2, nrefs=3, pps_nrefs=1)
+    frames = list(decode_annexb(out, backend="numpy"))
+    assert len(frames) >= 1
+
+
+def test_rplm_to_nonexistent_then_reference():
+    """[rplm-nonexistent] list modification targeting a pic_num that is
+    not in the DPB, then macroblocks referencing that entry."""
+    rng = random.Random(65)
+    w, h = 4, 3
+    out = make_sps(w, h, max_ref_frames=2) + make_pps(nrefs=2)
+    out += make_idr_slice(w, h, random_frame_specs(rng, w, h, "i"))
+    out += make_p_slice(w, h, random_frame_specs(rng, w, h, "p", nrefs=2),
+                        frame_num=1, poc_lsb=2, nrefs=2, pps_nrefs=2,
+                        reorder=[(0, 7)])
+    frames = list(decode_annexb(out, backend="numpy"))
+    assert len(frames) >= 1
+
+
+def test_new_ref_while_all_long_term(ref_oracle):
+    """[all-lt-new-ref] sliding window cannot evict long-terms: a new
+    short-term ref while max_num_ref_frames are all long-term
+    (§8.2.5.3)."""
+    rng = random.Random(66)
+    w, h = 4, 3
+    out = make_sps(w, h, max_ref_frames=2) + make_pps(nrefs=2)
+    out += make_idr_slice(w, h, random_frame_specs(rng, w, h, "i"),
+                          long_term=True)
+    out += make_p_slice(w, h, random_frame_specs(rng, w, h, "p", nrefs=1),
+                        frame_num=1, poc_lsb=2, nrefs=1, pps_nrefs=2,
+                        mmco=[(6, 1)])       # current -> long-term idx 1
+    out += make_p_slice(w, h, random_frame_specs(rng, w, h, "p", nrefs=2),
+                        frame_num=2, poc_lsb=4, nrefs=2, pps_nrefs=2)
+    out += make_p_slice(w, h, random_frame_specs(rng, w, h, "p", nrefs=2),
+                        frame_num=3, poc_lsb=6, nrefs=2, pps_nrefs=2)
+    _assert_ref_exact(out, ref_oracle, 4, "all-lt-new-ref")
+
+
+def test_mmco3_nonexistent_picture():
+    """[mmco3-nonexistent] marking a non-existing picture long-term."""
+    rng = random.Random(67)
+    w, h = 4, 3
+    out = make_sps(w, h, max_ref_frames=2) + make_pps(nrefs=2)
+    out += make_idr_slice(w, h, random_frame_specs(rng, w, h, "i"))
+    out += make_p_slice(w, h, random_frame_specs(rng, w, h, "p", nrefs=1),
+                        frame_num=1, poc_lsb=2, nrefs=1, pps_nrefs=2,
+                        mmco=[(3, 9, 0)])
+    frames = list(decode_annexb(out, backend="numpy"))
+    assert len(frames) >= 1
+
+
+def test_gap_then_b_refs():
+    """[gap-no-b-refs] a frame_num gap (gaps allowed) inserts
+    non-existing refs; B reference lists must still be well-formed.
+    TOLERANCE: the decoders differ in the fill value of gap-inserted
+    frames' never-written samples (a concealment detail of invalid
+    references), so assert structure, not pixels."""
+    from tools.avcgen import make_b_slice
+    rng = random.Random(68)
+    w, h = 4, 3
+    out = make_sps(w, h, max_ref_frames=3, gaps=1, log2_max_poc_lsb=6) \
+        + make_pps(nrefs=2, nrefs1=1)
+    out += make_idr_slice(w, h, random_frame_specs(rng, w, h, "i"),
+                          log2_max_poc_lsb=6)
+    # gap: frame_num jumps 1 -> 3
+    out += make_p_slice(w, h, random_frame_specs(rng, w, h, "p", nrefs=1),
+                        frame_num=3, poc_lsb=12, nrefs=1, pps_nrefs=2,
+                        log2_max_poc_lsb=6)
+    out += make_b_slice(w, h,
+                        random_frame_specs(rng, w, h, "b", b_nrefs=(1, 1)),
+                        frame_num=4, poc_lsb=8, nrefs=(1, 1),
+                        pps_nrefs=(2, 1), log2_max_poc_lsb=6)
+    frames = list(decode_annexb(out, backend="numpy"))
+    assert len(frames) == 3
+
+
+def test_crop_change_not_retroactive():
+    """[crop-change] a new SPS adding cropping applies only to frames
+    decoded after it."""
+    rng = random.Random(69)
+    w, h = 4, 3
+    out = make_sps(w, h) + make_pps()
+    out += make_idr_slice(w, h, random_frame_specs(rng, w, h, "i"))
+    out += make_sps(w, h, crop=(1, 1, 1, 1)) + make_pps()
+    out += make_idr_slice(w, h, random_frame_specs(rng, w, h, "i"),
+                          idr_pic_id=1)
+    frames = list(decode_annexb(out, backend="numpy"))
+    assert len(frames) == 2
+    assert frames[0].y.shape == (48, 64)
+    assert frames[1].y.shape == (48 - 4, 64 - 4)
+
+
+def test_profile_idc_extremes():
+    """[profile-0-255] profile_idc 0 and 255 (reserved): the decoder
+    ignores unknown profiles like the reference (it keys only on the
+    chroma/bit-depth fields that follow for >profile-88 layouts)."""
+    rng = random.Random(70)
+    w, h = 4, 3
+    for profile in (0, 255):
+        out = make_sps(w, h, profile=profile) + make_pps()
+        out += make_idr_slice(w, h, random_frame_specs(rng, w, h, "i"))
+        frames = list(decode_annexb(out, backend="numpy"))
+        assert len(frames) <= 1    # decoded or cleanly rejected
+
+
+def test_mmco5_with_nonzero_frame_num():
+    """[mmco5-fnum>0] mmco=5 resets frame_num state while the slice
+    carries frame_num>0 (looks like a new frame to naive detection)."""
+    rng = random.Random(71)
+    w, h = 4, 3
+    out = make_sps(w, h, max_ref_frames=2) + make_pps(nrefs=2)
+    out += make_idr_slice(w, h, random_frame_specs(rng, w, h, "i"))
+    out += make_p_slice(w, h, random_frame_specs(rng, w, h, "p", nrefs=1),
+                        frame_num=1, poc_lsb=2, nrefs=1, pps_nrefs=2,
+                        mmco=[(5,)])
+    out += make_p_slice(w, h, random_frame_specs(rng, w, h, "p", nrefs=1),
+                        frame_num=1, poc_lsb=4, nrefs=1, pps_nrefs=2)
+    frames = list(decode_annexb(out, backend="numpy"))
+    assert len(frames) == 3
+
+
+def test_sps_format_change_mid_frame():
+    """[sps-mid-frame] a format-changing SPS arriving between two slices
+    of an open frame: the open frame finishes/conceals, the new format
+    applies after; no crash."""
+    rng = random.Random(72)
+    w, h = 4, 3
+    n = w * h
+    specs = random_frame_specs(rng, w, h, "i")
+    out = make_sps(w, h) + make_pps()
+    out += make_idr_slice(w, h, specs[:n // 2])
+    out += make_sps(6, 5) + make_pps()      # format change, frame open
+    rng2 = random.Random(73)
+    out += make_idr_slice(6, 5, random_frame_specs(rng2, 6, 5, "i"),
+                          idr_pic_id=1)
+    frames = list(decode_annexb(out, backend="numpy"))
+    assert 1 <= len(frames) <= 2
+    assert frames[-1].y.shape == (80, 96)
+
+
+def test_poc_type2_consecutive_nonref():
+    """[poc2-nonref-pair] poc_type=2 forbids consecutive non-ref frames
+    (7.4.2.1.1); the decoder tolerates the invalid pair."""
+    rng = random.Random(74)
+    w, h = 4, 3
+    out = make_sps(w, h, poc_type=2, max_ref_frames=1) + make_pps()
+    out += make_idr_slice(w, h, random_frame_specs(rng, w, h, "i"))
+    for f in (1, 1):
+        out += make_p_slice(w, h,
+                            random_frame_specs(rng, w, h, "p", nrefs=1),
+                            frame_num=f, nal_ref_idc=0, nrefs=1,
+                            poc_type=2)
+    # identical frame_num + poc_type=2 makes the two non-refs
+    # indistinguishable by POC: the second may merge into the first
+    # (7.4.1.2.4 detection) — either way, bounded and crash-free
+    frames = list(decode_annexb(out, backend="numpy"))
+    assert 2 <= len(frames) <= 3
+
+
+def test_differing_mmco_on_two_slices():
+    """[mmco-slice-mismatch] the spec requires identical drpm on every
+    slice of a frame; a second slice with a DIFFERENT mmco list is
+    tolerated (first slice's marking wins, no crash)."""
+    rng = random.Random(75)
+    w, h = 4, 3
+    n = w * h
+    out = make_sps(w, h, max_ref_frames=2) + make_pps(nrefs=2)
+    out += make_idr_slice(w, h, random_frame_specs(rng, w, h, "i"))
+    specs = random_frame_specs(rng, w, h, "p", nrefs=1)
+    out += make_p_slice(w, h, specs[:n // 2], frame_num=1, poc_lsb=2,
+                        nrefs=1, pps_nrefs=2, mmco=[(3, 0, 0)])
+    out += make_p_slice(w, h, specs[n // 2:], frame_num=1, poc_lsb=2,
+                        nrefs=1, pps_nrefs=2, mmco=[(1, 0)],
+                        first_mb=n // 2)
+    frames = list(decode_annexb(out, backend="numpy"))
+    assert len(frames) >= 1
+
+
+def test_dpb_shrink_max_ref_frames(ref_oracle):
+    """[dpb-shrink] refs filled, then a new SPS with a smaller
+    max_num_ref_frames: the window shrinks and decode continues
+    bit-exactly."""
+    rng = random.Random(76)
+    w, h = 4, 3
+    out = make_sps(w, h, max_ref_frames=4) + make_pps(nrefs=2)
+    out += make_idr_slice(w, h, random_frame_specs(rng, w, h, "i"))
+    for f in range(1, 4):
+        out += make_p_slice(w, h,
+                            random_frame_specs(rng, w, h, "p",
+                                               nrefs=min(f, 2)),
+                            frame_num=f, poc_lsb=2 * f,
+                            nrefs=min(f, 2), pps_nrefs=2)
+    out += make_sps(w, h, max_ref_frames=1) + make_pps(nrefs=1)
+    out += make_idr_slice(w, h, random_frame_specs(rng, w, h, "i"),
+                          idr_pic_id=1)
+    out += make_p_slice(w, h, random_frame_specs(rng, w, h, "p", nrefs=1),
+                        frame_num=1, poc_lsb=2, nrefs=1, pps_nrefs=1)
+    _assert_ref_exact(out, ref_oracle, 6, "dpb-shrink")

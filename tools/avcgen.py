@@ -92,12 +92,26 @@ def nal(nal_ref_idc: int, nal_type: int, rbsp: bytes) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+def make_aud(primary_pic_type=0) -> bytes:
+    """Access-unit delimiter (NAL 9, §7.3.2.4)."""
+    w = BitWriter()
+    w.u(primary_pic_type, 3)
+    w.rbsp_trailing()
+    return nal(0, 9, w.bytes_unescaped())
+
+
+def make_filler(n=4) -> bytes:
+    """Filler data NAL (type 12): n 0xFF bytes + trailing (§7.3.2.7)."""
+    return nal(0, 12, b"\xff" * n + b"\x80")
+
+
 def make_sps(mb_w, mb_h, *, profile=66, level=40, log2_max_frame_num=4,
              poc_type=0, log2_max_poc_lsb=4, max_ref_frames=2, gaps=0,
              crop=(0, 0, 0, 0), scaling4=None, scaling8=None,
-             timing=None) -> bytes:
+             timing=None, poc1_offsets=None, qpprime_bypass=0) -> bytes:
     """timing: optional VUI (num_units_in_tick, time_scale) pair — frame
-    rate = time_scale / (2 * num_units_in_tick) for progressive (E-1)."""
+    rate = time_scale / (2 * num_units_in_tick) for progressive (E-1).
+    poc1_offsets: poc_type=1 (offset_for_non_ref_pic, [cycle offsets])."""
     w = BitWriter()
     w.u(profile, 8)
     w.u(0, 8)               # constraint flags
@@ -107,7 +121,7 @@ def make_sps(mb_w, mb_h, *, profile=66, level=40, log2_max_frame_num=4,
         w.ue(1)             # chroma_format_idc 4:2:0
         w.ue(0)             # bit_depth_luma_minus8
         w.ue(0)             # bit_depth_chroma_minus8
-        w.u1(0)             # qpprime_y_zero_transform_bypass
+        w.u1(qpprime_bypass)  # qpprime_y_zero_transform_bypass
         if scaling4 or scaling8:
             w.u1(1)         # seq_scaling_matrix_present
             for i in range(6):
@@ -121,10 +135,13 @@ def make_sps(mb_w, mb_h, *, profile=66, level=40, log2_max_frame_num=4,
     if poc_type == 0:
         w.ue(log2_max_poc_lsb - 4)
     elif poc_type == 1:
-        w.u1(0)             # delta_pic_order_always_zero
-        w.se(0)             # offset_for_non_ref_pic
+        nonref, cycle = poc1_offsets or (0, [])
+        w.u1(1)             # delta_pic_order_always_zero
+        w.se(nonref)        # offset_for_non_ref_pic
         w.se(0)             # offset_for_top_to_bottom
-        w.ue(0)             # num_ref_frames_in_pic_order_cnt_cycle
+        w.ue(len(cycle))    # num_ref_frames_in_pic_order_cnt_cycle
+        for off in cycle:
+            w.se(off)
     w.ue(max_ref_frames)
     w.u1(gaps)
     w.ue(mb_w - 1)
@@ -2647,7 +2664,7 @@ def gen_random_high_cabac_stream(mb_w, mb_h, n_frames=1, seed=0, *, qp=26,
 
 def make_subset_sps(mb_w, mb_h, *, profile=128, level=40,
                     log2_max_frame_num=4, log2_max_poc_lsb=4,
-                    max_ref_frames=2) -> bytes:
+                    max_ref_frames=2, num_views=2) -> bytes:
     w = BitWriter()
     w.u(profile, 8)
     w.u(0, 8)
@@ -2670,20 +2687,22 @@ def make_subset_sps(mb_w, mb_h, *, profile=128, level=40,
     w.u1(0)                 # vui
     # MVC extension
     w.u1(1)                 # bit_equal_to_one
-    w.ue(1)                 # num_views_minus1 = 1
-    w.ue(0)                 # view_id[0]
-    w.ue(1)                 # view_id[1]
-    w.ue(1); w.ue(0)        # num_anchor_refs_l0 = 1, ref = view 0
-    w.ue(0)                 # num_anchor_refs_l1
-    w.ue(1); w.ue(0)        # num_non_anchor_refs_l0 = 1, ref = view 0
-    w.ue(0)                 # num_non_anchor_refs_l1
+    w.ue(num_views - 1)     # num_views_minus1
+    for v in range(num_views):
+        w.ue(v)             # view_id[v]
+    for v in range(1, num_views):
+        w.ue(1); w.ue(0)    # num_anchor_refs_l0 = 1, ref = view 0
+        w.ue(0)             # num_anchor_refs_l1
+    for v in range(1, num_views):
+        w.ue(1); w.ue(0)    # num_non_anchor_refs_l0 = 1, ref = view 0
+        w.ue(0)             # num_non_anchor_refs_l1
     w.ue(0)                 # num_level_values_signalled_minus1
     w.u(level, 8)
     w.ue(0)                 # num_applicable_ops_minus1
     w.u(0, 3)               # temporal_id
     w.ue(0)                 # num_target_output_views_minus1
-    w.ue(1)                 # target view id
-    w.ue(1)                 # num_views_minus1
+    w.ue(min(num_views - 1, 1))  # target view id
+    w.ue(num_views - 1)     # num_views_minus1
     w.u1(0)                 # mvc_vui_parameters_present
     w.u1(0)                 # additional_extension2
     w.rbsp_trailing()
