@@ -51,7 +51,8 @@ BUDGET_S = float(os.environ.get("E264T_BENCH_BUDGET_S", "1500"))
 METRIC = ("1080p CABAC IPB end-to-end decode, 8 closed GOPs in "
           f"{LANES}-lane lockstep (host entropy + TPU pixel path, "
           "frames delivered to device HBM, every frame digest-verified "
-          "vs the reference binary)")
+          "vs the reference binary; median of 5; workload calibrated to "
+          "the reference's BBB clip, see BENCH_WORKLOAD.md)")
 
 
 def _median(runs):

@@ -1853,14 +1853,12 @@ def _intra_arena_impl(arena, y, cb, cr, res_y, res_cb, res_cr,
     present = {k for k, _, _, off, _m in layout if off != -1}
     if itab is not None:
         return intra_scan(y, cb, cr, res_y, res_cb, res_cr, p, itab)
-    # The Mosaic intra kernel intermittently faults the TPU on real
-    # stream content (synthetic-plane tests pass; suspected compiler
-    # issue in the scratch-ref wavefront) -- the XLA sheared scan is the
-    # default until that is root-caused.  Opt back in with
-    # E264T_FORCE_PALLAS_INTRA=1.
-    if use_pallas() and os.environ.get("E264T_FORCE_PALLAS_INTRA"):
-        from .pallas_intra import intra_pallas
-        return intra_pallas(y, cb, cr, res_y, res_cb, res_cr, p, mbW, mbH)
+    # The Mosaic intra kernel is RETIRED from the decode paths: it
+    # intermittently faulted the chip on real 1080p content (interpret
+    # mode is bit-exact; suspected Mosaic compiler issue in the
+    # scratch-ref wavefront — ops/pallas_intra.py docstring and
+    # tools/bisect_pallas_intra.py hold the investigation record), and
+    # intra_rounds removed the sparse-step need for it.
     return intra_scan_sheared(y, cb, cr, res_y, res_cb, res_cr, p,
                               mbW, mbH, "coef_y8" in present,
                               "pcm_y" in present)

@@ -1,4 +1,14 @@
-"""Pallas TPU kernel for the intra-prediction wavefront.
+"""Pallas TPU kernel for the intra-prediction wavefront.  RETIRED from
+the decode paths in round 5: on real 1080p stream content it
+intermittently faulted the chip (rounds 2-4; interpret mode is bit-exact
+on the same inputs — tests/test_pallas_intra.py — and synthetic-plane
+runs on hardware succeed, so the working suspicion is a Mosaic compiler
+issue in the scratch-ref wavefront; tools/bisect_pallas_intra.py and
+tools/repro_fault.py are the investigation harnesses).  The driver now
+uses jaxdec.intra_rounds for sparse-intra steps and the sheared XLA scan
+for dense ones, which removed this kernel's performance motivation.  The
+kernel and its tests remain as the incident record and as a Mosaic
+wavefront reference.
 
 Mirrors ops/pallas_deblock.py's architecture: ONE Mosaic kernel runs the
 whole macroblock wavefront (sequential grid over waves w = mb_x + 2*mb_y)

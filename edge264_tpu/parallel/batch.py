@@ -303,7 +303,8 @@ def _decode_group(group, results, base, S, lanes, sharding,
     # also drives execution, which is enqueue-ordered regardless of
     # which thread asks)
     fetcher = _DaemonFetcher(
-        n=2 if sink != "digest" else 1)
+        n=int(os.environ.get("E264T_FETCH_THREADS",
+                             "2" if sink != "digest" else "1")))
     refL = refC = None
     keep = set()
     gat_state = {}      # sticky sparse-coefficient buckets (pack_planes_batch)
@@ -473,9 +474,13 @@ def _decode_group(group, results, base, S, lanes, sharding,
         if prof:
             prof["pack"] += _clk() - t0
             t0 = _clk()
-        intra_mode = ("pallas" if J.use_pallas() and
-                      os.environ.get("E264T_FORCE_PALLAS_INTRA")
-                      else "sheared")
+        # the Mosaic intra kernel is RETIRED from the driver: it faulted
+        # the chip on real 1080p content across rounds 2-4 (suspected
+        # Mosaic compiler issue; interpret-mode bit-exact — see
+        # ops/pallas_intra.py and tools/bisect_pallas_intra.py), and the
+        # masked level-rounds path below removed its reason to exist on
+        # P/B steps.  Intra-dense steps use the sheared XLA scan.
+        intra_mode = "sheared"
         itabs = None
         if intra_mode == "sheared" and use_rounds:
             live_tabs = [t for t, pl in zip(lane_tabs, planes_list)
