@@ -374,7 +374,14 @@ def deblock_pallas(y, cb, cr, p, bs_v, bs_h, mbW, mbH, interpret=False):
 # scoped VMEM is linear in the row count: measured 120.4 MB at 544 rows
 # (8 lanes x 1080p) against the 100 MB limit -> ~0.222 MB/row.  320 rows
 # keeps one call at ~71 MB with margin for Mosaic's transpose scratch.
-_ROWS_MAX = 320
+# A single 8-lane 1080p pass (560 rows @ 127 MB VMEM) compiles and is
+# digest-correct but measured ~3% SLOWER than two 4-lane chunks (r5
+# job18): the kernel is data-bound, not chunk-overhead-bound.  The env
+# knobs remain for future hardware.
+_ROWS_MAX = int(__import__("os").environ.get("E264T_DB_ROWS_MAX",
+                                             "320"))
+_VMEM_LIMIT = int(__import__("os").environ.get("E264T_DB_VMEM_MB",
+                                               "100")) * 1024 * 1024
 
 
 def deblock_pallas_batch(ys, cbs, crs, p, bs_v, bs_h, mbW, mbH,
@@ -442,7 +449,7 @@ def deblock_pallas_batch(ys, cbs, crs, p, bs_v, bs_h, mbW, mbH,
                         pltpu.VMEM((8, Lc), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*ins)
     y = jnp.stack([_unshear_tiles(ey[:, k * mbH:(k + 1) * mbH], mbW, mbH,
