@@ -30,7 +30,8 @@ total-zeros-all/coeff-token-all/run-before-all, six MVC robustness rows,
 rplm-overflow/nonexistent, insufficient-refs, all-lt-new-ref,
 mmco3-nonexistent, gap-no-b-refs, crop-change, profile-0-255,
 mmco5-fnum>0, sps-mid-frame, poc2-nonref-pair, mmco-slice-mismatch,
-dpb-shrink.
+dpb-shrink, mvc-svc-flag, mvc-ssps-ext2, mvc-ref-asymmetry, mvc-gap,
+mvc-dangling-prefix.
 """
 
 import errno
@@ -1302,3 +1303,69 @@ def test_dpb_shrink_max_ref_frames(ref_oracle):
     out += make_p_slice(w, h, random_frame_specs(rng, w, h, "p", nrefs=1),
                         frame_num=1, poc_lsb=2, nrefs=1, pps_nrefs=1)
     _assert_ref_exact(out, ref_oracle, 6, "dpb-shrink")
+
+
+def test_mvc_svc_extension_flag():
+    """[mvc-svc-flag] svc_extension_flag=1 on a NAL-20 slice is SVC, not
+    MVC: ENOTSUP, decoder stays usable."""
+    from tools.avcgen import BitWriter, nal
+    from edge264_tpu.native import NativeDecoder
+    w = BitWriter()
+    w.u1(1)                      # svc_extension_flag
+    w.u(0, 23)                   # svc header bits (ignored)
+    w.u(0, 8)
+    bad = nal(3, 20, w.bytes_unescaped())
+    nd = NativeDecoder()
+    r, _ = nd.decode_nal(bad[4:])
+    assert r == errno.ENOTSUP, r
+    nd.close()
+
+
+def test_mvc_ssps_additional_extension2():
+    """[mvc-ssps-ext2] SSPS with additional_extension2_flag=1 and
+    trailing extension data: the data is skipped, the SSPS still
+    commits, and the stream decodes identically."""
+    from tools.avcgen import make_subset_sps
+    nals = _mvc_nals()
+    base = _decode_count(b"".join(nals))
+    ss2 = make_subset_sps(4, 3, ext2_bits=23)
+    out2 = b"".join(ss2 if (n[3] & 31) == 15 else n for n in nals)
+    assert _decode_count(out2) == base == (2, 2)
+
+
+def test_mvc_base_refs_nonbase_nonref():
+    """[mvc-ref-asymmetry] base views all reference frames while
+    non-base views are non-refs: pairing and output survive."""
+    from tools.avcgen import gen_random_mvc_stream
+    data = gen_random_mvc_stream(4, 3, n_aus=4, seed=80)
+    n, pairs = _decode_count(data)
+    assert n == 4 and pairs == 4, (n, pairs)
+
+
+def test_mvc_gap_in_both_views():
+    """[mvc-gap] dropping a full access unit (both views) mid-stream:
+    later AUs still decode and pair."""
+    nals = _mvc_nals(seed=81, n_aus=4)
+    # drop the SECOND access unit: prefix+base(1)+nonbase(20) triple
+    out, dropped, i = [], 0, 0
+    while i < len(nals):
+        t = nals[i][3] & 31
+        if (dropped == 0 and t == 14 and i + 2 < len(nals)
+                and (nals[i + 1][3] & 31) == 1):
+            i += 3
+            dropped = 1
+            continue
+        out.append(nals[i])
+        i += 1
+    frames = list(decode_annexb(b"".join(out), backend="numpy"))
+    assert len(frames) >= 2
+
+
+def test_mvc_prefix_without_slice():
+    """[mvc-dangling-prefix] a prefix NAL at end of stream with no
+    following slice: ignored cleanly at EOS."""
+    from tools.avcgen import make_prefix_nal
+    nals = _mvc_nals()
+    out = b"".join(nals) + make_prefix_nal(non_idr=1, anchor=0)
+    n, pairs = _decode_count(out)
+    assert n == 2 and pairs == 2

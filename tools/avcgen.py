@@ -2664,7 +2664,8 @@ def gen_random_high_cabac_stream(mb_w, mb_h, n_frames=1, seed=0, *, qp=26,
 
 def make_subset_sps(mb_w, mb_h, *, profile=128, level=40,
                     log2_max_frame_num=4, log2_max_poc_lsb=4,
-                    max_ref_frames=2, num_views=2) -> bytes:
+                    max_ref_frames=2, num_views=2,
+                    ext2_bits=0) -> bytes:
     w = BitWriter()
     w.u(profile, 8)
     w.u(0, 8)
@@ -2704,7 +2705,12 @@ def make_subset_sps(mb_w, mb_h, *, profile=128, level=40,
     w.ue(min(num_views - 1, 1))  # target view id
     w.ue(num_views - 1)     # num_views_minus1
     w.u1(0)                 # mvc_vui_parameters_present
-    w.u1(0)                 # additional_extension2
+    if ext2_bits:
+        w.u1(1)             # additional_extension2_flag: trailing data
+        for i in range(ext2_bits):
+            w.u1(i & 1)
+    else:
+        w.u1(0)             # additional_extension2
     w.rbsp_trailing()
     return nal(3, 15, w.bytes_unescaped())
 
