@@ -31,7 +31,8 @@ rplm-overflow/nonexistent, insufficient-refs, all-lt-new-ref,
 mmco3-nonexistent, gap-no-b-refs, crop-change, profile-0-255,
 mmco5-fnum>0, sps-mid-frame, poc2-nonref-pair, mmco-slice-mismatch,
 dpb-shrink, mvc-svc-flag, mvc-ssps-ext2, mvc-ref-asymmetry, mvc-gap,
-mvc-dangling-prefix.
+mvc-dangling-prefix, coeff-token-invalid, total-zeros-invalid,
+run-before-negative.
 """
 
 import errno
@@ -1369,3 +1370,57 @@ def test_mvc_prefix_without_slice():
     out = b"".join(nals) + make_prefix_nal(non_idr=1, anchor=0)
     n, pairs = _decode_count(out)
     assert n == 2 and pairs == 2
+
+
+def _craft_i16_slice(residual_bits):
+    """Minimal 16x16 (1-mb) IDR stream whose I16 macroblock carries
+    hand-written residual BITS — for the invalid-CAVLC-value rows."""
+    from tools.avcgen import BitWriter, nal
+    w = BitWriter()
+    w.ue(0)          # first_mb_in_slice
+    w.ue(7)          # slice_type: I (all slices)
+    w.ue(0)          # pps id
+    w.u(0, 4)        # frame_num
+    w.ue(0)          # idr_pic_id
+    w.u(0, 4)        # pic_order_cnt_lsb
+    w.u1(0)          # no_output_of_prior_pics
+    w.u1(0)          # long_term_reference
+    w.se(0)          # slice_qp_delta
+    w.ue(13)         # mb_type: I16 pred 0, cbp_chroma 0, cbp_luma 15
+    w.ue(0)          # intra_chroma_pred_mode
+    w.se(0)          # mb_qp_delta
+    residual_bits(w)
+    w.rbsp_trailing()
+    return (make_sps(1, 1) + make_pps()
+            + nal(3, 5, w.bytes_unescaped()))
+
+
+@pytest.mark.parametrize("name,bits", [
+    # coeff_token for nC=0: no valid 16-zero prefix (Table 9-5)
+    ("coeff-token-invalid", lambda w: w.u(0, 16)),
+    # valid DC block (TotalCoeff=1, T1=1, sign +, total_zeros=0) then an
+    # AC block whose coeff_token claims TotalCoeff on a 15-coeff block
+    # with an over-long zero prefix
+    ("total-zeros-invalid", lambda w: (w.u(0b01, 2), w.u1(0),
+                                       w.u(0, 14), w.u1(1))),
+    # DC: TotalCoeff=2 T1s=2 (prefix 01 for nC=0 is tc1... drive the
+    # parser into run_before with zerosLeft exhausted: tc=1 t1=1 sign,
+    # total_zeros=15 (longest code), then run_before=7 prefix where
+    # zerosLeft < run -> negative zerosLeft
+    ("run-before-negative", lambda w: (w.u(0b01, 2), w.u1(0),
+                                       w.u(1, 9), w.u(0b111, 3),
+                                       w.u(0, 8))),
+])
+def test_invalid_cavlc_residual_values(name, bits):
+    """[coeff-token-invalid] + [total-zeros-invalid] +
+    [run-before-negative]: hand-written invalid CAVLC residual codes.
+    The clamped-read contract: decode never crashes, the slice ends in
+    EBADMSG-or-concealment, and the decoder stays usable."""
+    data = _craft_i16_slice(lambda w, b=bits: b(w))
+    frames = list(decode_annexb(data, backend="numpy"))
+    assert len(frames) <= 1
+    # decoder still works afterwards
+    rng = random.Random(90)
+    good = make_sps(4, 3) + make_pps()
+    good += make_idr_slice(4, 3, random_frame_specs(rng, 4, 3, "i"))
+    assert len(list(decode_annexb(data + good, backend="numpy"))) >= 1
