@@ -32,7 +32,7 @@ mmco3-nonexistent, gap-no-b-refs, crop-change, profile-0-255,
 mmco5-fnum>0, sps-mid-frame, poc2-nonref-pair, mmco-slice-mismatch,
 dpb-shrink, mvc-svc-flag, mvc-ssps-ext2, mvc-ref-asymmetry, mvc-gap,
 mvc-dangling-prefix, coeff-token-invalid, total-zeros-invalid,
-run-before-negative.
+run-before-negative, scaling-fallback.
 """
 
 import errno
@@ -1424,3 +1424,19 @@ def test_invalid_cavlc_residual_values(name, bits):
     good = make_sps(4, 3) + make_pps()
     good += make_idr_slice(4, 3, random_frame_specs(rng, 4, 3, "i"))
     assert len(list(decode_annexb(data + good, backend="numpy"))) >= 1
+
+
+def test_scaling_list_fallback_rules(ref_oracle):
+    """[scaling-fallback] SPS scaling lists with a mix of present and
+    absent entries: absent list 0 falls back to the default table,
+    later absent lists fall back to the PREVIOUS list (§7.3.2.1.1
+    fallback rule B); repeated values exercise zero delta_scale runs."""
+    from tools.avcgen import gen_random_high_stream
+    rep4 = [12] * 8 + [20] * 8            # repeated-value runs
+    var4 = [8 + (i * 3) % 17 for i in range(16)]
+    s4 = [None, rep4, None, var4, None, None]
+    s8 = [[10 + ((i * 7) % 13) for i in range(64)], None]
+    data = gen_random_high_stream(6, 5, n_frames=2, seed=85,
+                                  scaling=True, scaling4=s4, scaling8=s8,
+                                  max_level=4)
+    _assert_ref_exact(data, ref_oracle, 2, "scaling-fallback")

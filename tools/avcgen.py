@@ -2435,9 +2435,12 @@ def random_i8_mb(rng, enc, mx, my, max_level=8, density=0.3):
 def gen_random_high_stream(mb_w, mb_h, n_frames=1, seed=0, *, qp=26,
                            kinds=('i4', 'i8', 'i16'), max_level=8,
                            density=0.3, deblock=True, scaling=False,
-                           second_chroma_qp_off=None) -> bytes:
+                           second_chroma_qp_off=None,
+                           scaling4=None, scaling8=None) -> bytes:
     """High-profile all-intra CAVLC stream: 8x8 transforms, optional
-    scaling matrices and separate Cb/Cr QP offsets (config #4)."""
+    scaling matrices and separate Cb/Cr QP offsets (config #4).
+    scaling4/scaling8 override the random matrices (entries may be None
+    for 'not present' — the §7.3.2.1.1 fallback rules apply)."""
     rng = random.Random(seed)
     s4 = s8 = None
     if scaling:
@@ -2446,6 +2449,10 @@ def gen_random_high_stream(mb_w, mb_h, n_frames=1, seed=0, *, qp=26,
         # 16 bits, which random levels would otherwise violate
         s4 = [[rng.randrange(8, 25) for _ in range(16)] for _ in range(6)]
         s8 = [[rng.randrange(8, 25) for _ in range(64)] for _ in range(2)]
+    if scaling4 is not None:
+        s4 = scaling4
+    if scaling8 is not None:
+        s8 = scaling8
     out = make_sps(mb_w, mb_h, profile=100, scaling4=s4, scaling8=s8)
     out += make_pps(deblock_control=not deblock, transform_8x8=True,
                     second_chroma_qp_off=second_chroma_qp_off)
